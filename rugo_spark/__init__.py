@@ -1,0 +1,18 @@
+"""rugo_spark — a PySpark-native per-column lightweight-compression engine.
+
+A from-scratch engine (NOT a port) that encodes tables of pre-tokenized
+training sequences — ``(doc_id string, tokens array<int32>, n_tok int32,
+source string)`` — with dictionary, RLE, FSST-style, bit-packing and
+frame-of-reference codecs, auto-selected per partition from sampled column
+statistics, running as vectorized Arrow UDFs (``applyInArrow`` /
+``mapInArrow``) over salted, size-balanced partitions, with a per-partition
+lineage manifest supporting resumable checkpoint-restart.
+
+The encoding vocabulary mirrors the reference's enum surface
+(rugo ``metadata.cpp:89-112``); the manifest mirrors rugo's 18-field
+``ColumnStats`` record (``metadata.hpp:12-43``).
+"""
+
+__version__ = "0.1.0"
+
+from rugo_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,35 @@
+"""SparkSession factory with the engine's standard configuration."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "rugo_spark",
+    shuffle_partitions: int = 32,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession tuned for the encode engine.
+
+    Arrow execution is mandatory — every hot-path UDF is ``applyInArrow`` /
+    ``mapInArrow`` over RecordBatches (no per-row Python), so
+    ``spark.sql.execution.arrow.pyspark.enabled`` is always on.  AQE is on so
+    relational glue around the encode job gets runtime re-planning for free.
+    """
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

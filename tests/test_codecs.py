@@ -1,0 +1,94 @@
+"""Round-trip tests for the numpy codec kernels.
+
+Mirrors the reference's per-encoding fixture coverage
+(rugo ``IMPLEMENTATION_SUMMARY.md:70-81``) with synthetic edge cases:
+empty arrays, single values, all-equal runs, max bit-widths, negatives,
+random + adversarial byte streams for fsst.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rugo_spark.codecs import INT_CODECS, BYTES_CODECS, bitpack, general
+
+RNG = np.random.default_rng(42)
+
+INT_CASES = {
+    "empty": np.array([], dtype=np.int64),
+    "single": np.array([7], dtype=np.int64),
+    "all_equal": np.full(1000, 42, dtype=np.int64),
+    "zipf_tokens": RNG.zipf(1.3, 5000).clip(0, 50000).astype(np.int64),
+    "sorted": np.sort(RNG.integers(0, 10**9, 5000)).astype(np.int64),
+    "negatives": RNG.integers(-(10**6), 10**6, 3000).astype(np.int64),
+    "runs": np.repeat(RNG.integers(0, 5, 100), RNG.integers(1, 50, 100)).astype(np.int64),
+    "wide": RNG.integers(np.iinfo(np.int64).min // 4, np.iinfo(np.int64).max // 4, 500),
+    "int32_full": np.array([np.iinfo(np.int32).min, 0, np.iinfo(np.int32).max], dtype=np.int64),
+    "zeros": np.zeros(100, dtype=np.int64),
+}
+
+
+@pytest.mark.parametrize("codec", sorted(INT_CODECS))
+@pytest.mark.parametrize("case", sorted(INT_CASES))
+def test_int_roundtrip(codec, case):
+    values = INT_CASES[case]
+    enc, dec = INT_CODECS[codec]
+    try:
+        blob = enc(values)
+    except OverflowError:
+        pytest.skip("range exceeds codec capability (selector avoids this)")
+    out = dec(blob)
+    assert out.dtype == np.int64
+    np.testing.assert_array_equal(out, values)
+
+
+def test_bitpack_exact_widths():
+    for width in [0, 1, 3, 7, 8, 13, 31, 32, 33, 63]:
+        hi = (1 << width) - 1
+        vals = RNG.integers(0, hi + 1, 257, dtype=np.uint64) if width else np.zeros(257, np.uint64)
+        if width:
+            vals[0], vals[1] = 0, hi  # pin the extremes
+        out = bitpack.unpack(bitpack.pack(vals, width), len(vals), width)
+        np.testing.assert_array_equal(out, vals)
+
+
+def test_bitpack_size():
+    vals = np.arange(1000, dtype=np.uint64) % 8
+    assert len(bitpack.pack(vals, 3)) == (1000 * 3 + 7) // 8
+
+
+BYTES_CASES = {
+    "empty": b"",
+    "one": b"x",
+    "text": (b"the quick brown fox jumps over the lazy dog " * 200),
+    "ids": b"".join(f"doc-{i:08d}".encode() for i in range(2000)),
+    "escape_heavy": bytes([255] * 500) + b"abc" + bytes([255, 254, 255]),
+    "random": RNG.integers(0, 256, 10000).astype(np.uint8).tobytes(),
+    "utf8": ("héllø wörld ☃ " * 500).encode(),
+}
+
+
+@pytest.mark.parametrize("codec", sorted(BYTES_CODECS))
+@pytest.mark.parametrize("case", sorted(BYTES_CASES))
+def test_bytes_roundtrip(codec, case):
+    data = BYTES_CASES[case]
+    enc, dec = BYTES_CODECS[codec]
+    assert dec(enc(data)) == data
+
+
+def test_fsst_compresses_text():
+    from rugo_spark.codecs import fsst
+
+    data = b"".join(f"https://example.com/page/{i % 50}".encode() for i in range(5000))
+    assert len(fsst.encode(data)) < len(data) * 0.6
+
+
+def test_general_wrap():
+    data = b"abc" * 10000
+    for codec in [general.RAW, general.ZSTD, general.LZ4]:
+        assert general.unwrap(general.wrap(data, codec)) == data
+    # auto falls back to raw on incompressible input
+    rnd = RNG.integers(0, 256, 1000).astype(np.uint8).tobytes()
+    framed = general.wrap(rnd, general.ZSTD, auto=True)
+    assert general.unwrap(framed) == rnd
