@@ -1,0 +1,303 @@
+"""Column block container: self-describing encoding of Arrow arrays.
+
+The engine's unit of storage.  Where the reference describes Parquet column
+chunks via an 18-field metadata record (rugo ``metadata.hpp:12-43``), our
+blocks are written by us, so the container is explicit: a fixed little-endian
+header, an optional validity bitmap, and codec-framed payloads.  Nested types
+(list<…>) recurse: lengths are an integer sub-block, the flattened child is a
+full nested container — no per-row Python anywhere (Arrow buffers in,
+numpy kernels, Arrow buffers out).
+
+Container layout (little-endian):
+  'RGC1' | kind u8 | flags u8 (bit0 has_nulls) | n u64
+  [ has_nulls: u64 nbytes | packbits(validity, bitorder=little) ]
+  kind-specific u64-length-prefixed sub-blocks:
+    INT  : codec_id u8 | general-frame(codec payload)
+    FLOAT: itemsize u8 | general-frame(raw LE bytes)
+    STR  : lengths INT sub-block, then data: codec_id u8 | general-frame(payload)
+    LIST : lengths INT sub-block, then child container (recursive)
+    BOOL : general-frame(packbits(values, little))
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rugo_spark.codecs import (
+    BYTES_CODEC_IDS,
+    BYTES_CODECS,
+    CODEC_BY_ID,
+    INT_CODEC_IDS,
+    INT_CODECS,
+    general,
+)
+from rugo_spark.selector import select_bytes_codec, select_int_codec
+
+MAGIC = b"RGC1"
+KIND_INT, KIND_FLOAT, KIND_STR, KIND_LIST, KIND_BOOL = 0, 1, 2, 3, 4
+
+_HDR = struct.Struct("<4sBBQ")
+_U64 = struct.Struct("<Q")
+
+
+# ---------------------------------------------------------------- helpers
+
+def _frame(body: bytes) -> bytes:
+    return _U64.pack(len(body)) + body
+
+
+def _read_frame(mv: memoryview, off: int) -> tuple[memoryview, int]:
+    (ln,) = _U64.unpack_from(mv, off)
+    start = off + 8
+    return mv[start : start + ln], start + ln
+
+
+def _kind_of(t: pa.DataType) -> int:
+    if pa.types.is_boolean(t):
+        return KIND_BOOL
+    if (
+        pa.types.is_integer(t)
+        or pa.types.is_temporal(t)
+    ):
+        return KIND_INT
+    if pa.types.is_floating(t):
+        return KIND_FLOAT
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return KIND_STR
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return KIND_LIST
+    raise TypeError(f"unsupported arrow type: {t}")
+
+
+_INT_STORAGE = {  # arrow type id safety: reinterpret temporal as raw ints
+    "ts64": pa.int64(),
+}
+
+
+def _int_view(dense: pa.Array) -> np.ndarray:
+    """Null-free int-like arrow array → int64 numpy (bit-preserving)."""
+    t = dense.type
+    if pa.types.is_timestamp(t) or pa.types.is_time64(t) or pa.types.is_date64(t) or pa.types.is_duration(t):
+        dense = dense.view(pa.int64())
+    elif pa.types.is_date32(t) or pa.types.is_time32(t):
+        dense = dense.view(pa.int32())
+    v = dense.to_numpy(zero_copy_only=len(dense) > 0)
+    if v.dtype == np.uint64:
+        v = v.view(np.int64)  # bit-preserving; decoder views back
+    return np.ascontiguousarray(v, dtype=np.int64) if v.dtype != np.int64 else v
+
+
+def _storage_np_dtype(t: pa.DataType):
+    if pa.types.is_timestamp(t) or pa.types.is_time64(t) or pa.types.is_date64(t) or pa.types.is_duration(t):
+        return np.int64
+    if pa.types.is_date32(t) or pa.types.is_time32(t):
+        return np.int32
+    return np.dtype(t.to_pandas_dtype())
+
+
+def _validity(arr: pa.Array) -> tuple[np.ndarray | None, int]:
+    nulls = arr.null_count
+    if nulls == 0:
+        return None, 0
+    valid = arr.is_valid().to_numpy(zero_copy_only=False)
+    return valid, nulls
+
+
+def _validity_buffer(valid: np.ndarray) -> pa.Buffer:
+    return pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+
+
+# ---------------------------------------------------------------- encode
+
+def _encode_int_values(v: np.ndarray, codec: str | None) -> tuple[bytes, str]:
+    if codec is None:
+        codec, _ = select_int_codec(v)
+    try:
+        payload = INT_CODECS[codec][0](v)
+    except OverflowError:
+        codec = "plain"
+        payload = INT_CODECS[codec][0](v)
+    return struct.pack("<B", INT_CODEC_IDS[codec]) + general.wrap(payload), codec
+
+
+def _encode_bytes(data: bytes, codec: str | None) -> tuple[bytes, str]:
+    if codec is None:
+        codec = select_bytes_codec(data)
+    payload = BYTES_CODECS[codec][0](data)
+    return struct.pack("<B", BYTES_CODEC_IDS[codec]) + general.wrap(payload), codec
+
+
+def _string_parts(dense: pa.Array) -> tuple[np.ndarray, bytes]:
+    """Null-free string/binary array → (byte lengths, concatenated bytes)."""
+    t = dense.type
+    large = pa.types.is_large_string(t) or pa.types.is_large_binary(t)
+    off_dt = np.int64 if large else np.int32
+    bufs = dense.buffers()
+    offsets = np.frombuffer(
+        bufs[1], dtype=off_dt, count=len(dense) + 1, offset=dense.offset * np.dtype(off_dt).itemsize
+    ).astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    lengths = np.diff(offsets)
+    payload = data[offsets[0] : offsets[-1]].tobytes()
+    return lengths, payload
+
+
+def encode_array(arr: pa.Array | pa.ChunkedArray, plan: dict | None = None) -> tuple[bytes, dict]:
+    """Encode one Arrow array into a self-describing block.
+
+    ``plan`` optionally pins codecs: {"values": name, "lengths": name,
+    "data": name, "child": nested plan}.  Absent entries are auto-selected
+    from sampled statistics.  Returns (blob, meta) where meta carries the
+    codec decisions + the rugo-vocabulary stats (null_count, sizes).
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    plan = plan or {}
+    t = arr.type
+    kind = _kind_of(t)
+    n = len(arr)
+    valid, null_count = _validity(arr)
+    flags = 1 if valid is not None else 0
+    parts = [_HDR.pack(MAGIC, kind, flags, n)]
+    if valid is not None:
+        packed = np.packbits(valid, bitorder="little").tobytes()
+        parts.append(_U64.pack(len(packed)))
+        parts.append(packed)
+        dense = pc.drop_null(arr)
+    else:
+        dense = arr
+    meta: dict = {"kind": kind, "n": n, "null_count": null_count, "raw_bytes": arr.nbytes}
+
+    if kind == KIND_INT:
+        v = _int_view(dense)
+        body, codec = _encode_int_values(v, plan.get("values"))
+        parts.append(_frame(body))
+        meta["codec"] = codec
+    elif kind == KIND_FLOAT:
+        v = dense.to_numpy(zero_copy_only=len(dense) > 0)
+        body = struct.pack("<B", v.dtype.itemsize) + general.wrap(np.ascontiguousarray(v).tobytes())
+        parts.append(_frame(body))
+        meta["codec"] = "plain"
+    elif kind == KIND_STR:
+        lengths, data = _string_parts(dense)
+        lbody, lcodec = _encode_int_values(lengths, plan.get("lengths"))
+        dbody, dcodec = _encode_bytes(data, plan.get("data"))
+        parts.append(_frame(lbody))
+        parts.append(_frame(dbody))
+        meta["codec"] = dcodec
+        meta["lengths_codec"] = lcodec
+    elif kind == KIND_LIST:
+        lengths = pc.list_value_length(dense).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(dense)
+        lbody, lcodec = _encode_int_values(lengths, plan.get("lengths"))
+        child_blob, child_meta = encode_array(flat, plan.get("child"))
+        parts.append(_frame(lbody))
+        parts.append(_frame(child_blob))
+        meta["codec"] = child_meta.get("codec")
+        meta["lengths_codec"] = lcodec
+        meta["child"] = child_meta
+    elif kind == KIND_BOOL:
+        v = dense.to_numpy(zero_copy_only=False)
+        parts.append(_frame(general.wrap(np.packbits(v, bitorder="little").tobytes())))
+        meta["codec"] = "bitpack"
+    blob = b"".join(parts)
+    meta["enc_bytes"] = len(blob)
+    return blob, meta
+
+
+# ---------------------------------------------------------------- decode
+
+def _decode_int_body(body: memoryview) -> np.ndarray:
+    codec = CODEC_BY_ID[body[0]]
+    payload = general.unwrap(body[1:])
+    return INT_CODECS[codec][1](payload)
+
+
+def _decode_bytes_body(body: memoryview) -> bytes:
+    codec = CODEC_BY_ID[body[0]]
+    payload = general.unwrap(body[1:])
+    return BYTES_CODECS[codec][1](payload)
+
+
+def _expand(dense: np.ndarray, valid: np.ndarray | None, fill=0) -> np.ndarray:
+    if valid is None:
+        return dense
+    out = np.full(len(valid), fill, dtype=dense.dtype)
+    out[valid] = dense
+    return out
+
+
+def decode_array(buf: bytes | memoryview, typ: pa.DataType) -> pa.Array:
+    """Inverse of :func:`encode_array`; ``typ`` is the target Arrow type."""
+    mv = memoryview(buf)
+    magic, kind, flags, n = _HDR.unpack_from(mv, 0)
+    assert magic == MAGIC, "bad block magic"
+    off = _HDR.size
+    valid = None
+    vbuf = None
+    if flags & 1:
+        (plen,) = _U64.unpack_from(mv, off)
+        off += 8
+        packed = np.frombuffer(mv[off : off + plen], dtype=np.uint8)
+        off += plen
+        valid = np.unpackbits(packed, count=n, bitorder="little").astype(bool)
+        vbuf = _validity_buffer(valid)
+
+    if kind == KIND_INT:
+        body, off = _read_frame(mv, off)
+        dense = _decode_int_body(body)
+        storage = np.dtype(_storage_np_dtype(typ))
+        vals = _expand(dense, valid).astype(storage)  # uint64 wraps = bit-view inverse
+        if np.issubdtype(storage, np.unsignedinteger):
+            prim = {8: pa.uint64(), 4: pa.uint32(), 2: pa.uint16(), 1: pa.uint8()}[storage.itemsize]
+        else:
+            prim = {8: pa.int64(), 4: pa.int32(), 2: pa.int16(), 1: pa.int8()}[storage.itemsize]
+        out = pa.Array.from_buffers(prim, n, [vbuf, pa.py_buffer(vals.tobytes())])
+        return out if prim == typ else out.view(typ)
+    if kind == KIND_FLOAT:
+        body, off = _read_frame(mv, off)
+        itemsize = body[0]
+        raw = general.unwrap(body[1:])
+        dt = np.float32 if itemsize == 4 else np.float64
+        vals = _expand(np.frombuffer(raw, dtype=dt), valid)
+        return pa.Array.from_buffers(typ, n, [vbuf, pa.py_buffer(vals.tobytes())])
+    if kind == KIND_STR:
+        lbody, off = _read_frame(mv, off)
+        dbody, off = _read_frame(mv, off)
+        lengths = _decode_int_body(lbody)
+        data = _decode_bytes_body(dbody)
+        full_len = _expand(lengths, valid)
+        large = pa.types.is_large_string(typ) or pa.types.is_large_binary(typ)
+        off_dt = np.int64 if large else np.int32
+        offsets = np.zeros(n + 1, dtype=off_dt)
+        np.cumsum(full_len, out=offsets[1:])
+        return pa.Array.from_buffers(
+            typ, n, [vbuf, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)]
+        )
+    if kind == KIND_LIST:
+        lbody, off = _read_frame(mv, off)
+        cbody, off = _read_frame(mv, off)
+        lengths = _decode_int_body(lbody)
+        child = decode_array(cbody, typ.value_type)
+        full_len = _expand(lengths, valid)
+        large = pa.types.is_large_list(typ)
+        off_dt = np.int64 if large else np.int32
+        offsets = np.zeros(n + 1, dtype=off_dt)
+        np.cumsum(full_len, out=offsets[1:])
+        return pa.Array.from_buffers(
+            typ, n, [vbuf, pa.py_buffer(offsets.tobytes())], children=[child]
+        )
+    if kind == KIND_BOOL:
+        body, off = _read_frame(mv, off)
+        packed_dense = np.frombuffer(general.unwrap(body), dtype=np.uint8)
+        n_dense = int(valid.sum()) if valid is not None else n
+        dense = np.unpackbits(packed_dense, count=n_dense, bitorder="little").astype(bool)
+        vals = _expand(dense, valid, fill=False)
+        return pa.Array.from_buffers(
+            pa.bool_(), n, [vbuf, pa.py_buffer(np.packbits(vals, bitorder="little").tobytes())]
+        )
+    raise TypeError(f"unknown kind {kind}")

@@ -1,0 +1,82 @@
+"""Round-trip tests for the Arrow column block container across types/nulls."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rugo_spark.block import decode_array, encode_array
+
+RNG = np.random.default_rng(7)
+
+
+def _roundtrip(arr: pa.Array):
+    blob, meta = encode_array(arr)
+    out = decode_array(blob, arr.type)
+    assert out.type == arr.type
+    assert out.equals(arr), f"mismatch: {arr[:5]} vs {out[:5]} (meta={meta})"
+    return blob, meta
+
+
+CASES = {
+    "int32": pa.array(RNG.integers(-1000, 1000, 5000), type=pa.int32()),
+    "int64_nulls": pa.array(
+        [None if i % 7 == 0 else int(v) for i, v in enumerate(RNG.integers(0, 10**12, 2000))],
+        type=pa.int64(),
+    ),
+    "int8": pa.array(RNG.integers(-128, 128, 999), type=pa.int8()),
+    "uint32": pa.array(RNG.integers(0, 2**32, 500, dtype=np.uint64), type=pa.uint32()),
+    "uint64_extremes": pa.array([0, 2**64 - 1, 1, 2**63], type=pa.uint64()),
+    "empty_int": pa.array([], type=pa.int32()),
+    "all_null": pa.array([None, None, None], type=pa.int64()),
+    "float64": pa.array(RNG.normal(size=1000)),
+    "float32_nulls": pa.array(
+        [None if i % 11 == 0 else float(v) for i, v in enumerate(RNG.normal(size=500))],
+        type=pa.float32(),
+    ),
+    "bool": pa.array((RNG.integers(0, 2, 777) == 1).tolist()),
+    "bool_nulls": pa.array([True, None, False, None, True]),
+    "string": pa.array([f"doc-{i:06d}" for i in range(3000)]),
+    "string_nulls": pa.array(["a", None, "", "hello world", None, "z" * 100]),
+    "string_unicode": pa.array(["héllø", "☃☃☃", "", "مرحبا", "日本語テキスト"] * 50),
+    "binary": pa.array([bytes([i % 256, 255, 0]) for i in range(400)], type=pa.binary()),
+    "large_string": pa.array(["x" * i for i in range(100)], type=pa.large_string()),
+    "tokens": pa.array(
+        [RNG.zipf(1.3, int(k)).clip(0, 50000).astype(np.int32).tolist() for k in RNG.integers(1, 200, 300)],
+        type=pa.list_(pa.int32()),
+    ),
+    "tokens_nonnullable_child": pa.array(
+        [[1, 2, 3], [], [50000]], type=pa.list_(pa.field("element", pa.int32(), nullable=False))
+    ),
+    "list_nulls": pa.array([[1, 2], None, [], [3]], type=pa.list_(pa.int64())),
+    "list_float": pa.array([RNG.normal(size=8).tolist() for _ in range(200)], type=pa.list_(pa.float32())),
+    "timestamp_us": pa.array(RNG.integers(0, 2**45, 800), type=pa.int64()).cast(pa.timestamp("us")),
+    "date32": pa.array(RNG.integers(0, 30000, 300), type=pa.int32()).cast(pa.date32()),
+}
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_block_roundtrip(case):
+    _roundtrip(CASES[case])
+
+
+def test_sliced_input():
+    arr = pa.array(list(range(1000)), type=pa.int32())
+    _roundtrip(arr.slice(100, 500))
+    s = pa.array([f"s{i}" for i in range(100)]).slice(10, 50)
+    _roundtrip(s)
+
+
+def test_compression_wins_on_tokens():
+    arr = CASES["tokens"]
+    blob, meta = encode_array(arr)
+    assert len(blob) < arr.nbytes * 0.7, (len(blob), arr.nbytes, meta)
+    assert meta["codec"] in {"dict", "for", "plain", "rle", "delta"}
+
+
+def test_plan_pins_codec():
+    arr = pa.array(RNG.integers(0, 100, 1000), type=pa.int64())
+    blob, meta = encode_array(arr, plan={"values": "rle"})
+    assert meta["codec"] == "rle"
+    assert decode_array(blob, arr.type).equals(arr)
