@@ -1,0 +1,199 @@
+"""Encode/decode pipeline: applyInArrow encoder, mapInArrow decoder, resume.
+
+Lifecycle (SURVEY.md §3.4): plan deterministic size-balanced partition ids →
+anti-join already-completed partitions from the manifest (checkpoint-restart)
+→ one shuffle into ``groupBy(partition_id).applyInArrow(encoder)`` → each
+task sorts its group by the key column (bit-stable blocks regardless of
+shuffle arrival order), encodes every column through the block container,
+writes the block file and manifest sidecar atomically, and returns one
+lineage row.  Decode is ``mapInArrow`` over manifest rows — one task per
+block file, no shuffle, streaming RecordBatches out.
+
+Everything data-sized stays in Arrow/numpy; Python touches only per-partition
+scalars (the north rule's "no per-row Python in the hot path").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import zlib
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rugo_spark import manifest as mf
+from rugo_spark.block import decode_array, encode_array
+from rugo_spark.partitioning import with_partition_id
+
+FILE_MAGIC = b"RGF1"
+_FHDR = struct.Struct("<4sI")
+_U64 = struct.Struct("<Q")
+
+DEFAULT_TARGET_TOKENS = 4_000_000  # per-partition token budget (sandbox scale)
+
+
+# ------------------------------------------------------------- block files
+
+def write_block_file(path: str, table: pa.Table, plans: dict | None = None) -> tuple[int, dict]:
+    """Encode all columns of ``table`` → one block file. Atomic. Returns
+    (crc32, per-column meta)."""
+    plans = plans or {}
+    parts = [_FHDR.pack(FILE_MAGIC, table.num_columns)]
+    metas: dict[str, dict] = {}
+    for name in table.column_names:
+        blob, meta = encode_array(table.column(name), plans.get(name))
+        parts.append(_U64.pack(len(blob)))
+        parts.append(blob)
+        metas[name] = meta
+    payload = b"".join(parts)
+    crc = zlib.crc32(payload)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".inprogress"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, path)
+    return crc, metas
+
+
+def read_block_file(path: str, schema: pa.Schema, columns: list[str] | None = None):
+    """Decode a block file → RecordBatch generator (column-pruned if asked)."""
+    with open(path, "rb") as f:
+        buf = memoryview(f.read())
+    magic, n_cols = _FHDR.unpack_from(buf, 0)
+    assert magic == FILE_MAGIC, f"bad block file magic in {path}"
+    off = _FHDR.size
+    arrays, names = [], []
+    want = set(columns) if columns is not None else None
+    for i in range(n_cols):
+        (ln,) = _U64.unpack_from(buf, off)
+        off += 8
+        name = schema.names[i]
+        if want is None or name in want:
+            arrays.append(decode_array(buf[off : off + ln], schema.field(name).type))
+            names.append(name)
+        off += ln
+    yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+# ------------------------------------------------------------- encode job
+
+def encode_table(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str | None = None,
+    size_col: str | None = None,
+    num_partitions: int | None = None,
+    target_tokens: int = DEFAULT_TARGET_TOKENS,
+    plans: dict | None = None,
+) -> DataFrame:
+    """Encode ``df`` into ``out_dir`` (blocks + manifest). Resumable.
+
+    ``size_col`` drives size-balanced partitioning (token mass); ``key_col``
+    makes partition assignment + intra-block order deterministic.
+    Returns the manifest DataFrame (one lineage row per partition).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        if size_col is not None:
+            import pyspark.sql.functions as F
+
+            total = df.agg(F.sum(size_col)).first()[0] or 1
+            num_partitions = max(1, int((total + target_tokens - 1) // target_tokens))
+        else:
+            num_partitions = max(1, df.rdd.getNumPartitions())
+
+    planned = with_partition_id(df, num_partitions, size_col=size_col, key_col=key_col)
+
+    # checkpoint-restart: skip partitions whose sidecar already exists
+    done = [r["partition_id"] for r in mf.completed_partitions(out_dir)]
+    if done:
+        import pyspark.sql.functions as F
+
+        done_df = spark.createDataFrame([(int(d),) for d in done], "partition_id int")
+        planned = planned.join(F.broadcast(done_df), "partition_id", "left_anti")
+
+    mf.write_schema(
+        out_dir,
+        _arrow_schema_of(df),
+        df.schema.json(),
+    )
+    sort_key = key_col
+    blocks_dir = os.path.join(out_dir, mf.BLOCKS_DIR)
+
+    def encoder(key: tuple, table: pa.Table) -> pa.Table:
+        pid = int(key[0].as_py())
+        tbl = table.drop_columns("partition_id")
+        if sort_key is not None:
+            tbl = tbl.sort_by(sort_key)
+        path = os.path.join(blocks_dir, f"part-{pid:06d}.rgb")
+        crc, metas = write_block_file(path, tbl, plans)
+        out_bytes = os.path.getsize(path)
+        n_tokens = 0
+        if size_col is not None:
+            import pyarrow.compute as pc
+
+            n_tokens = int(pc.sum(tbl.column(size_col)).as_py() or 0)
+        row = {
+            "partition_id": pid,
+            "n_rows": tbl.num_rows,
+            "n_tokens": n_tokens,
+            "input_bytes": int(tbl.nbytes),
+            "output_bytes": int(out_bytes),
+            "block_path": path,
+            "checksum": int(crc),
+            "codecs": json.dumps(metas, default=str),
+        }
+        mf.write_sidecar(out_dir, row)
+        return pa.Table.from_pylist([row], schema=mf.MANIFEST_ARROW)
+
+    result = planned.groupBy("partition_id").applyInArrow(encoder, mf.MANIFEST_DDL)
+    # materialize: run the job now so sidecars exist; manifest DF re-read from sidecars
+    result.write.mode("overwrite").format("noop").save()
+    return manifest_df(spark, out_dir)
+
+
+def _arrow_schema_of(df: DataFrame) -> pa.Schema:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(df.schema)
+
+
+def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
+    rows = mf.completed_partitions(out_dir)
+    from pyspark.sql.types import StructType
+
+    spark_schema = StructType.fromDDL(mf.MANIFEST_DDL)
+    return spark.createDataFrame(rows, spark_schema) if rows else spark.createDataFrame([], spark_schema)
+
+
+# ------------------------------------------------------------- decode job
+
+def decode_table(
+    spark: SparkSession,
+    out_dir: str,
+    columns: list[str] | None = None,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """Reconstruct the original DataFrame from blocks. One task per block file,
+    no shuffle; column pruning skips undecoded columns entirely."""
+    arrow_schema, spark_schema_json = mf.read_schema(out_dir)
+    from pyspark.sql.types import StructType
+
+    full = StructType.fromJson(spark_schema_json)
+    if columns:
+        out_schema = StructType([f for f in full.fields if f.name in set(columns)])
+    else:
+        out_schema = full
+    man = manifest_df(spark, out_dir).select("block_path")
+    n = num_tasks or man.count()
+    man = man.repartition(max(1, min(int(n), 4096)))
+
+    def decoder(batches):
+        for batch in batches:
+            for path in batch.column(0).to_pylist():  # per-partition only
+                yield from read_block_file(path, arrow_schema, columns)
+
+    return man.mapInArrow(decoder, out_schema)

@@ -1,0 +1,142 @@
+"""Per-partition lineage manifest: atomic sidecars + rugo-parity reader.
+
+Each encoded partition writes one JSON sidecar (temp + rename, atomic) under
+``<out>/manifest/``.  The sidecar carries the lineage record the north rule
+requires — partition id, per-column codec choice, input/output bytes, row
+counts, checksum — which is the same vocabulary as the reference's 18-field
+per-column-chunk record (rugo ``metadata.hpp:12-43``, dict assembly
+``metadata_reader.pyx:102-174``).  ``read_manifest`` exposes a
+rugo-``read_metadata``-shaped nested dict for functional parity.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+
+import pyarrow as pa
+
+SCHEMA_FILE = "_schema.json"
+MANIFEST_DIR = "manifest"
+BLOCKS_DIR = "blocks"
+
+# Spark-side manifest row schema (applyInArrow output)
+MANIFEST_DDL = (
+    "partition_id int, n_rows long, n_tokens long, input_bytes long, "
+    "output_bytes long, block_path string, checksum long, codecs string"
+)
+MANIFEST_ARROW = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("n_rows", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("input_bytes", pa.int64()),
+        ("output_bytes", pa.int64()),
+        ("block_path", pa.string()),
+        ("checksum", pa.int64()),
+        ("codecs", pa.string()),
+    ]
+)
+
+
+def write_schema(out_dir: str, arrow_schema: pa.Schema, spark_schema_json: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    payload = {
+        "arrow_schema_b64": base64.b64encode(arrow_schema.serialize().to_pybytes()).decode(),
+        "spark_schema": json.loads(spark_schema_json),
+    }
+    tmp = os.path.join(out_dir, SCHEMA_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, os.path.join(out_dir, SCHEMA_FILE))
+
+
+def read_schema(out_dir: str) -> tuple[pa.Schema, dict]:
+    with open(os.path.join(out_dir, SCHEMA_FILE)) as f:
+        payload = json.load(f)
+    schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(payload["arrow_schema_b64"])))
+    return schema, payload["spark_schema"]
+
+
+def sidecar_path(out_dir: str, partition_id: int) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR, f"part-{partition_id:06d}.json")
+
+
+def write_sidecar(out_dir: str, row: dict) -> None:
+    """Atomic (temp + rename) — a crash mid-write never yields a torn sidecar."""
+    path = sidecar_path(out_dir, row["partition_id"])
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".inprogress"
+    with open(tmp, "w") as f:
+        json.dump(row, f)
+    os.replace(tmp, path)
+
+
+def completed_partitions(out_dir: str) -> list[dict]:
+    """All valid sidecars (torn/partial files are skipped → re-encoded)."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    rows = []
+    for name in sorted(os.listdir(mdir)):
+        if not (name.startswith("part-") and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                rows.append(json.load(f))
+        except (json.JSONDecodeError, OSError):
+            continue
+    return rows
+
+
+def read_manifest(out_dir: str) -> dict:
+    """rugo-parity surface: nested dict shaped like ``read_metadata``'s output
+    (reference ``metadata_reader.pyx:102-174`` / ``README.md:166-200``) —
+    ``{num_rows, row_groups: [{num_rows, total_byte_size, columns: [...]}],
+    schema: [...]}`` with one "row group" per encoded partition and the same
+    per-column field names (num_values, total_compressed_size,
+    total_uncompressed_size, encodings, codec, null_count, …).
+    """
+    rows = completed_partitions(out_dir)
+    arrow_schema, spark_schema = read_schema(out_dir)
+    row_groups = []
+    for r in rows:
+        codecs = json.loads(r["codecs"])
+        columns = []
+        for name in arrow_schema.names:
+            c = codecs.get(name, {})
+            columns.append(
+                {
+                    "name": name,
+                    "physical_type": str(arrow_schema.field(name).type),
+                    "logical_type": str(arrow_schema.field(name).type),
+                    "num_values": r["n_rows"],
+                    "total_compressed_size": c.get("enc_bytes"),
+                    "total_uncompressed_size": c.get("raw_bytes"),
+                    "null_count": c.get("null_count"),
+                    "distinct_count": None,
+                    "min": None,
+                    "max": None,
+                    "encodings": [c.get("codec")] + (
+                        [c["lengths_codec"]] if c.get("lengths_codec") else []
+                    ),
+                    "codec": c.get("outer", "zstd-auto"),
+                    "key_value_metadata": {"block_path": r["block_path"]},
+                }
+            )
+        row_groups.append(
+            {
+                "num_rows": r["n_rows"],
+                "total_byte_size": r["output_bytes"],
+                "columns": columns,
+            }
+        )
+    return {
+        "num_rows": sum(r["n_rows"] for r in rows),
+        "row_groups": row_groups,
+        "schema": [
+            {"name": f.name, "logical_type": str(f.type), "num_children": 0}
+            for f in arrow_schema
+        ],
+    }

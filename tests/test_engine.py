@@ -1,0 +1,124 @@
+"""End-to-end encode → decode parity tests (the SURVEY §5 oracle pattern:
+differential comparison against the Arrow/Parquet reference read, per-row
+token-array equality — cf. reference ``tests/test_statistics.py:68-94``)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rugo_spark import manifest as mf
+from rugo_spark.engine import decode_table, encode_table, manifest_df
+from rugo_spark.tokengen import spark_token_df, token_batch
+
+N_DOCS = 2000
+
+
+@pytest.fixture(scope="module")
+def token_df(spark):
+    df = spark.createDataFrame(token_batch(N_DOCS).to_pandas())
+    return df.cache()
+
+
+def _sorted_pandas(df, key):
+    pdf = df.toPandas().sort_values(key).reset_index(drop=True)
+    return pdf
+
+
+def test_encode_decode_tokens_bit_identical(spark, token_df, tmp_out):
+    man = encode_table(token_df, tmp_out, key_col="doc_id", size_col="n_tok", num_partitions=7)
+    assert man.count() == 7
+    out = decode_table(spark, tmp_out)
+    got = _sorted_pandas(out, "doc_id")
+    want = _sorted_pandas(token_df, "doc_id")
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_tok"].tolist() == want["n_tok"].tolist()
+    assert got["source"].tolist() == want["source"].tolist()
+    # per-row token-array equality — the north-rule invariant
+    for g, w in zip(got["tokens"].values, want["tokens"].values):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_compressed_size_beats_reference_parquet(spark, token_df, tmp_out, tmp_path):
+    """north rule: compressed size ≤ reference-encoded Parquet footprint."""
+    ref = str(tmp_path / "ref.parquet")
+    token_batch(N_DOCS)  # noqa — same data as token_df
+    import pyarrow.parquet as pq
+
+    pq.write_table(token_batch(N_DOCS), ref, compression="zstd")
+    encode_table(token_df, tmp_out, key_col="doc_id", size_col="n_tok", num_partitions=4)
+    ours = sum(
+        os.path.getsize(os.path.join(tmp_out, mf.BLOCKS_DIR, f))
+        for f in os.listdir(os.path.join(tmp_out, mf.BLOCKS_DIR))
+    )
+    theirs = os.path.getsize(ref)
+    assert ours <= theirs * 1.0, f"ours={ours} theirs={theirs}"
+
+
+def test_resume_skips_completed(spark, token_df, tmp_out):
+    man1 = encode_table(token_df, tmp_out, key_col="doc_id", size_col="n_tok", num_partitions=6)
+    rows1 = {r["partition_id"]: r for r in man1.collect()}
+    # simulate crash: delete two sidecars + one block
+    victim = rows1[0]
+    os.remove(mf.sidecar_path(tmp_out, 0))
+    os.remove(mf.sidecar_path(tmp_out, 3))
+    os.remove(victim["block_path"])
+    before = {p: os.path.getmtime(mf.sidecar_path(tmp_out, p)) for p in rows1 if p not in (0, 3)}
+    man2 = encode_table(token_df, tmp_out, key_col="doc_id", size_col="n_tok", num_partitions=6)
+    rows2 = {r["partition_id"]: r for r in man2.collect()}
+    assert set(rows2) == set(rows1)
+    # untouched partitions were NOT re-encoded
+    for p, t in before.items():
+        assert os.path.getmtime(mf.sidecar_path(tmp_out, p)) == t
+    # re-encoded partitions are bit-identical (deterministic blocks)
+    for p in (0, 3):
+        assert rows2[p]["checksum"] == rows1[p]["checksum"]
+        assert rows2[p]["output_bytes"] == rows1[p]["output_bytes"]
+    out = decode_table(spark, tmp_out)
+    assert out.count() == N_DOCS
+
+
+def test_decode_column_pruning(spark, token_df, tmp_out):
+    encode_table(token_df, tmp_out, key_col="doc_id", size_col="n_tok", num_partitions=3)
+    out = decode_table(spark, tmp_out, columns=["doc_id", "n_tok"])
+    assert out.columns == ["doc_id", "n_tok"]
+    assert out.count() == N_DOCS
+
+
+def test_manifest_lineage_fields(spark, token_df, tmp_out):
+    man = encode_table(token_df, tmp_out, key_col="doc_id", size_col="n_tok", num_partitions=5)
+    rows = man.collect()
+    assert {r["partition_id"] for r in rows} == set(range(5))
+    for r in rows:
+        assert r["n_rows"] > 0 and r["output_bytes"] > 0 and r["input_bytes"] > 0
+        assert os.path.exists(r["block_path"])
+        codecs = json.loads(r["codecs"])
+        assert set(codecs) == {"doc_id", "tokens", "n_tok", "source"}
+        assert codecs["tokens"]["codec"] in {"for", "dict", "plain", "rle", "delta"}
+    # size balance: token mass per partition within 3.5x of each other
+    masses = sorted(r["n_tokens"] for r in rows)
+    assert masses[0] > 0 and masses[-1] / masses[0] < 3.5, masses
+
+
+def test_rugo_parity_read_manifest(spark, token_df, tmp_out):
+    encode_table(token_df, tmp_out, key_col="doc_id", size_col="n_tok", num_partitions=2)
+    meta = mf.read_manifest(tmp_out)
+    assert meta["num_rows"] == N_DOCS
+    assert len(meta["row_groups"]) == 2
+    col = meta["row_groups"][0]["columns"][1]
+    assert col["name"] == "tokens"
+    assert col["total_compressed_size"] > 0
+    assert isinstance(col["encodings"], list)
+    names = {s["name"] for s in meta["schema"]}
+    assert names == {"doc_id", "tokens", "n_tok", "source"}
+
+
+def test_distributed_tokengen(spark):
+    df = spark_token_df(spark, 500, n_partitions=4)
+    assert df.count() == 500
+    ids = [r[0] for r in df.select("doc_id").orderBy("doc_id").limit(3).collect()]
+    assert ids == ["doc-000000000000", "doc-000000000001", "doc-000000000002"]
