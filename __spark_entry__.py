@@ -1,38 +1,268 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship encode→decode round trip of the engine on a
+deterministic token table.  ``queries()`` exposes: (a) engine round-trip
+probes whose oracle is the identity SELECT (the decode-parity gate — value
+hash matches iff decode is bit-identical), (b) relational coverage of the
+SURVEY.md §2.2 categories via Spark built-ins, (c) training-data pipeline
+ops over the ``documents`` table.  Every computed column is aliased
+identically in Spark and oracle SQL.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _fresh(tag: str, sf_dir: str) -> str:
+    out = os.path.join(SCRATCH, tag + "_" + os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------- flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize the north-star token table, encode it through the
+    full pipeline (stats → codec selection → salted size-balanced partitions
+    → applyInArrow → manifest), decode it back, and return the decoded rows
+    (driver checks rows ≥ 0 and stable schema)."""
+    from rugo_spark.engine import decode_table, encode_table
+    from rugo_spark.tokengen import token_batch
+
+    df = spark.createDataFrame(token_batch(2000).to_pandas())
+    out = _fresh("entry_tokens", "sf0.001")
+    encode_table(df, out, key_col="doc_id", size_col="n_tok", num_partitions=8)
+    return decode_table(spark, out).select("doc_id", "n_tok", "source")
+
+
+# --------------------------------------------------------------- queries
+
+def _roundtrip(table: str, key: str, size_col: str | None):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rugo_spark.engine import decode_table, encode_table
+
+        df = _t(spark, sf_dir, table)
+        out = _fresh(f"rt_{table}", sf_dir)
+        encode_table(df, out, key_col=key, size_col=size_col, num_partitions=8)
+        return decode_table(spark, out)
+
+    return q
+
+
+def q_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine lineage surface (no SQL oracle — rows-only check)."""
+    from rugo_spark.engine import encode_table
+
+    df = _t(spark, sf_dir, "documents")
+    out = _fresh("man_documents", sf_dir)
+    man = encode_table(df, out, key_col="doc_id", size_col="n_chars", num_partitions=8)
+    return man.select("partition_id", "n_rows", "input_bytes", "output_bytes", "checksum")
+
+
+def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            ).cast("decimal(28,4)").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            ).cast("decimal(28,4)").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+def q_window_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+def q_setop_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.select("c_custkey")
+        .exceptAll(o.select(F.col("o_custkey").alias("c_custkey")))
+        .distinct()
+        .orderBy("c_custkey")
+    )
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id"),
+        F.upper(F.col("event_type")).alias("etype_upper"),
+        F.substring(F.col("props"), 1, 4).alias("props_head"),
+        F.date_trunc("day", F.col("ts")).alias("ts_day"),
+        (F.col("value") * 2.5).alias("value_scaled"),
+        F.length(F.col("props")).alias("props_len"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per identical text (hash-groupBy)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+        .orderBy("keep_doc_id")
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting over documents."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.col("n_chars"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality heuristics: length + punctuation density."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("text_len"),
+        punct.cast("long").alias("punct_chars"),
+        F.when(n > 0, (punct.cast("double") / n.cast("double"))).otherwise(F.lit(0.0)).alias("punct_ratio"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "roundtrip_documents": _roundtrip("documents", "doc_id", "n_chars"),
+        "roundtrip_lineitem": _roundtrip("lineitem", "l_orderkey", None),
+        "roundtrip_events": _roundtrip("events", "event_id", None),
+        "manifest_lineage": q_manifest,
+        "agg_pricing_summary": q_agg_pricing,
+        "join_top_revenue": q_join_revenue,
+        "window_latest_order": q_window_latest_order,
+        "setop_inactive_customers": q_setop_inactive_customers,
+        "scalar_functions": q_scalar_functions,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "roundtrip_documents": "SELECT * FROM documents",
+        "roundtrip_lineitem": "SELECT * FROM lineitem",
+        "roundtrip_events": "SELECT * FROM events",
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "join_top_revenue": """
+            SELECT c_custkey, c_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 10
+        """,
+        "window_latest_order": """
+            SELECT o_custkey, o_orderkey, o_orderdate FROM (
+              SELECT o_custkey, o_orderkey, o_orderdate,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders) t
+            WHERE rn = 1
+        """,
+        "setop_inactive_customers": """
+            SELECT DISTINCT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "scalar_functions": """
+            SELECT event_id,
+                   UPPER(event_type) AS etype_upper,
+                   SUBSTRING(props, 1, 4) AS props_head,
+                   DATE_TRUNC('day', ts) AS ts_day,
+                   value * 2.5 AS value_scaled,
+                   LENGTH(props) AS props_len
+            FROM events
+        """,
+        "dedup_exact": """
+            SELECT MD5(text) AS text_hash,
+                   MIN(doc_id) AS keep_doc_id,
+                   COUNT(*) AS dup_count
+            FROM documents
+            GROUP BY MD5(text)
+            ORDER BY keep_doc_id
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS n_ws_tokens,
+                   n_chars
+            FROM documents
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   LENGTH(text) AS text_len,
+                   LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS punct_chars,
+                   CASE WHEN LENGTH(text) > 0
+                        THEN (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g'))) * 1.0 / LENGTH(text)
+                        ELSE 0.0 END AS punct_ratio
+            FROM documents
+        """,
+    }
