@@ -12,11 +12,12 @@ from collections.abc import Callable
 
 import numpy as np
 
-from rugo_spark.codecs import dictionary, foref, fsst, general, plain, rle  # noqa: F401
+from rugo_spark.codecs import bss, dictionary, foref, fsst, general, plain, rle  # noqa: F401
 
 # name → (encode, decode) over int64 arrays
 INT_CODECS: dict[str, tuple[Callable[[np.ndarray], bytes], Callable[[bytes], np.ndarray]]] = {
     "plain": (plain.encode, plain.decode),
+    "bss": (bss.encode, bss.decode),
     "for": (foref.for_encode, foref.for_decode),
     "delta": (foref.delta_encode, foref.delta_decode),
     "rle": (rle.encode, rle.decode),

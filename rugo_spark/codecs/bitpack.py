@@ -1,11 +1,14 @@
-"""Bit-packing kernel: pack/unpack unsigned integers at an arbitrary bit width.
+"""Bit-packing kernel: vertical bit-plane layout, arbitrary width ≤ 64.
 
 Vectorized analog of Parquet's BIT_PACKED / RLE-hybrid index packing
 (reference vocabulary: rugo ``metadata.cpp:89-112`` enum BIT_PACKED=3).
-All operations are whole-array numpy — no per-element Python.
 
-Layout: values are written MSB-first, ``width`` bits each, bit-contiguous,
-padded with zero bits to a byte boundary (``np.packbits`` big-bitorder).
+Layout: ``width`` planes, plane ``b`` holding bit ``b`` of every value,
+each plane ``ceil(n/8)`` bytes (LSB-first within a byte).  The vertical
+layout needs no transpose of an (n, width) matrix — each plane is one
+shift+mask+packbits pass at the value's *native* byte width — and the
+high, mostly-zero planes compress extremely well under the outer zstd
+layer.  All whole-array numpy; no per-element Python.
 """
 
 from __future__ import annotations
@@ -22,28 +25,41 @@ def bit_width(max_value: int) -> int:
     return int(max_value).bit_length()
 
 
+def _lane_dtype(width: int):
+    if width <= 8:
+        return np.uint8
+    if width <= 16:
+        return np.uint16
+    if width <= 32:
+        return np.uint32
+    return np.uint64
+
+
 def pack(values: np.ndarray, width: int) -> bytes:
-    """Pack unsigned ``values`` (each < 2**width) into a MSB-first bitstream."""
+    """Pack unsigned ``values`` (each < 2**width) into vertical bit planes."""
     n = len(values)
     if width == 0 or n == 0:
         return b""
     if width > 64:
         raise ValueError(f"width {width} > 64")
-    v = np.ascontiguousarray(values, dtype=np.uint64)
-    # bit matrix (n, width): column j holds bit (width-1-j) of each value
-    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.ravel()).tobytes()
+    dt = _lane_dtype(width)
+    v = values.astype(dt, copy=False)
+    nb = (n + 7) // 8
+    out = np.empty((width, nb), dtype=np.uint8)
+    one = dt(1)
+    for b in range(width):
+        out[b] = np.packbits((v >> dt(b)) & one, bitorder="little")
+    return out.tobytes()
 
 
 def unpack(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
     """Inverse of :func:`pack` → uint64 array of length ``n``."""
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
-    raw = np.frombuffer(buf, dtype=np.uint8)
-    bits = np.unpackbits(raw, count=n * width).reshape(n, width)
-    out = np.zeros(n, dtype=np.uint64)
-    # width (≤64) vectorized OR-shift passes — no per-value Python
-    for j in range(width):
-        out |= bits[:, j].astype(np.uint64) << np.uint64(width - 1 - j)
-    return out
+    nb = (n + 7) // 8
+    planes = np.frombuffer(buf, dtype=np.uint8, count=width * nb).reshape(width, nb)
+    dt = _lane_dtype(width)
+    out = np.zeros(n, dtype=dt)
+    for b in range(width):
+        out |= np.unpackbits(planes[b], count=n, bitorder="little").astype(dt) << dt(b)
+    return out.astype(np.uint64)

@@ -20,10 +20,29 @@ from rugo_spark.codecs import bitpack, foref
 _HDR = struct.Struct("<QQQ")
 
 
+_BINCOUNT_RANGE = 1 << 23  # dense-table path bound (64 MB of int32 table max)
+
+
+def _unique_inverse(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """np.unique(return_inverse) with an O(n + range) bincount fast path."""
+    if len(v) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    lo, hi = int(v.min()), int(v.max())
+    rng = hi - lo
+    if 0 <= rng < _BINCOUNT_RANGE:
+        shifted = (v - np.int64(lo)).astype(np.int64)
+        counts = np.bincount(shifted, minlength=rng + 1)
+        nz = np.flatnonzero(counts)
+        table = np.zeros(rng + 1, dtype=np.int32)
+        table[nz] = np.arange(len(nz), dtype=np.int32)
+        return nz + lo, table[shifted].astype(np.int64)
+    return np.unique(v, return_inverse=True)
+
+
 def encode(values: np.ndarray) -> bytes:
     v = np.ascontiguousarray(values, dtype=np.int64)
     n = len(v)
-    uniq, inv = np.unique(v, return_inverse=True)
+    uniq, inv = _unique_inverse(v)
     dict_blob = foref.delta_encode(uniq)
     idx_width = bitpack.bit_width(max(len(uniq) - 1, 0))
     idx_blob = struct.pack("<B", idx_width) + bitpack.pack(inv.astype(np.uint64), idx_width)

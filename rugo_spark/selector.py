@@ -1,45 +1,57 @@
-"""Codec auto-selector: statistics-driven decision per column per partition.
+"""Codec auto-selector: statistics + sampled trial encoding per column.
 
-Analytic size estimates from sampled statistics (cardinality, value range,
-run count, delta width — the vocabulary rugo surfaces per column chunk,
-``metadata.cpp:430-463``), minimum predicted size wins.  For strings the
-candidates are *actually encoded on the sample* (FSST-style vs raw, both
-behind an auto outer zstd) because string compressibility is not analytic.
+The reference's per-column statistics vocabulary (cardinality, value range,
+null/run structure — rugo ``metadata.cpp:430-463``) prunes the candidate
+list; the survivors are then *actually encoded on a bounded sample* behind
+the outer zstd layer, because post-compression size is not analytic.  Among
+candidates within ``SLACK`` of the smallest, the fastest kernel wins
+(bss/plain are ~memcpy; dict/rle cost a sort or scatter).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from rugo_spark.codecs import bitpack, fsst, general
+from rugo_spark.codecs import INT_CODECS, fsst, general
 from rugo_spark.stats import int_stats, sample_values
+
+SLACK = 1.08
+# fastest → slowest kernel, used as tie-break preference
+_SPEED_ORDER = ["plain", "bss", "for", "delta", "rle", "dict"]
+
+
+def _candidates(s: dict) -> list[str]:
+    if s["n"] == 0:
+        return ["plain"]
+    cands = ["plain", "bss"]
+    if s["for_width"] < 64:
+        cands.append("for")
+    if s["delta_width"] < 64:
+        cands.append("delta")
+    if s["n_runs"] <= s["n"] // 4:
+        cands.append("rle")
+    if s["card"] <= max(s["n"] // 8, 1) or s["card"] <= 4096:
+        cands.append("dict")
+    return cands
 
 
 def select_int_codec(v: np.ndarray) -> tuple[str, dict]:
-    """Pick an integer codec from sampled stats; returns (name, stats)."""
-    s = int_stats(sample_values(v))
-    n = s["n"]
-    if n == 0:
+    """Pick an integer codec by trial-encoding a sample; returns (name, stats)."""
+    sample = sample_values(v)
+    s = int_stats(sample)
+    sizes: dict[str, int] = {}
+    for name in _candidates(s):
+        try:
+            sizes[name] = len(general.wrap(INT_CODECS[name][0](sample)))
+        except OverflowError:
+            continue
+    if not sizes:
         return "plain", s
-    est = {}
-    if s["for_width"] < 64:
-        est["for"] = n * s["for_width"] / 8 + 18
-    if s["delta_width"] < 64:
-        est["delta"] = n * s["delta_width"] / 8 + 18
-    idx_w = bitpack.bit_width(max(s["card"] - 1, 0))
-    # dict values are sorted → delta-coded; assume ~delta_width bits each (bounded by for_width)
-    est["dict"] = s["card"] * min(s["for_width"], 32) / 8 + n * idx_w / 8 + 42
-    run_w = s["for_width"]
-    len_w = bitpack.bit_width(max(n // max(s["n_runs"], 1) * 8, 1))
-    est["rle"] = s["n_runs"] * (run_w + len_w) / 8 + 43
-    plain_bytes = 8
-    for size in (1, 2, 4, 8):
-        info = np.iinfo({1: np.int8, 2: np.int16, 4: np.int32, 8: np.int64}[size])
-        if s["min"] >= info.min and s["max"] <= info.max:
-            plain_bytes = size
-            break
-    est["plain"] = n * plain_bytes + 9
-    return min(est, key=est.__getitem__), s
+    best = min(sizes.values())
+    for name in _SPEED_ORDER:
+        if name in sizes and sizes[name] <= best * SLACK:
+            return name, s
+    return min(sizes, key=sizes.__getitem__), s
 
 
 def select_bytes_codec(data: bytes, sample_limit: int = 1 << 18) -> str:

@@ -72,7 +72,7 @@ def test_compression_wins_on_tokens():
     arr = CASES["tokens"]
     blob, meta = encode_array(arr)
     assert len(blob) < arr.nbytes * 0.7, (len(blob), arr.nbytes, meta)
-    assert meta["codec"] in {"dict", "for", "plain", "rle", "delta"}
+    assert meta["codec"] in {"dict", "for", "plain", "rle", "delta", "bss"}
 
 
 def test_plan_pins_codec():

@@ -98,7 +98,7 @@ def test_manifest_lineage_fields(spark, token_df, tmp_out):
         assert os.path.exists(r["block_path"])
         codecs = json.loads(r["codecs"])
         assert set(codecs) == {"doc_id", "tokens", "n_tok", "source"}
-        assert codecs["tokens"]["codec"] in {"for", "dict", "plain", "rle", "delta"}
+        assert codecs["tokens"]["codec"] in {"for", "dict", "plain", "rle", "delta", "bss"}
     # size balance: token mass per partition within 3.5x of each other
     masses = sorted(r["n_tokens"] for r in rows)
     assert masses[0] > 0 and masses[-1] / masses[0] < 3.5, masses
