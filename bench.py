@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Benchmark harness: encode/decode throughput, compression ratio, scaling.
+
+Prints ONE JSON line:
+  {"metric": "bench_total", "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>, ...extra keys...}
+
+Extra keys carry the north-rule numbers: tokens/sec at two parallelism
+levels (local[N] vs local[4N] — the sandbox substitution for the
+two-cluster-size criterion), scaling efficiency, and compressed footprint
+vs the reference encoder (Spark's own parquet-mr zstd write of the same
+table — dictionary/RLE encodings per rugo ``metadata.cpp:89-112``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCRATCH = os.path.join(REPO, ".scratch", "bench")
+DOCS_PER_SF = 6_000_000  # sf0.1 → 600k docs ≈ 240M tokens
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(os.path.normpath(path))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _session(master: str):
+    from rugo_spark.session import get_spark
+
+    s = get_spark(master=master, app_name=f"rugo_bench_{master}", shuffle_partitions=CPUS)
+    # warm the Python worker pool + JIT so timed runs measure steady-state
+    # throughput (a long-lived cluster amortizes worker startup)
+    s.range(10_000_000).repartition(CPUS).mapInArrow(lambda it: it, "id long").count()
+    return s
+
+
+def _encode_run(spark, src_parquet: str, out_dir: str, n_partitions: int, repeats: int = 3) -> float:
+    """Best-of-N encode wall time (first run warms JIT + Python workers for
+    this code path; steady-state throughput is what a long job sees)."""
+    from rugo_spark.engine import encode_table
+
+    df = spark.read.parquet(src_parquet)
+    best = float("inf")
+    for _ in range(repeats):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        encode_table(df, out_dir, key_col="doc_id", size_col="n_tok", num_partitions=n_partitions)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    sf = _sf_of(SF_DIR)
+    n_docs = max(2000, int(DOCS_PER_SF * sf))
+    os.makedirs(SCRATCH, exist_ok=True)
+    timings: dict[str, float] = {}
+    extra: dict = {}
+
+    # ---------------- phase 0: deterministic token table (distributed gen)
+    src = os.path.join(SCRATCH, f"tokens_sf{sf}_{n_docs}.parquet")
+    spark = _session(f"local[{CPUS}]")
+    from rugo_spark.tokengen import spark_token_df
+
+    if not os.path.isdir(src):
+        spark_token_df(spark, n_docs, n_partitions=CPUS * 2).write.mode("overwrite").parquet(
+            src, compression="zstd"
+        )
+    import pyspark.sql.functions as F
+
+    tok_df = spark.read.parquet(src)
+    total_tokens = tok_df.agg(F.sum("n_tok")).first()[0]
+    extra["n_docs"] = n_docs
+    extra["total_tokens"] = int(total_tokens)
+
+    # ---------------- reference encoder: Spark parquet-mr zstd write
+    ref_dir = os.path.join(SCRATCH, "ref_parquet")
+    timings["reference_parquet_write"] = float("inf")
+    for _ in range(2):
+        shutil.rmtree(ref_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        tok_df.write.mode("overwrite").parquet(ref_dir, compression="zstd")
+        timings["reference_parquet_write"] = min(
+            timings["reference_parquet_write"], time.perf_counter() - t0
+        )
+    ref_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(ref_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+    # ---------------- our encode at local[CPUS]
+    out_hi = os.path.join(SCRATCH, f"enc_c{CPUS}")
+    timings["encode"] = _encode_run(spark, src, out_hi, n_partitions=CPUS * 8)
+    from rugo_spark import manifest as mf
+
+    ours_bytes = sum(r["output_bytes"] for r in mf.completed_partitions(out_hi))
+    extra["encode_tokens_per_sec"] = round(total_tokens / timings["encode"])
+    extra["compressed_bytes"] = ours_bytes
+    extra["reference_parquet_bytes"] = ref_bytes
+    extra["compression_ratio_vs_reference"] = round(ref_bytes / max(ours_bytes, 1), 4)
+
+    # ---------------- decode + verify
+    from rugo_spark.engine import decode_table
+
+    timings["decode"] = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        dec = decode_table(spark, out_hi)
+        got_tokens = dec.agg(F.sum(F.size("tokens"))).first()[0]
+        timings["decode"] = min(timings["decode"], time.perf_counter() - t0)
+        assert got_tokens == total_tokens, f"decode token count {got_tokens} != {total_tokens}"
+    extra["decode_tokens_per_sec"] = round(total_tokens / timings["decode"])
+
+    # ---------------- relational/pipeline headline queries at SF_DIR
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in ["agg_pricing_summary", "join_top_revenue", "dedup_exact", "token_count"]:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).collect()
+        timings[name] = time.perf_counter() - t0
+    spark.stop()
+
+    # ---------------- scaling: same job at N and 4N cores.
+    # Two pairs: (2 → 8) in the regime where a single box still has memory
+    # bandwidth per core (a real 4× *cluster* scales memory with cores), and
+    # (8 → CPUS) which documents the single-box DRAM saturation ceiling.
+    thr = {CPUS: total_tokens / timings["encode"]}
+    for cores in [2, 8]:
+        if cores >= CPUS:
+            continue
+        s = _session(f"local[{cores}]")
+        out_lo = os.path.join(SCRATCH, f"enc_c{cores}")
+        timings[f"encode_local{cores}"] = _encode_run(
+            s, src, out_lo, n_partitions=CPUS * 8, repeats=2
+        )
+        s.stop()
+        thr[cores] = total_tokens / timings[f"encode_local{cores}"]
+    for c in sorted(thr):
+        extra[f"encode_tokens_per_sec_local{c}"] = round(thr[c])
+    if 2 in thr and 8 in thr:
+        extra["scaling_efficiency_Nx4"] = round(thr[8] / (4.0 * thr[2]), 4)
+    if 8 in thr:
+        extra[f"scaling_efficiency_8_to_{CPUS}"] = round(
+            thr[CPUS] / (CPUS / 8.0 * thr[8]), 4
+        )
+
+    timings = {k: round(v, 3) for k, v in timings.items()}
+    result = {
+        "metric": "bench_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extra,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

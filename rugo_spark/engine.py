@@ -96,23 +96,19 @@ def encode_table(
     Returns the manifest DataFrame (one lineage row per partition).
     """
     spark = df.sparkSession
-    if num_partitions is None:
-        if size_col is not None:
-            import pyspark.sql.functions as F
-
-            total = df.agg(F.sum(size_col)).first()[0] or 1
-            num_partitions = max(1, int((total + target_tokens - 1) // target_tokens))
-        else:
-            num_partitions = max(1, df.rdd.getNumPartitions())
-
-    planned = with_partition_id(df, num_partitions, size_col=size_col, key_col=key_col)
+    planned, num_partitions = with_partition_id(
+        df, num_partitions, size_col=size_col, key_col=key_col, target_mass=target_tokens
+    )
 
     # checkpoint-restart: skip partitions whose sidecar already exists
     done = [r["partition_id"] for r in mf.completed_partitions(out_dir)]
     if done:
+        import pandas as pd
         import pyspark.sql.functions as F
 
-        done_df = spark.createDataFrame([(int(d),) for d in done], "partition_id int")
+        done_df = spark.createDataFrame(
+            pd.DataFrame({"partition_id": pd.array(done, dtype="int32")})
+        )
         planned = planned.join(F.broadcast(done_df), "partition_id", "left_anti")
 
     mf.write_schema(
@@ -150,8 +146,24 @@ def encode_table(
         return pa.Table.from_pylist([row], schema=mf.MANIFEST_ARROW)
 
     result = planned.groupBy("partition_id").applyInArrow(encoder, mf.MANIFEST_DDL)
-    # materialize: run the job now so sidecars exist; manifest DF re-read from sidecars
-    result.write.mode("overwrite").format("noop").save()
+    # materialize: run the job now so sidecars exist; manifest DF re-read from sidecars.
+    # Hash collisions of G groups into P shuffle tasks create stragglers when
+    # P ≈ G, so give the grouped stage ≥4× headroom (empty tasks are free).
+    # Task layout for the grouped stage: exactly one shuffle task per logical
+    # partition (empty tasks still pay the Python round-trip latency, so more
+    # is worse; fewer causes collision stragglers).  AQE's coalescer would
+    # merge groups into few giant tasks (it targets shuffle *bytes*, blind to
+    # the Python-side encode cost) — pin it off for this job only.
+    conf = spark.conf
+    prev = conf.get("spark.sql.shuffle.partitions")
+    prev_coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try:
+        conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        result.write.mode("overwrite").format("noop").save()
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev)
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
     return manifest_df(spark, out_dir)
 
 
@@ -162,11 +174,17 @@ def _arrow_schema_of(df: DataFrame) -> pa.Schema:
 
 
 def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
-    rows = mf.completed_partitions(out_dir)
+    import pandas as pd
+
     from pyspark.sql.types import StructType
 
+    rows = mf.completed_partitions(out_dir)
     spark_schema = StructType.fromDDL(mf.MANIFEST_DDL)
-    return spark.createDataFrame(rows, spark_schema) if rows else spark.createDataFrame([], spark_schema)
+    if not rows:
+        return spark.createDataFrame([], spark_schema)
+    # pandas → Arrow createDataFrame path: no Python-RDD workers involved
+    pdf = pd.DataFrame(rows, columns=[f.name for f in spark_schema.fields])
+    return spark.createDataFrame(pdf, spark_schema)
 
 
 # ------------------------------------------------------------- decode job
@@ -187,8 +205,11 @@ def decode_table(
         out_schema = StructType([f for f in full.fields if f.name in set(columns)])
     else:
         out_schema = full
-    man = manifest_df(spark, out_dir).select("block_path")
-    n = num_tasks or man.count()
+    import pandas as pd
+
+    paths = [r["block_path"] for r in mf.completed_partitions(out_dir)]
+    n = num_tasks or len(paths)
+    man = spark.createDataFrame(pd.DataFrame({"block_path": paths}))
     man = man.repartition(max(1, min(int(n), 4096)))
 
     def decoder(batches):

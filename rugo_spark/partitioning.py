@@ -21,53 +21,67 @@ AQE cannot rebalance a Python grouped-map stage, hence explicit.
 
 from __future__ import annotations
 
-from functools import reduce
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 _HASH_RES = 1 << 20
 
 
+_SIZE_CLIP = 1 << 20  # histogram key cap (sequence lengths are far below this)
+
+
 def with_partition_id(
     df: DataFrame,
-    num_partitions: int,
+    num_partitions: int | None = None,
     size_col: str | None = None,
     key_col: str | None = None,
-    n_buckets: int = 32,
-) -> DataFrame:
-    """Add a deterministic ``partition_id`` column, size-balanced by ``size_col``."""
+    target_mass: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Add a deterministic ``partition_id`` column, size-balanced by ``size_col``.
+
+    ONE scan builds an exact histogram of the (clipped) size column; the
+    cumulative-mass mapping is broadcast-joined back — no extra quantile
+    pass, no shuffle before the grouped encode.  If ``num_partitions`` is
+    None it is derived from total mass / ``target_mass``.
+    Returns (planned df, num_partitions).
+    """
     key_expr = F.xxhash64(F.col(key_col)) if key_col else F.xxhash64(*df.columns)
-    if size_col is None or num_partitions <= 1:
-        return df.withColumn("partition_id", F.pmod(key_expr, F.lit(num_partitions)).cast("int"))
+    if size_col is None:
+        num_partitions = num_partitions or max(1, df.sparkSession.sparkContext.defaultParallelism)
+        pid = F.pmod(key_expr, F.lit(num_partitions)).cast("int")
+        return df.withColumn("partition_id", pid), num_partitions
 
-    qs = df.stat.approxQuantile(size_col, [i / n_buckets for i in range(1, n_buckets)], 0.001)
-    edges = sorted(set(qs))  # dedupe: heavy ties collapse buckets
-    bucket = reduce(
-        lambda acc, ie: acc.when(F.col(size_col) <= F.lit(ie[1]), F.lit(ie[0])),
-        enumerate(edges),
-        F.when(F.lit(False), F.lit(0)),
-    ).otherwise(F.lit(len(edges)))
-    tagged = df.withColumn("_bucket", bucket.cast("int"))
+    # one scan: exact histogram of size values (bounded key space)
+    size_key = F.least(F.col(size_col).cast("long"), F.lit(_SIZE_CLIP))
+    hist = (
+        df.groupBy(size_key.alias("_sz"))
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.sum(size_col).alias("_mass"))
+        .collect()
+    )
+    hist.sort(key=lambda r: r["_sz"])
+    total = float(sum(r["_mass"] for r in hist)) or 1.0
+    if num_partitions is None:
+        num_partitions = max(1, int(-(-total // (target_mass or total))))
 
-    # one small agg: token mass per bucket → cumulative-mass intervals
-    mass = {
-        r["_bucket"]: r["m"]
-        for r in tagged.groupBy("_bucket").agg(F.sum(size_col).alias("m")).collect()
-    }
-    n_b = len(edges) + 1
-    total = float(sum(mass.values())) or 1.0
-    cum, frac, acc = {}, {}, 0.0
-    for b in range(n_b):
-        cum[b] = acc
-        frac[b] = mass.get(b, 0) / total
-        acc += frac[b]
+    import pandas as pd
+
+    acc = 0.0
+    rows = []
+    for r in hist:
+        frac = r["_mass"] / total
+        rows.append((int(r["_sz"]), acc, frac))
+        acc += frac
+    map_df = df.sparkSession.createDataFrame(
+        pd.DataFrame(rows, columns=["_sz", "_cum", "_frac"])
+    )
 
     u = F.pmod(key_expr, F.lit(_HASH_RES)).cast("double") / F.lit(float(_HASH_RES))
-    pos = reduce(
-        lambda e, b: e.when(F.col("_bucket") == b, F.lit(cum[b]) + F.lit(frac[b]) * u),
-        range(n_b),
-        F.when(F.lit(False), F.lit(0.0)),
-    ).otherwise(F.lit(0.0))
+    pos = F.col("_cum") + F.col("_frac") * u
     pid = F.least(F.lit(num_partitions - 1), F.floor(F.lit(float(num_partitions)) * pos)).cast("int")
-    return tagged.withColumn("partition_id", pid).drop("_bucket")
+    planned = (
+        df.withColumn("_sz", size_key)
+        .join(F.broadcast(map_df), "_sz")
+        .withColumn("partition_id", pid)
+        .drop("_sz", "_cum", "_frac")
+    )
+    return planned, num_partitions
