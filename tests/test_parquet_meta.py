@@ -1,0 +1,89 @@
+"""Differential tests of the rugo-parity metadata surface on the
+*reference's own fixtures*, with PyArrow as oracle — exactly the reference's
+test pattern (``tests/test_statistics.py``: extract with PyArrow, extract
+with the library, compare field by field)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from rugo_spark import parquet_meta
+
+FIXTURE_DIR = "/root/reference/tests/data"
+FIXTURES = sorted(glob.glob(os.path.join(FIXTURE_DIR, "*.parquet")))
+
+EXPECTED_FIELDS = {
+    "name", "type", "logical_type", "min", "max", "null_count",
+    "distinct_count", "num_values", "total_uncompressed_size",
+    "total_compressed_size", "data_page_offset", "index_page_offset",
+    "dictionary_page_offset", "bloom_offset", "bloom_length",
+    "encodings", "compression_codec", "key_value_metadata",
+}
+
+KNOWN_PHYSICAL = {
+    "boolean", "int32", "int64", "int96", "float32", "float64",
+    "byte_array", "fixed_len_byte_array",
+}
+KNOWN_ENCODINGS = {
+    "PLAIN", "PLAIN_DICTIONARY", "RLE", "BIT_PACKED", "DELTA_BINARY_PACKED",
+    "DELTA_LENGTH_BYTE_ARRAY", "DELTA_BYTE_ARRAY", "RLE_DICTIONARY",
+    "BYTE_STREAM_SPLIT", "UNKNOWN",
+}
+KNOWN_CODECS = {
+    "UNCOMPRESSED", "SNAPPY", "GZIP", "LZO", "BROTLI", "LZ4", "ZSTD",
+    "LZ4_RAW", "UNKNOWN",
+}
+
+
+@pytest.mark.skipif(not FIXTURES, reason="reference fixtures unavailable")
+@pytest.mark.parametrize("path", FIXTURES, ids=[os.path.basename(p) for p in FIXTURES])
+def test_fixture_against_pyarrow(path):
+    """Field contract (reference tests/test_all_metadata_fields.py pattern) +
+    differential values vs PyArrow (tests/test_statistics.py pattern)."""
+    meta = parquet_meta.read_metadata(path)
+    pf = pq.ParquetFile(path)
+    assert meta["num_rows"] == pf.metadata.num_rows
+    assert len(meta["row_groups"]) == pf.metadata.num_row_groups
+    for rg_i, rg in enumerate(meta["row_groups"]):
+        prg = pf.metadata.row_group(rg_i)
+        assert rg["num_rows"] == prg.num_rows
+        assert rg["total_byte_size"] == prg.total_byte_size
+        assert len(rg["columns"]) == prg.num_columns
+        for c_i, col in enumerate(rg["columns"]):
+            pc_ = prg.column(c_i)
+            assert set(col) == EXPECTED_FIELDS, f"field set mismatch in {col['name']}"
+            assert col["type"] in KNOWN_PHYSICAL
+            assert set(col["encodings"]) <= KNOWN_ENCODINGS
+            assert col["compression_codec"] in KNOWN_CODECS
+            assert col["num_values"] == pc_.num_values
+            assert col["total_compressed_size"] == pc_.total_compressed_size
+            assert col["total_uncompressed_size"] == pc_.total_uncompressed_size
+            if pc_.is_stats_set and pc_.statistics.has_null_count:
+                assert col["null_count"] == pc_.statistics.null_count
+            for f in ("num_values", "total_compressed_size", "data_page_offset"):
+                assert col[f] is None or col[f] >= 0  # sentinel −1 → None
+
+
+def test_three_entry_points_agree():
+    path = os.path.join(FIXTURE_DIR, "planets.parquet")
+    if not os.path.exists(path):
+        pytest.skip("fixture missing")
+    with open(path, "rb") as f:
+        data = f.read()
+    a = parquet_meta.read_metadata(path)
+    b = parquet_meta.read_metadata_from_bytes(data)
+    c = parquet_meta.read_metadata_from_memoryview(memoryview(data))
+    assert a == b == c
+
+
+def test_logical_types_on_own_tables():
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    meta = parquet_meta.read_metadata(path)
+    cols = {c["name"]: c for c in meta["row_groups"][0]["columns"]}
+    assert cols["l_returnflag"]["logical_type"] == "varchar"
+    assert cols["l_shipdate"]["logical_type"].startswith("timestamp[us")
+    assert cols["l_quantity"]["type"] == "float64"
