@@ -1,0 +1,240 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Exact + MinHash/LSH + Jaccard run entirely on Spark built-ins (codegen'd,
+shuffle only on group/band keys — scalable to 10^12 docs: the band-bucket
+join is the standard shingle→minhash→band→bucket-join plan).  SimHash uses
+one Arrow-vectorized UDF for the ±1 bit accumulation (a numpy kernel, not
+expressible efficiently in SQL).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text, lowest id kept."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_" + id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def char_shingles(text_col: str, n: int = 5):
+    """Array of character n-grams (distinct), pure built-ins."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, greatest(length({text_col}) - {n}, 0) - 1),"
+            f" i -> substr({text_col}, i + 1, {n}))"
+        )
+    )
+
+
+def minhash_signature(shingles_col, n_hashes: int = 32):
+    """Array of ``n_hashes`` min-hashes: min over shingles of xxhash64(s, seed).
+
+    xxhash64 is Spark's built-in 64-bit hash (JVM-side); one seed per hash
+    function.  Returns array<long> of length n_hashes.
+    """
+    return F.array(
+        *[F.array_min(F.transform(shingles_col, lambda s, j=j: F.xxhash64(s, F.lit(j)))) for j in range(n_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle: int = 5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    Plan shape (scale-first): signature computed in one projection (no
+    shuffle) → explode to n_bands rows/doc → ONE shuffle on (band, band_key)
+    → per-bucket self-join emits pairs → estimated Jaccard from full
+    signatures.  Bucket keys are hashes of signature bands, so co-bucketed
+    docs are likely near-duplicates; skew-safe because identical docs share
+    all bands but the pair emission is per-bucket.
+    """
+    rows_per_band = n_hashes // n_bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(char_shingles(text_col, shingle), n_hashes).alias("sig"),
+    )
+    bands = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sig", "bk.band", "bk.band_key")
+    left = bands.alias("a")
+    right = bands.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.size(
+                F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda v: v)
+            ).alias("equal_hashes"),
+        )
+        .distinct()
+        .withColumn("est_jaccard", F.col("equal_hashes") / F.lit(float(n_hashes)))
+    )
+    return pairs.select("id_a", "id_b", "est_jaccard")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 5,
+    threshold: float = 0.0,
+    prefilter=None,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage).
+
+    ``prefilter``: optional DataFrame of (id_a, id_b) candidates (e.g. LSH
+    output) — without it, an exact all-pairs Jaccard via shingle inverted
+    index (explode → self-join on shingle → count ∩ / union).
+    """
+    sh = df.select(F.col(id_col), char_shingles(text_col, shingle).alias("sh"))
+    if prefilter is not None:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        out = (
+            prefilter.join(a, prefilter.id_a == F.col(f"a.{id_col}"))
+            .join(b, prefilter.id_b == F.col(f"b.{id_col}"))
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                    / F.size(F.array_union("a.sh", "b.sh"))
+                ).alias("jaccard"),
+            )
+        )
+    else:
+        ex = sh.select(id_col, F.explode("sh").alias("g"))
+        counts = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
+        inter = (
+            ex.alias("a")
+            .join(ex.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        out = (
+            inter.join(counts.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+            .join(counts.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+            )
+        )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document via an Arrow-vectorized numpy kernel.
+
+    Word tokens are hashed with a deterministic FNV-1a (numpy uint64); each
+    token votes ±1 per bit; the sign vector packs into one int64 fingerprint.
+    No per-row Python: the kernel runs on the flattened token stream of the
+    whole batch with offset segmentation (np.add.reduceat).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    words = df.select(
+        F.col(id_col), F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("w")
+    )
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            w = batch.column(1)
+            if isinstance(w, pa.ChunkedArray):
+                w = w.combine_chunks()
+            import pyarrow.compute as pc
+
+            lengths = pc.list_value_length(w).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = pc.list_flatten(w)
+            # FNV-1a over utf8 bytes, vectorized via cumulative per-char fold
+            # on fixed-width prefix (first 16 bytes) — deterministic + fast
+            lens, data = _string_parts(flat)
+            h = _fnv1a(data, lens)
+            # ±1 votes per bit, segmented by document
+            starts = np.zeros(len(lengths), dtype=np.int64)
+            np.cumsum(lengths[:-1], out=starts[1:])
+            fp = np.zeros(len(lengths), dtype=np.uint64)
+            for b in range(bits):
+                vote = (((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1)
+                seg = np.add.reduceat(vote, starts) if len(vote) else np.zeros(len(lengths), np.int64)
+                seg[lengths == 0] = 0
+                fp |= (seg > 0).astype(np.uint64) << np.uint64(b)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(fp.view(np.int64), type=pa.int64())],
+                names=[id_col, "simhash"],
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return words.mapInArrow(kernel, f"{id_col} {id_type}, simhash long")
+
+
+def _string_parts(arr):
+    """Null-free string array → (lengths, data bytes) without python loops."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32, count=len(arr) + 1, offset=arr.offset * 4).astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return np.diff(offsets), data[offsets[0] : offsets[-1]]
+
+
+def _fnv1a(data, lens):
+    """Vectorized FNV-1a-style hash per variable-length byte string.
+
+    Folds byte-position matrices (up to the first 24 bytes, plus the length)
+    — fully vectorized, deterministic, good bit dispersion for simhash use.
+    """
+    import numpy as np
+
+    n = len(lens)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    h = np.full(n, np.uint64(0xCBF29CE484222325))
+    prime = np.uint64(0x100000001B3)
+    cap = 24
+    for k in range(cap):
+        m = lens > k
+        if not m.any():
+            break
+        byte = np.zeros(n, dtype=np.uint64)
+        byte[m] = data[starts[m] + k]
+        h = (h ^ byte) * prime
+    return h ^ (lens.astype(np.uint64) * prime)

@@ -1,0 +1,128 @@
+"""Text analysis: language ID, quality scoring, token counting, fingerprints.
+
+Everything except the rolling-hash fingerprint is built-in-only (codegen'd).
+The fingerprint is a polynomial rolling hash over the document bytes — a
+numpy kernel via mapInArrow (same vectorization rule as the engine).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# tiny public stopword marker lists per language (heuristic language ID)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "von"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "que", "une", "pour"],
+    "es": ["el", "la", "los", "de", "que", "es", "en", "una", "por", "con"],
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: count stopword-marker hits per language over
+    lowercased whitespace tokens; argmax wins ('und' = undetermined)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    scores = [
+        F.size(F.array_intersect(F.array_distinct(words), F.array(*[F.lit(w) for w in ws]))).alias(f"score_{lang}")
+        for lang, ws in LANG_MARKERS.items()
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{la}") for la in langs])
+    pick = F.when(best <= 0, F.lit("und"))
+    for la in langs:  # first-wins tie-break, deterministic order
+        pick = pick.when(F.col(f"score_{la}") == best, F.lit(la))
+    return scored.select(id_col, *[F.col(f"score_{la}") for la in langs], pick.alias("lang_pred"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword / uppercase ratios + a 0-1 score."""
+    text = F.col(text_col)
+    n = F.length(text).cast("double")
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n_words = F.size(words).cast("double")
+    punct = (n - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))).cast("double")
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin([*LANG_MARKERS["en"]]))
+    ).cast("double")
+    upper = (n - F.length(F.regexp_replace(text, r"[A-Z]", ""))).cast("double")
+    mean_word_len = F.when(n_words > 0, n / n_words).otherwise(F.lit(0.0))
+    score = (
+        F.when((n >= 200) & (n <= 20000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((punct / F.greatest(n, F.lit(1.0))).between(0.005, 0.1), F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when((stop_hits / F.greatest(n_words, F.lit(1.0))) >= 0.05, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when((upper / F.greatest(n, F.lit(1.0))) <= 0.3, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        id_col,
+        n.cast("long").alias("text_len"),
+        n_words.cast("long").alias("n_words"),
+        punct.cast("long").alias("punct_chars"),
+        stop_hits.cast("long").alias("en_stopword_hits"),
+        mean_word_len.alias("mean_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword estimate (regex word/number/punct
+    pieces — the public GPT-2 pre-tokenizer shape) via built-ins only."""
+    text = F.trim(F.col(text_col))
+    ws = F.size(F.split(text, r"\s+"))
+    pieces = F.size(
+        F.filter(
+            F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+            lambda p: (p != "") & (p != " "),
+        )
+    )
+    return df.select(
+        id_col,
+        ws.cast("long").alias("n_ws_tokens"),
+        pieces.cast("long").alias("n_subword_pieces"),
+        F.ceil(F.length(text) / 4).cast("long").alias("n_tok_est_len4"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (numpy kernel, mapInArrow).
+
+    hash = Σ byte[i] · P^(n−1−i) mod 2^64 with P = 1099511628211 — computed
+    per batch on the concatenated byte stream with per-document segmentation
+    (no per-row Python).
+    """
+    import pyarrow as pa
+
+    P = np.uint64(1099511628211)
+
+    def kernel(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1)
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            bufs = texts.buffers()
+            offs = np.frombuffer(bufs[1], np.int32, count=len(texts) + 1, offset=texts.offset * 4).astype(np.int64)
+            data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+            lens = np.diff(offs)
+            n = len(lens)
+            out = np.zeros(n, dtype=np.uint64)
+            # Horner fold over byte positions: out = out*P + byte_k for k < len
+            starts = offs[:-1]
+            maxlen = int(lens.max()) if n else 0
+            for k in range(min(maxlen, 64)):  # cap: first 64 bytes + length mix
+                m = lens > k
+                b = np.zeros(n, dtype=np.uint64)
+                b[m] = data[starts[m] + k]
+                out[m] = out[m] * P + b[m]
+            out ^= lens.astype(np.uint64) * P
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out.view(np.int64), type=pa.int64())],
+                names=[batch.schema.names[0], "fingerprint"],
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInArrow(kernel, f"{id_col} {id_type}, fingerprint long")
