@@ -177,6 +177,74 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rugo_spark.ops.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rugo_spark.ops.textstats import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs the vec_id=0 embedding (exact baseline)."""
+    from rugo_spark.ops.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    # ids only: cosine floats differ ~1e-8 between engines (float32 vs
+    # float64 accumulation); the ranking is what the op promises
+    return cosine_topk(e, [float(x) for x in q], k=20).select("vec_id")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only check: approximate op)."""
+    from rugo_spark.ops.similarity import ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ann_topk(e, [float(x) for x in q], k=20, bits=6)
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (rows-only: hash family not in SQL)."""
+    from rugo_spark.ops.dedup import minhash_lsh_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, n_hashes=16, n_bands=4)
+
+
+def q_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by exact n-gram Jaccard (rows-only)."""
+    from rugo_spark.ops.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(d, n_hashes=16, n_bands=4).select("id_a", "id_b")
+    return ngram_jaccard_pairs(d, prefilter=cands)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rugo_spark.ops.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rugo_spark.ops.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction plumbing (deterministic fake decode)."""
+    from rugo_spark.ops.multimodal import extract_features, synth_media_df
+
+    return extract_features(synth_media_df(spark, n=256), fake=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_documents": _roundtrip("documents", "doc_id", "n_chars"),
@@ -191,6 +259,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "token_counts_bpe": q_token_counts,
+        "embedding_cosine_topk": q_embedding_topk,
+        "embedding_ann_topk": q_ann_topk,
+        "dedup_minhash_lsh": q_minhash_dedup,
+        "dedup_jaccard_verify": q_jaccard_verify,
+        "dedup_simhash": q_simhash,
+        "doc_fingerprint": q_fingerprint,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -265,4 +342,48 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS punct_ratio
             FROM documents
         """,
+        "lang_id": _LANG_ID_SQL,
+        "token_counts_bpe": """
+            SELECT doc_id,
+                   LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_ws_tokens,
+                   LEN(REGEXP_EXTRACT_ALL(TRIM(text), '[A-Za-z0-9]+'))
+                     + LENGTH(REGEXP_REPLACE(TRIM(text), '[A-Za-z0-9\\s]', '', 'g')) AS n_subword_pieces,
+                   CAST(CEIL(LENGTH(TRIM(text)) / 4.0) AS BIGINT) AS n_tok_est_len4
+            FROM documents
+        """,
+        "embedding_cosine_topk": """
+            SELECT vec_id FROM (
+              SELECT vec_id,
+                     LIST_COSINE_SIMILARITY(embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cos
+              FROM embeddings
+              ORDER BY cos DESC, vec_id
+              LIMIT 20)
+        """,
     }
+
+
+def _lang_sql_scores() -> str:
+    from rugo_spark.ops.textstats import LANG_MARKERS
+
+    parts = []
+    for lang, ws in LANG_MARKERS.items():
+        lit = "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+        parts.append(
+            "LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')), "
+            f"{lit})) AS score_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    g = "GREATEST(" + ", ".join(f"score_{la}" for la in langs) + ")"
+    case = f"CASE WHEN {g} <= 0 THEN 'und' "
+    for la in langs:
+        case += f"WHEN score_{la} = {g} THEN '{la}' "
+    case += "END AS lang_pred"
+    scores = ",\n                   ".join(parts)
+    return f"""
+            SELECT doc_id, {", ".join(f"score_{la}" for la in langs)}, {case}
+            FROM (SELECT doc_id, {scores} FROM documents)
+    """
+
+
+_LANG_ID_SQL = _lang_sql_scores()

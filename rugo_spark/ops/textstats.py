@@ -67,20 +67,19 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Whitespace tokens + BPE-ish subword estimate (regex word/number/punct
-    pieces — the public GPT-2 pre-tokenizer shape) via built-ins only."""
+    """Whitespace tokens + BPE-ish piece estimate, built-ins only.
+
+    Pieces = maximal alphanumeric runs + individual symbol characters (the
+    shape of the public GPT-2 pre-tokenizer); expressed without regex
+    lookarounds so an RE2-based oracle (DuckDB) can reproduce it exactly."""
     text = F.trim(F.col(text_col))
     ws = F.size(F.split(text, r"\s+"))
-    pieces = F.size(
-        F.filter(
-            F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-            lambda p: (p != "") & (p != " "),
-        )
-    )
+    alnum_runs = F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9]+"), 0))
+    symbols = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
     return df.select(
         id_col,
         ws.cast("long").alias("n_ws_tokens"),
-        pieces.cast("long").alias("n_subword_pieces"),
+        (alnum_runs + symbols).cast("long").alias("n_subword_pieces"),
         F.ceil(F.length(text) / 4).cast("long").alias("n_tok_est_len4"),
     )
 
