@@ -171,6 +171,15 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, plan: dict | None = None) -> t
     else:
         dense = arr
     meta: dict = {"kind": kind, "n": n, "null_count": null_count, "raw_bytes": arr.nbytes}
+    # per-block min/max — the stats the reference surfaces per column chunk
+    # for external pruning (rugo metadata.cpp:430-463); used by decode-side
+    # block skipping (decode_table filters)
+    if kind in (KIND_INT, KIND_FLOAT, KIND_STR) and len(dense) > 0:
+        try:
+            mm = pc.min_max(dense)
+            meta["min"], meta["max"] = mm["min"].as_py(), mm["max"].as_py()
+        except pa.ArrowNotImplementedError:
+            pass
 
     if kind == KIND_INT:
         v = _int_view(dense)

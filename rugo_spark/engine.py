@@ -189,14 +189,37 @@ def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- decode job
 
+def _block_may_match(codecs: dict, col: str, op: str, value) -> bool:
+    """Conservative block-skip test from manifest min/max stats (the rugo
+    min/max external-pruning pattern, metadata.cpp:430-463).  True = must
+    scan (unknown stats or possible overlap)."""
+    meta = codecs.get(col)
+    if not meta or meta.get("min") is None or meta.get("max") is None:
+        return True
+    lo, hi = meta["min"], meta["max"]
+    try:
+        if op == "=":
+            return lo <= value <= hi
+        if op in ("<", "<="):
+            return lo < value if op == "<" else lo <= value
+        if op in (">", ">="):
+            return hi > value if op == ">" else hi >= value
+    except TypeError:
+        return True
+    return True
+
+
 def decode_table(
     spark: SparkSession,
     out_dir: str,
     columns: list[str] | None = None,
     num_tasks: int | None = None,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Reconstruct the original DataFrame from blocks. One task per block file,
-    no shuffle; column pruning skips undecoded columns entirely."""
+    no shuffle; column pruning skips undecoded columns entirely; ``filters``
+    (ANDed ``(col, op, value)`` triples) skip whole blocks via manifest
+    min/max stats *and* are re-applied exactly on the decoded rows."""
     arrow_schema, spark_schema_json = mf.read_schema(out_dir)
     from pyspark.sql.types import StructType
 
@@ -207,7 +230,16 @@ def decode_table(
         out_schema = full
     import pandas as pd
 
-    paths = [r["block_path"] for r in mf.completed_partitions(out_dir)]
+    completed = mf.completed_partitions(out_dir)
+    if filters:
+        completed = [
+            r
+            for r in completed
+            if all(_block_may_match(json.loads(r["codecs"]), c, op, v) for c, op, v in filters)
+        ]
+    paths = [r["block_path"] for r in completed]
+    if not paths:
+        return spark.createDataFrame([], out_schema)
     n = num_tasks or len(paths)
     man = spark.createDataFrame(pd.DataFrame({"block_path": paths}))
     man = man.repartition(max(1, min(int(n), 4096)))
@@ -217,4 +249,13 @@ def decode_table(
             for path in batch.column(0).to_pylist():  # per-partition only
                 yield from read_block_file(path, arrow_schema, columns)
 
-    return man.mapInArrow(decoder, out_schema)
+    out = man.mapInArrow(decoder, out_schema)
+    if filters:
+        import pyspark.sql.functions as F
+
+        for c, op, v in filters:
+            col = F.col(c)
+            out = out.filter(
+                {"=": col == v, "<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v}[op]
+            )
+    return out

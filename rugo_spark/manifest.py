@@ -116,8 +116,8 @@ def read_manifest(out_dir: str) -> dict:
                     "total_uncompressed_size": c.get("raw_bytes"),
                     "null_count": c.get("null_count"),
                     "distinct_count": None,
-                    "min": None,
-                    "max": None,
+                    "min": c.get("min"),
+                    "max": c.get("max"),
                     "encodings": [c.get("codec")] + (
                         [c["lengths_codec"]] if c.get("lengths_codec") else []
                     ),

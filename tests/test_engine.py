@@ -122,3 +122,24 @@ def test_distributed_tokengen(spark):
     assert df.count() == 500
     ids = [r[0] for r in df.select("doc_id").orderBy("doc_id").limit(3).collect()]
     assert ids == ["doc-000000000000", "doc-000000000001", "doc-000000000002"]
+
+
+def test_decode_block_pruning_with_filters(spark, token_df, tmp_out):
+    """min/max stats in the manifest skip whole blocks (rugo's external
+    min/max pruning pattern), and the residual filter is exact."""
+    encode_table(token_df, tmp_out, key_col="doc_id", size_col="n_tok", num_partitions=8)
+    rows = mf.completed_partitions(tmp_out)
+    # partitioning is by n_tok quantile bucket → n_tok ranges are disjoint-ish
+    threshold = sorted(json.loads(r["codecs"])["n_tok"]["max"] for r in rows)[3]
+    pruned = decode_table(spark, tmp_out, filters=[("n_tok", ">", threshold)])
+    full = decode_table(spark, tmp_out)
+    want = full.filter(full.n_tok > threshold)
+    assert pruned.count() == want.count()
+    got_sum = pruned.agg({"n_tok": "sum"}).first()[0]
+    want_sum = want.agg({"n_tok": "sum"}).first()[0]
+    assert got_sum == want_sum
+    kept = [
+        r for r in rows
+        if json.loads(r["codecs"])["n_tok"]["max"] > threshold
+    ]
+    assert len(kept) < len(rows)  # blocks actually skipped
