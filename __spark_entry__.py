@@ -238,6 +238,51 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order (per customer) at or before each event."""
+    from rugo_spark.ops.joins import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))  # tie-free right side
+    )
+    # join key: user_id ↔ o_custkey — rename to a shared column name
+    e2 = e.withColumnRenamed("user_id", "custkey")
+    o2 = o.withColumnRenamed("o_custkey", "custkey")
+    out = asof_join(e2, o2, key="custkey", left_ts="ts", right_ts="o_orderdate",
+                    right_cols=["o_orderkey"])
+    return out.select("event_id", "custkey", "o_orderkey")
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events.value into nation-derived half-open value bands."""
+    from rugo_spark.ops.joins import range_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 40.0).alias("lo"),
+        (F.col("n_nationkey") * 40.0 + 60.0).alias("hi"),
+    )
+    out = range_join(e, bands, "value", "lo", "hi", bucket_size=25.0)
+    return out.select("event_id", "band_id").orderBy("event_id", "band_id")
+
+
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets family)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction plumbing (deterministic fake decode)."""
     from rugo_spark.ops.multimodal import extract_features, synth_media_df
@@ -266,6 +311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_minhash_dedup,
         "dedup_jaccard_verify": q_jaccard_verify,
         "dedup_simhash": q_simhash,
+        "asof_join_latest_order": q_asof_join,
+        "range_join_value_bands": q_range_join,
+        "rollup_pricing": q_rollup_pricing,
         "doc_fingerprint": q_fingerprint,
         "multimodal_features": q_multimodal_features,
     }
@@ -350,6 +398,31 @@ def oracle_sql() -> dict[str, str]:
                      + LENGTH(REGEXP_REPLACE(TRIM(text), '[A-Za-z0-9\\s]', '', 'g')) AS n_subword_pieces,
                    CAST(CEIL(LENGTH(TRIM(text)) / 4.0) AS BIGINT) AS n_tok_est_len4
             FROM documents
+        """,
+        "asof_join_latest_order": """
+            WITH o AS (
+              SELECT o_custkey AS custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id AS custkey, o.o_orderkey
+            FROM events e
+            ASOF LEFT JOIN o ON e.user_id = o.custkey AND e.ts >= o.o_orderdate
+        """,
+        "range_join_value_bands": """
+            SELECT e.event_id, n.n_nationkey AS band_id
+            FROM events e
+            JOIN nation n
+              ON e.value >= n.n_nationkey * 40.0
+             AND e.value <  n.n_nationkey * 40.0 + 60.0
+            ORDER BY e.event_id, band_id
+        """,
+        "rollup_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
         """,
         "embedding_cosine_topk": """
             SELECT vec_id FROM (

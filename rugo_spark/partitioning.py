@@ -51,11 +51,15 @@ def with_partition_id(
         pid = F.pmod(key_expr, F.lit(num_partitions)).cast("int")
         return df.withColumn("partition_id", pid), num_partitions
 
-    # one scan: exact histogram of size values (bounded key space)
-    size_key = F.least(F.col(size_col).cast("long"), F.lit(_SIZE_CLIP))
+    # one scan: exact histogram of size values (bounded key space);
+    # null sizes count as 0 so the broadcast join never drops rows
+    size_key = F.least(F.coalesce(F.col(size_col).cast("long"), F.lit(0)), F.lit(_SIZE_CLIP))
     hist = (
         df.groupBy(size_key.alias("_sz"))
-        .agg(F.count(F.lit(1)).alias("_cnt"), F.sum(size_col).alias("_mass"))
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum(F.coalesce(F.col(size_col).cast("long"), F.lit(0))).alias("_mass"),
+        )
         .collect()
     )
     hist.sort(key=lambda r: r["_sz"])

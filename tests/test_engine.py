@@ -143,3 +143,21 @@ def test_decode_block_pruning_with_filters(spark, token_df, tmp_out):
         if json.loads(r["codecs"])["n_tok"]["max"] > threshold
     ]
     assert len(kept) < len(rows)  # blocks actually skipped
+
+
+def test_encode_with_null_sizes_and_empty_df(spark, tmp_out):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(50)],
+            "n_tok": [None if i % 5 == 0 else i for i in range(50)],
+            "val": list(range(50)),
+        }
+    )
+    df = spark.createDataFrame(pdf.astype({"val": "int64"}))
+    man = encode_table(df, tmp_out, key_col="doc_id", size_col="n_tok", num_partitions=3)
+    assert man.agg({"n_rows": "sum"}).first()[0] == 50  # null sizes not dropped
+    out = decode_table(spark, tmp_out)
+    assert out.count() == 50
+    assert out.filter(out.n_tok.isNull()).count() == 10
