@@ -38,7 +38,7 @@ from rugo_spark.codecs import (
 from rugo_spark.selector import select_bytes_codec, select_int_codec
 
 MAGIC = b"RGC1"
-KIND_INT, KIND_FLOAT, KIND_STR, KIND_LIST, KIND_BOOL = 0, 1, 2, 3, 4
+KIND_INT, KIND_FLOAT, KIND_STR, KIND_LIST, KIND_BOOL, KIND_IPC = 0, 1, 2, 3, 4, 5
 
 _HDR = struct.Struct("<4sBBQ")
 _U64 = struct.Struct("<Q")
@@ -70,7 +70,10 @@ def _kind_of(t: pa.DataType) -> int:
         return KIND_STR
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return KIND_LIST
-    raise TypeError(f"unsupported arrow type: {t}")
+    # universal fallback: decimals, structs, maps, nested exotica — Arrow IPC
+    # stream + outer zstd (correct for every type; lightweight codecs apply
+    # to the kinds above, which cover the hot token-table path)
+    return KIND_IPC
 
 
 _INT_STORAGE = {  # arrow type id safety: reinterpret temporal as raw ints
@@ -213,6 +216,14 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, plan: dict | None = None) -> t
         v = dense.to_numpy(zero_copy_only=False)
         parts.append(_frame(general.wrap(np.packbits(v, bitorder="little").tobytes())))
         meta["codec"] = "bitpack"
+    elif kind == KIND_IPC:
+        sink = pa.BufferOutputStream()
+        tbl = pa.table({"c": arr})  # keep original validity — no re-expansion needed
+        with pa.ipc.new_stream(sink, tbl.schema) as w:
+            w.write_table(tbl)
+        parts = [_HDR.pack(MAGIC, kind, 0, n)]  # IPC carries its own nulls
+        parts.append(_frame(general.wrap(sink.getvalue().to_pybytes())))
+        meta["codec"] = "arrow-ipc"
     blob = b"".join(parts)
     meta["enc_bytes"] = len(blob)
     return blob, meta
@@ -309,4 +320,10 @@ def decode_array(buf: bytes | memoryview, typ: pa.DataType) -> pa.Array:
         return pa.Array.from_buffers(
             pa.bool_(), n, [vbuf, pa.py_buffer(np.packbits(vals, bitorder="little").tobytes())]
         )
+    if kind == KIND_IPC:
+        body, off = _read_frame(mv, off)
+        with pa.ipc.open_stream(pa.py_buffer(general.unwrap(body))) as r:
+            tbl = r.read_all()
+        out = tbl.column("c").combine_chunks()
+        return out if out.type == typ else out.cast(typ)
     raise TypeError(f"unknown kind {kind}")

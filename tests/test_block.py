@@ -80,3 +80,19 @@ def test_plan_pins_codec():
     blob, meta = encode_array(arr, plan={"values": "rle"})
     assert meta["codec"] == "rle"
     assert decode_array(blob, arr.type).equals(arr)
+
+
+def test_ipc_fallback_kinds():
+    import decimal
+
+    cases = [
+        pa.array([decimal.Decimal("1.23"), None, decimal.Decimal("-99.99")], type=pa.decimal128(10, 2)),
+        pa.array([{"a": 1, "b": "x"}, None, {"a": 2, "b": None}], type=pa.struct([("a", pa.int64()), ("b", pa.string())])),
+        pa.array([[("k", 1)], [], None], type=pa.map_(pa.string(), pa.int64())),
+        pa.array([[{"v": 1.5}], None, []], type=pa.list_(pa.struct([("v", pa.float64())]))),
+    ]
+    for arr in cases:
+        blob, meta = encode_array(arr)
+        assert meta["codec"] == "arrow-ipc"
+        out = decode_array(blob, arr.type)
+        assert out.equals(arr), str(arr.type)
