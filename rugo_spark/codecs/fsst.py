@@ -31,62 +31,79 @@ MAX_SYMBOLS = 255  # output codes 0..254; 255 = escape
 MAX_SYMBOL_LEN = 8
 _MAX_MERGES = 160  # leaves ≥95 output codes for frequent single bytes
 _SAMPLE_LIMIT = 1 << 20
-_PAIR_K = np.int64(1 << 16)
+_PAIR_K = np.uint32(1 << 16)
 
 
 @dataclass
 class Table:
-    merges: list[tuple[int, int, int]] = field(default_factory=list)  # (a, b, new_code)
+    rounds: list[tuple[np.ndarray, np.ndarray]] = field(default_factory=list)  # (sorted pair keys, new codes)
+    n_merges: int = 0
     expansions: list[bytes] = field(default_factory=list)  # per internal code ≥256
     code_map: np.ndarray | None = None  # internal code → output code (or -1)
     out_expansions: list[bytes] = field(default_factory=list)  # per output code
 
 
-def _merge_pass(codes: np.ndarray, a: int, b: int, new_code: int) -> np.ndarray:
-    """Replace non-overlapping (a,b) adjacencies with new_code. Vectorized."""
-    cand = np.flatnonzero((codes[:-1] == a) & (codes[1:] == b))
+def _apply_round(codes: np.ndarray, pair_keys: np.ndarray, new_codes: np.ndarray) -> np.ndarray:
+    """Replace every non-overlapping occurrence of the round's pairs in ONE
+    vectorized pass (greedy-left overlap resolution via run parity)."""
+    if len(codes) < 2 or len(pair_keys) == 0:
+        return codes
+    c32 = codes.astype(np.uint32, copy=False)
+    pk = (c32[:-1] << np.uint32(16)) | c32[1:]
+    idx = np.searchsorted(pair_keys, pk)
+    idx_c = np.minimum(idx, len(pair_keys) - 1)
+    cand = np.flatnonzero(pair_keys[idx_c] == pk)
     if len(cand) == 0:
         return codes
-    if a == b:
-        # overlapping candidates form runs; greedy-left keeps even offsets
-        is_start = np.concatenate(([True], np.diff(cand) != 1))
-        run_start = cand[is_start][np.cumsum(is_start) - 1]
-        cand = cand[((cand - run_start) & 1) == 0]
-    codes[cand] = new_code
-    keep = np.ones(len(codes), dtype=bool)
-    keep[cand + 1] = False
-    return codes[keep]
+    # consecutive candidates overlap (share an element): keep even offsets
+    is_start = np.concatenate(([True], np.diff(cand) != 1))
+    run_start = cand[is_start][np.cumsum(is_start) - 1]
+    keep = cand[((cand - run_start) & 1) == 0]
+    codes[keep] = new_codes[idx_c[keep]]
+    mask = np.ones(len(codes), dtype=bool)
+    mask[keep + 1] = False
+    return codes[mask]
 
 
 def train(sample: bytes, max_merges: int = _MAX_MERGES, rounds: int = 4) -> Table:
-    """Train a symbol table by bounded pair-merge rounds on ``sample``."""
+    """Train a symbol table by bounded pair-merge rounds on ``sample``.
+    Each round selects the highest-count pairs and applies them all in one
+    vectorized pass (same batch application at encode time)."""
     t = Table()
-    codes = np.frombuffer(sample[:_SAMPLE_LIMIT], dtype=np.uint8).astype(np.int64)
+    codes = np.frombuffer(sample[:_SAMPLE_LIMIT], dtype=np.uint8).astype(np.uint32)
     expansions: dict[int, bytes] = {}
     next_code = 256
     min_count = max(4, len(codes) // 65536)
     for r in range(rounds):
-        if len(codes) < 2 or len(t.merges) >= max_merges:
+        if len(codes) < 2 or t.n_merges >= max_merges:
             break
-        pairs = codes[:-1] * _PAIR_K + codes[1:]
+        pairs = (codes[:-1] << np.uint32(16)) | codes[1:]
         uniq, counts = np.unique(pairs, return_counts=True)
         order = np.argsort(counts)[::-1]
-        budget = (max_merges - len(t.merges) + (rounds - r - 1)) // (rounds - r)
-        taken = 0
+        budget = (max_merges - t.n_merges + (rounds - r - 1)) // (rounds - r)
+        sel_keys: list[int] = []
+        sel_codes: list[int] = []
         for idx in order:
-            if taken >= budget or counts[idx] < min_count:
+            if len(sel_keys) >= budget or counts[idx] < min_count:
                 break
-            a, b = int(uniq[idx] // _PAIR_K), int(uniq[idx] % _PAIR_K)
+            a, b = int(uniq[idx] >> 16), int(uniq[idx] & 0xFFFF)
             exp_a = expansions.get(a, bytes([a]) if a < 256 else b"")
             exp_b = expansions.get(b, bytes([b]) if b < 256 else b"")
             exp = exp_a + exp_b
             if len(exp) > MAX_SYMBOL_LEN:
                 continue
             expansions[next_code] = exp
-            t.merges.append((a, b, next_code))
-            codes = _merge_pass(codes, a, b, next_code)
+            sel_keys.append(a * int(_PAIR_K) + b)
+            sel_codes.append(next_code)
             next_code += 1
-            taken += 1
+        if not sel_keys:
+            break
+        order2 = np.argsort(sel_keys)
+        pair_keys = np.asarray(sel_keys, dtype=np.uint32)[order2]
+        new_codes = np.asarray(sel_codes, dtype=np.uint32)[order2]
+        t.rounds.append((pair_keys, new_codes))
+        t.n_merges += len(sel_keys)
+        codes = _apply_round(codes, pair_keys, new_codes)
     t.expansions = [expansions[c] for c in range(256, next_code)]
 
     # assign output codes: merged symbols first, then most frequent literals
@@ -111,11 +128,11 @@ def train(sample: bytes, max_merges: int = _MAX_MERGES, rounds: int = 4) -> Tabl
 
 def compress(data: bytes, t: Table) -> bytes:
     """Apply the trained merges + code assignment to ``data`` → code stream."""
-    codes = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
-    for a, b, nc in t.merges:
-        codes = _merge_pass(codes, a, b, nc)
+    codes = np.frombuffer(data, dtype=np.uint8).astype(np.uint32)
+    for pair_keys, new_codes in t.rounds:
+        codes = _apply_round(codes, pair_keys, new_codes)
     assert t.code_map is not None
-    out_code = t.code_map[codes]
+    out_code = t.code_map[codes.astype(np.int64)]
     has_code = out_code >= 0
     lens = np.where(has_code, 1, 2).astype(np.int64)
     offs = np.concatenate(([0], np.cumsum(lens)))
