@@ -134,6 +134,25 @@ def _encode_bytes(data: bytes, codec: str | None) -> tuple[bytes, str]:
     return struct.pack("<B", BYTES_CODEC_IDS[codec]) + general.wrap(payload), codec
 
 
+def _select_str_codec(dense: pa.Array) -> str:
+    """'dict' for low-cardinality string columns, else sampled fsst/raw trial."""
+    n = len(dense)
+    if n == 0:
+        return "raw"
+    sample = dense.slice(0, min(n, 16384))
+    card = len(pc.unique(sample))
+    if (
+        (pa.types.is_string(dense.type) or pa.types.is_large_string(dense.type))
+        and card <= max(len(sample) // 8, 1)
+        and card <= 65536
+    ):
+        return "dict"
+    lengths, data = _string_parts(sample.combine_chunks() if isinstance(sample, pa.ChunkedArray) else sample)
+    from rugo_spark.selector import select_bytes_codec
+
+    return select_bytes_codec(data)
+
+
 def _string_parts(dense: pa.Array) -> tuple[np.ndarray, bytes]:
     """Null-free string/binary array → (byte lengths, concatenated bytes)."""
     t = dense.type
@@ -186,7 +205,12 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, plan: dict | None = None) -> t
 
     if kind == KIND_INT:
         v = _int_view(dense)
-        body, codec = _encode_int_values(v, plan.get("values"))
+        codec = plan.get("values")
+        if codec is None:
+            codec, s = select_int_codec(v)
+            meta["distinct_est"] = s["card"]  # sampled (rugo distinct_count slot)
+            meta["n_runs_sample"] = s["n_runs"]
+        body, codec = _encode_int_values(v, codec)
         parts.append(_frame(body))
         meta["codec"] = codec
     elif kind == KIND_FLOAT:
@@ -195,13 +219,33 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, plan: dict | None = None) -> t
         parts.append(_frame(body))
         meta["codec"] = "plain"
     elif kind == KIND_STR:
-        lengths, data = _string_parts(dense)
-        lbody, lcodec = _encode_int_values(lengths, plan.get("lengths"))
-        dbody, dcodec = _encode_bytes(data, plan.get("data"))
-        parts.append(_frame(lbody))
-        parts.append(_frame(dbody))
-        meta["codec"] = dcodec
-        meta["lengths_codec"] = lcodec
+        str_codec = plan.get("data")
+        if str_codec is None:
+            str_codec = _select_str_codec(dense)
+        if str_codec == "dict":
+            # dictionary-encoded strings: bit-packed indices + unique values
+            # (rugo PLAIN_DICTIONARY/RLE_DICTIONARY analog for byte_array)
+            denc = dense.dictionary_encode()
+            idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            ibody, _ = _encode_int_values(idx, "bss" if len(idx) else "plain")
+            dlengths, ddata = _string_parts(denc.dictionary)
+            dl_body, _ = _encode_int_values(dlengths, None)
+            dd_body, _ = _encode_bytes(ddata, "raw")
+            parts.append(struct.pack("<B", 1))  # str-mode: dict
+            parts.append(_frame(ibody))
+            parts.append(_frame(dl_body))
+            parts.append(_frame(dd_body))
+            meta["codec"] = "dict"
+            meta["distinct_est"] = len(denc.dictionary)
+        else:
+            lengths, data = _string_parts(dense)
+            lbody, lcodec = _encode_int_values(lengths, plan.get("lengths"))
+            dbody, dcodec = _encode_bytes(data, str_codec if str_codec in BYTES_CODECS else None)
+            parts.append(struct.pack("<B", 0))  # str-mode: flat
+            parts.append(_frame(lbody))
+            parts.append(_frame(dbody))
+            meta["codec"] = dcodec
+            meta["lengths_codec"] = lcodec
     elif kind == KIND_LIST:
         lengths = pc.list_value_length(dense).to_numpy(zero_copy_only=False).astype(np.int64)
         flat = pc.list_flatten(dense)
@@ -286,10 +330,27 @@ def decode_array(buf: bytes | memoryview, typ: pa.DataType) -> pa.Array:
         vals = _expand(np.frombuffer(raw, dtype=dt), valid)
         return pa.Array.from_buffers(typ, n, [vbuf, pa.py_buffer(vals.tobytes())])
     if kind == KIND_STR:
-        lbody, off = _read_frame(mv, off)
-        dbody, off = _read_frame(mv, off)
-        lengths = _decode_int_body(lbody)
-        data = _decode_bytes_body(dbody)
+        mode = mv[off]
+        off += 1
+        if mode == 1:  # dictionary mode
+            ibody, off = _read_frame(mv, off)
+            dl_body, off = _read_frame(mv, off)
+            dd_body, off = _read_frame(mv, off)
+            idx = _decode_int_body(ibody)
+            dlen = _decode_int_body(dl_body)
+            ddata = _decode_bytes_body(dd_body)
+            doffs = np.zeros(len(dlen) + 1, dtype=np.int32)
+            np.cumsum(dlen, out=doffs[1:])
+            dict_arr = pa.Array.from_buffers(
+                pa.utf8(), len(dlen), [None, pa.py_buffer(doffs.tobytes()), pa.py_buffer(ddata)]
+            )
+            dense_strs = pc.take(dict_arr, pa.array(idx, type=pa.int64()))
+            lengths, data = _string_parts(dense_strs)
+        else:
+            lbody, off = _read_frame(mv, off)
+            dbody, off = _read_frame(mv, off)
+            lengths = _decode_int_body(lbody)
+            data = _decode_bytes_body(dbody)
         full_len = _expand(lengths, valid)
         large = pa.types.is_large_string(typ) or pa.types.is_large_binary(typ)
         off_dt = np.int64 if large else np.int32

@@ -96,3 +96,16 @@ def test_ipc_fallback_kinds():
         assert meta["codec"] == "arrow-ipc"
         out = decode_array(blob, arr.type)
         assert out.equals(arr), str(arr.type)
+
+
+def test_string_dict_mode():
+    arr = pa.array(["web", "books", None, "web", "code"] * 400)
+    blob, meta = encode_array(arr)
+    assert meta["codec"] == "dict"
+    assert meta["distinct_est"] == 3
+    assert decode_array(blob, arr.type).equals(arr)
+    assert len(blob) < arr.nbytes * 0.5
+    # pinning the flat path still works
+    blob2, meta2 = encode_array(arr, plan={"data": "raw"})
+    assert meta2["codec"] == "raw"
+    assert decode_array(blob2, arr.type).equals(arr)

@@ -130,3 +130,58 @@ def test_multimodal_plumbing(spark):
     assert plan.count() > 0
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    from rugo_spark.ops.joins import asof_join
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200),
+            "t": rng.integers(0, 1000, 200).astype("int64"),
+            "lid": range(200),
+        }
+    ).sort_values("t").reset_index(drop=True)
+    right = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, 80),
+                "t": rng.integers(0, 1000, 80).astype("int64"),
+                "rv": rng.integers(0, 10**6, 80).astype("int64"),
+            }
+        )
+        .drop_duplicates(["k", "t"])
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(left, right, on="t", by="k", direction="backward")
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right.rename(columns={"t": "rt"})),
+        key="k", left_ts="t", right_ts="rt", right_cols=["rv"],
+    ).toPandas().sort_values("lid").reset_index(drop=True)
+    w = want.sort_values("lid").reset_index(drop=True)
+    assert got["rv"].fillna(-1).tolist() == w["rv"].fillna(-1).tolist()
+
+
+def test_range_join_matches_naive(spark):
+    import pandas as pd
+
+    from rugo_spark.ops.joins import range_join
+
+    rng = np.random.default_rng(4)
+    pts = pd.DataFrame({"pid": range(300), "v": rng.uniform(0, 100, 300)})
+    ivs = pd.DataFrame(
+        {"iid": range(20), "lo": rng.uniform(0, 90, 20)}
+    )
+    ivs["hi"] = ivs["lo"] + rng.uniform(1, 20, 20)
+    got = (
+        range_join(spark.createDataFrame(pts), spark.createDataFrame(ivs), "v", "lo", "hi", bucket_size=7.0)
+        .select("pid", "iid").toPandas()
+    )
+    naive = pts.merge(ivs, how="cross")
+    naive = naive[(naive.v >= naive.lo) & (naive.v < naive.hi)][["pid", "iid"]]
+    assert sorted(map(tuple, got.values.tolist())) == sorted(map(tuple, naive.values.tolist()))
