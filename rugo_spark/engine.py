@@ -80,6 +80,61 @@ def read_block_file(path: str, schema: pa.Schema, columns: list[str] | None = No
 
 # ------------------------------------------------------------- encode job
 
+def encode_table_maponly(
+    df: DataFrame,
+    out_dir: str,
+    sort_key: str | None = None,
+    size_col: str | None = None,
+    plans: dict | None = None,
+) -> DataFrame:
+    """Shuffle-FREE encode: each input split becomes one block.
+
+    For inputs that are already size-balanced (e.g. a well-bucketed Iceberg
+    table) the quantile repartition is pure overhead — this path encodes
+    splits in place (`mapInArrow`, zero data movement).  Partition ids come
+    from the task's split index, which is deterministic for a fixed input
+    layout + parallelism; resume re-scans but skips re-encoding completed
+    splits.  Use `encode_table` when the input is skewed."""
+    spark = df.sparkSession
+    mf.write_schema(out_dir, _arrow_schema_of(df), df.schema.json())
+    blocks_dir = os.path.join(out_dir, mf.BLOCKS_DIR)
+
+    def encoder(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        if os.path.exists(mf.sidecar_path(out_dir, pid)):
+            return  # resume: split already encoded
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
+        if sort_key is not None:
+            tbl = tbl.sort_by(sort_key)
+        path = os.path.join(blocks_dir, f"part-{pid:06d}.rgb")
+        crc, metas = write_block_file(path, tbl, plans)
+        n_tokens = 0
+        if size_col is not None:
+            import pyarrow.compute as pc
+
+            n_tokens = int(pc.sum(tbl.column(size_col)).as_py() or 0)
+        row = {
+            "partition_id": pid,
+            "n_rows": tbl.num_rows,
+            "n_tokens": n_tokens,
+            "input_bytes": int(tbl.nbytes),
+            "output_bytes": int(os.path.getsize(path)),
+            "block_path": path,
+            "checksum": int(crc),
+            "codecs": json.dumps(metas, default=str),
+        }
+        mf.write_sidecar(out_dir, row)
+        yield pa.RecordBatch.from_pylist([row], schema=mf.MANIFEST_ARROW)
+
+    df.mapInArrow(encoder, mf.MANIFEST_DDL).write.mode("overwrite").format("noop").save()
+    return manifest_df(spark, out_dir)
+
+
 def encode_table(
     df: DataFrame,
     out_dir: str,

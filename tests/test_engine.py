@@ -161,3 +161,20 @@ def test_encode_with_null_sizes_and_empty_df(spark, tmp_out):
     out = decode_table(spark, tmp_out)
     assert out.count() == 50
     assert out.filter(out.n_tok.isNull()).count() == 10
+
+
+def test_maponly_encode_roundtrip(spark, token_df, tmp_out):
+    from rugo_spark.engine import encode_table_maponly
+
+    src = token_df.repartition(5)
+    man = encode_table_maponly(src, tmp_out, sort_key="doc_id", size_col="n_tok")
+    assert man.count() >= 1
+    out = decode_table(spark, tmp_out)
+    assert out.count() == N_DOCS
+    got = _sorted_pandas(out.select("doc_id", "n_tok"), "doc_id")
+    want = _sorted_pandas(token_df.select("doc_id", "n_tok"), "doc_id")
+    assert got["n_tok"].tolist() == want["n_tok"].tolist()
+    # map-only: the encoder adds no shuffle beyond the input's own lineage
+    base_plan = src._jdf.queryExecution().executedPlan().toString()
+    enc_plan = src.mapInArrow(lambda it: it, src.schema)._jdf.queryExecution().executedPlan().toString()
+    assert enc_plan.count("Exchange") == base_plan.count("Exchange")
