@@ -113,6 +113,19 @@ def main() -> None:
     extra["reference_parquet_bytes"] = ref_bytes
     extra["compression_ratio_vs_reference"] = round(ref_bytes / max(ours_bytes, 1), 4)
 
+    # ---------------- map-only (shuffle-free) encode, informational
+    from rugo_spark.engine import encode_table_maponly
+
+    out_mo = os.path.join(SCRATCH, "enc_maponly")
+    best = float("inf")
+    for _ in range(2):
+        shutil.rmtree(out_mo, ignore_errors=True)
+        t0 = time.perf_counter()
+        encode_table_maponly(tok_df, out_mo, sort_key="doc_id", size_col="n_tok")
+        best = min(best, time.perf_counter() - t0)
+    timings["encode_maponly"] = best
+    extra["encode_maponly_tokens_per_sec"] = round(total_tokens / best)
+
     # ---------------- decode + verify
     from rugo_spark.engine import decode_table
 
