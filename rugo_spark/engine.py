@@ -162,9 +162,9 @@ def encode_table(
         import pyspark.sql.functions as F
 
         done_df = spark.createDataFrame(
-            pd.DataFrame({"partition_id": pd.array(done, dtype="int32")})
+            pd.DataFrame({"__rugo_pid": pd.array(done, dtype="int32")})
         )
-        planned = planned.join(F.broadcast(done_df), "partition_id", "left_anti")
+        planned = planned.join(F.broadcast(done_df), "__rugo_pid", "left_anti")
 
     mf.write_schema(
         out_dir,
@@ -176,7 +176,7 @@ def encode_table(
 
     def encoder(key: tuple, table: pa.Table) -> pa.Table:
         pid = int(key[0].as_py())
-        tbl = table.drop_columns("partition_id")
+        tbl = table.drop_columns("__rugo_pid")
         if sort_key is not None:
             tbl = tbl.sort_by(sort_key)
         path = os.path.join(blocks_dir, f"part-{pid:06d}.rgb")
@@ -200,7 +200,7 @@ def encode_table(
         mf.write_sidecar(out_dir, row)
         return pa.Table.from_pylist([row], schema=mf.MANIFEST_ARROW)
 
-    result = planned.groupBy("partition_id").applyInArrow(encoder, mf.MANIFEST_DDL)
+    result = planned.groupBy("__rugo_pid").applyInArrow(encoder, mf.MANIFEST_DDL)
     # materialize: run the job now so sidecars exist; manifest DF re-read from sidecars.
     # Hash collisions of G groups into P shuffle tasks create stragglers when
     # P ≈ G, so give the grouped stage ≥4× headroom (empty tasks are free).

@@ -49,20 +49,20 @@ def with_partition_id(
     if size_col is None:
         num_partitions = num_partitions or max(1, df.sparkSession.sparkContext.defaultParallelism)
         pid = F.pmod(key_expr, F.lit(num_partitions)).cast("int")
-        return df.withColumn("partition_id", pid), num_partitions
+        return df.withColumn("__rugo_pid", pid), num_partitions
 
     # one scan: exact histogram of size values (bounded key space);
     # null sizes count as 0 so the broadcast join never drops rows
     size_key = F.least(F.coalesce(F.col(size_col).cast("long"), F.lit(0)), F.lit(_SIZE_CLIP))
     hist = (
-        df.groupBy(size_key.alias("_sz"))
+        df.groupBy(size_key.alias("__rugo_sz"))
         .agg(
             F.count(F.lit(1)).alias("_cnt"),
             F.sum(F.coalesce(F.col(size_col).cast("long"), F.lit(0))).alias("_mass"),
         )
         .collect()
     )
-    hist.sort(key=lambda r: r["_sz"])
+    hist.sort(key=lambda r: r["__rugo_sz"])
     total = float(sum(r["_mass"] for r in hist)) or 1.0
     if num_partitions is None:
         num_partitions = max(1, int(-(-total // (target_mass or total))))
@@ -73,19 +73,19 @@ def with_partition_id(
     rows = []
     for r in hist:
         frac = r["_mass"] / total
-        rows.append((int(r["_sz"]), acc, frac))
+        rows.append((int(r["__rugo_sz"]), acc, frac))
         acc += frac
     map_df = df.sparkSession.createDataFrame(
-        pd.DataFrame(rows, columns=["_sz", "_cum", "_frac"])
+        pd.DataFrame(rows, columns=["__rugo_sz", "__rugo_cum", "__rugo_frac"])
     )
 
     u = F.pmod(key_expr, F.lit(_HASH_RES)).cast("double") / F.lit(float(_HASH_RES))
-    pos = F.col("_cum") + F.col("_frac") * u
+    pos = F.col("__rugo_cum") + F.col("__rugo_frac") * u
     pid = F.least(F.lit(num_partitions - 1), F.floor(F.lit(float(num_partitions)) * pos)).cast("int")
     planned = (
-        df.withColumn("_sz", size_key)
-        .join(F.broadcast(map_df), "_sz")
-        .withColumn("partition_id", pid)
-        .drop("_sz", "_cum", "_frac")
+        df.withColumn("__rugo_sz", size_key)
+        .join(F.broadcast(map_df), "__rugo_sz")
+        .withColumn("__rugo_pid", pid)
+        .drop("__rugo_sz", "__rugo_cum", "__rugo_frac")
     )
     return planned, num_partitions

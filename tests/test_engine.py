@@ -178,3 +178,13 @@ def test_maponly_encode_roundtrip(spark, token_df, tmp_out):
     base_plan = src._jdf.queryExecution().executedPlan().toString()
     enc_plan = src.mapInArrow(lambda it: it, src.schema)._jdf.queryExecution().executedPlan().toString()
     assert enc_plan.count("Exchange") == base_plan.count("Exchange")
+
+
+def test_user_partition_id_column_survives(spark, tmp_out):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"partition_id": [9, 9, 7], "k": ["a", "b", "c"], "n_tok": [3, 4, 5]})
+    df = spark.createDataFrame(pdf)
+    encode_table(df, tmp_out, key_col="k", size_col="n_tok", num_partitions=2)
+    out = decode_table(spark, tmp_out).toPandas().sort_values("k")
+    assert out["partition_id"].tolist() == [9, 9, 7]  # user column untouched
