@@ -238,6 +238,14 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-bucketed; rows-only check)."""
+    from rugo_spark.ops.similarity import embedding_near_dups
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, threshold=0.3, bits=4).select("id_a", "id_b")
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest order (per customer) at or before each event."""
     from rugo_spark.ops.joins import asof_join
@@ -308,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_bpe": q_token_counts,
         "embedding_cosine_topk": q_embedding_topk,
         "embedding_ann_topk": q_ann_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "dedup_minhash_lsh": q_minhash_dedup,
         "dedup_jaccard_verify": q_jaccard_verify,
         "dedup_simhash": q_simhash,

@@ -59,6 +59,47 @@ def lsh_bucket(vec_col, planes: np.ndarray):
     return key
 
 
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 6,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucket self-join.
+
+    Same-bucket vectors (sign-bit hyperplane key) are candidate pairs; exact
+    cosine filters at ``threshold``.  Scale shape: the self-join is per
+    bucket (≈ n/2^bits rows each), never all-pairs.  Recall note: split
+    near-dups landing in different buckets are missed — raise recall by
+    lowering ``bits`` or unioning a second seed's buckets."""
+    if dim is None:
+        first = df.select(F.size(vec_col)).first()
+        dim = int(first[0])
+    planes = _hyperplanes(dim, bits, seed)
+    b = df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("_bucket")
+    )
+    left, right = b.alias("a"), b.alias("b")
+    pairs = left.join(
+        right,
+        (F.col("a._bucket") == F.col("b._bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    dot = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    na = F.sqrt(_dot(F.col(f"a.{vec_col}"), F.col(f"a.{vec_col}")))
+    nb = F.sqrt(_dot(F.col(f"b.{vec_col}"), F.col(f"b.{vec_col}")))
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (dot / (na * nb)).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def ann_topk(
     df: DataFrame, query: list[float], k: int = 10,
     vec_col: str = "embedding", id_col: str = "vec_id",

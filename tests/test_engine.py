@@ -188,3 +188,21 @@ def test_user_partition_id_column_survives(spark, tmp_out):
     encode_table(df, tmp_out, key_col="k", size_col="n_tok", num_partitions=2)
     out = decode_table(spark, tmp_out).toPandas().sort_values("k")
     assert out["partition_id"].tolist() == [9, 9, 7]  # user column untouched
+
+
+def test_all_testdata_tables_roundtrip(spark, tmp_path):
+    """Every provided table encodes and decodes losslessly."""
+    import pyspark.sql.functions as F
+
+    tables = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]
+    for t in tables:
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        out = str(tmp_path / f"rt_{t}")
+        key = df.columns[0]
+        encode_table(df, out, key_col=key, num_partitions=2)
+        back = decode_table(spark, out)
+        assert back.count() == df.count(), t
+        assert back.schema == df.schema, t
+        assert back.exceptAll(df).count() == 0, t
+        assert df.exceptAll(back).count() == 0, t

@@ -185,3 +185,13 @@ def test_range_join_matches_naive(spark):
     naive = pts.merge(ivs, how="cross")
     naive = naive[(naive.v >= naive.lo) & (naive.v < naive.hi)][["pid", "iid"]]
     assert sorted(map(tuple, got.values.tolist())) == sorted(map(tuple, naive.values.tolist()))
+
+
+def test_embedding_near_dups_finds_clone(spark, emb):
+    from rugo_spark.ops.similarity import embedding_near_dups
+
+    # inject an exact clone of vec 0 under a new id
+    clone = emb.limit(1).withColumn("vec_id", F.col("vec_id") + 10_000)
+    both = emb.unionAll(clone)
+    pairs = embedding_near_dups(both, threshold=0.999, bits=4).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 10_000 for r in pairs)

@@ -67,3 +67,37 @@ def test_token_rate_monitor(spark, tmp_path):
     )
     got = spark.sql("SELECT * FROM rates").count()
     assert got <= want and want == 4
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from rugo_spark.ops.stateful import streaming_dedup
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    # three files; doc ids overlap across files → later arrivals are dups
+    for i, ids in enumerate([[1, 2, 3], [2, 3, 4], [4, 5, 1]]):
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "text": pa.array([f"t{x}" for x in ids])}),
+            str(src / f"f{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.sql("SELECT doc_id FROM dedup_out").toPandas()
+    assert sorted(out["doc_id"].tolist()) == [1, 2, 3, 4, 5]
