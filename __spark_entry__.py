@@ -131,6 +131,17 @@ def q_setop_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers that have at least one order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return e.select(
@@ -308,6 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_top_revenue": q_join_revenue,
         "window_latest_order": q_window_latest_order,
         "setop_inactive_customers": q_setop_inactive_customers,
+        "semi_join_active_customers": q_semi_join_active_customers,
         "scalar_functions": q_scalar_functions,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -365,6 +377,11 @@ def oracle_sql() -> dict[str, str]:
         "setop_inactive_customers": """
             SELECT DISTINCT c_custkey FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "semi_join_active_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
             ORDER BY c_custkey
         """,
         "scalar_functions": """
