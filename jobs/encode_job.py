@@ -40,7 +40,13 @@ def main(argv: list[str] | None = None) -> int:
     from rugo_spark.session import get_spark
 
     spark = get_spark(master=args.master, app_name="rugo_spark_encode")
-    df = read_table(spark, args.input)
+    try:
+        df = read_table(spark, args.input)
+        df.schema  # force analysis so a bad path fails here, cleanly
+    except Exception as e:  # noqa: BLE001 — CLI boundary
+        print(f"error: cannot read --input {args.input}: {e}", file=sys.stderr)
+        spark.stop()
+        return 2
     man = encode_table(
         df,
         args.output,

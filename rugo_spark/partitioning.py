@@ -47,7 +47,17 @@ def with_partition_id(
     """
     key_expr = F.xxhash64(F.col(key_col)) if key_col else F.xxhash64(*df.columns)
     if size_col is None:
-        num_partitions = num_partitions or max(1, df.sparkSession.sparkContext.defaultParallelism)
+        if num_partitions is None:
+            # avoid 1-row blocks on tiny tables: cap by a row-count target
+            n_rows = df.count()
+            per_part = max(1, (target_mass or 1_000_000) // 256)  # ≈ rows/partition
+            num_partitions = max(
+                1,
+                min(
+                    df.sparkSession.sparkContext.defaultParallelism,
+                    (n_rows + per_part - 1) // per_part,
+                ),
+            )
         pid = F.pmod(key_expr, F.lit(num_partitions)).cast("int")
         return df.withColumn("__rugo_pid", pid), num_partitions
 
