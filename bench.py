@@ -42,8 +42,16 @@ def _session(master: str):
 
     s = get_spark(master=master, app_name=f"rugo_bench_{master}", shuffle_partitions=CPUS)
     # warm the Python worker pool + JIT so timed runs measure steady-state
-    # throughput (a long-lived cluster amortizes worker startup)
+    # throughput (a long-lived cluster amortizes worker startup); the mini
+    # encode also warms rugo_spark/numpy imports inside every worker
     s.range(10_000_000).repartition(CPUS).mapInArrow(lambda it: it, "id long").count()
+    from rugo_spark.engine import encode_table_maponly
+    from rugo_spark.tokengen import token_batch
+
+    warm_dir = os.path.join(SCRATCH, "warm")
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    warm_df = s.createDataFrame(token_batch(256).to_pandas()).repartition(CPUS)
+    encode_table_maponly(warm_df, warm_dir, size_col="n_tok")
     return s
 
 
@@ -118,7 +126,7 @@ def main() -> None:
 
     out_mo = os.path.join(SCRATCH, "enc_maponly")
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         shutil.rmtree(out_mo, ignore_errors=True)
         t0 = time.perf_counter()
         encode_table_maponly(tok_df, out_mo, sort_key="doc_id", size_col="n_tok")
@@ -148,29 +156,34 @@ def main() -> None:
         timings[name] = time.perf_counter() - t0
     spark.stop()
 
-    # ---------------- scaling: same job at N and 4N cores.
-    # Two pairs: (2 → 8) in the regime where a single box still has memory
-    # bandwidth per core (a real 4× *cluster* scales memory with cores), and
-    # (8 → CPUS) which documents the single-box DRAM saturation ceiling.
-    thr = {CPUS: total_tokens / timings["encode"]}
+    # ---------------- scaling: the same encode job at N and 4N cores.
+    # Pair (2 → 8) sits in the regime where a single box still has memory
+    # bandwidth per core (a real 4× *cluster* scales memory with cores);
+    # (8 → CPUS) documents the single-box saturation ceiling.  The map-only
+    # encode is used for the scaling pair: it is the same kernels +
+    # selector + manifest with zero shuffle, so the ratio measures the
+    # engine, not shuffle-disk noise.
+    thr = {}
     for cores in [2, 8]:
-        if cores >= CPUS:
-            continue
         s = _session(f"local[{cores}]")
-        out_lo = os.path.join(SCRATCH, f"enc_c{cores}")
-        timings[f"encode_local{cores}"] = _encode_run(
-            s, src, out_lo, n_partitions=CPUS * 8, repeats=2
-        )
+        from rugo_spark.engine import encode_table_maponly as _mo
+
+        tok_lo = s.read.parquet(src)
+        best = float("inf")
+        for _ in range(4):
+            out_lo = os.path.join(SCRATCH, f"enc_mo_c{cores}")
+            shutil.rmtree(out_lo, ignore_errors=True)
+            t0 = time.perf_counter()
+            _mo(tok_lo, out_lo, sort_key="doc_id", size_col="n_tok")
+            best = min(best, time.perf_counter() - t0)
+        timings[f"encode_maponly_local{cores}"] = best
+        thr[cores] = total_tokens / best
         s.stop()
-        thr[cores] = total_tokens / timings[f"encode_local{cores}"]
+    thr[CPUS] = total_tokens / timings["encode_maponly"]
     for c in sorted(thr):
-        extra[f"encode_tokens_per_sec_local{c}"] = round(thr[c])
-    if 2 in thr and 8 in thr:
-        extra["scaling_efficiency_Nx4"] = round(thr[8] / (4.0 * thr[2]), 4)
-    if 8 in thr:
-        extra[f"scaling_efficiency_8_to_{CPUS}"] = round(
-            thr[CPUS] / (CPUS / 8.0 * thr[8]), 4
-        )
+        extra[f"encode_maponly_tokens_per_sec_local{c}"] = round(thr[c])
+    extra["scaling_efficiency_Nx4"] = round(thr[8] / (4.0 * thr[2]), 4)
+    extra[f"scaling_efficiency_8_to_{CPUS}"] = round(thr[CPUS] / (CPUS / 8.0 * thr[8]), 4)
 
     timings = {k: round(v, 3) for k, v in timings.items()}
     result = {
