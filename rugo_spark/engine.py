@@ -29,6 +29,7 @@ from rugo_spark.block import decode_array, encode_array
 from rugo_spark.partitioning import with_partition_id
 
 FILE_MAGIC = b"RGF1"
+STRIPED_MAGIC = b"RGS1"
 _FHDR = struct.Struct("<4sI")
 _U64 = struct.Struct("<Q")
 
@@ -37,9 +38,8 @@ DEFAULT_TARGET_TOKENS = 4_000_000  # per-partition token budget (sandbox scale)
 
 # ------------------------------------------------------------- block files
 
-def write_block_file(path: str, table: pa.Table, plans: dict | None = None) -> tuple[int, dict]:
-    """Encode all columns of ``table`` → one block file. Atomic. Returns
-    (crc32, per-column meta)."""
+def encode_block_bytes(table: pa.Table, plans: dict | None = None) -> tuple[bytes, dict]:
+    """Encode all columns of ``table`` → one flat ('RGF1') block payload."""
     plans = plans or {}
     parts = [_FHDR.pack(FILE_MAGIC, table.num_columns)]
     metas: dict[str, dict] = {}
@@ -48,22 +48,52 @@ def write_block_file(path: str, table: pa.Table, plans: dict | None = None) -> t
         parts.append(_U64.pack(len(blob)))
         parts.append(blob)
         metas[name] = meta
-    payload = b"".join(parts)
-    crc = zlib.crc32(payload)
+    return b"".join(parts), metas
+
+
+def _atomic_write(path: str, payload: bytes) -> int:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".inprogress"
     with open(tmp, "wb") as f:
         f.write(payload)
     os.replace(tmp, path)
-    return crc, metas
+    return zlib.crc32(payload)
 
 
-def read_block_file(path: str, schema: pa.Schema, columns: list[str] | None = None):
-    """Decode a block file → RecordBatch generator (column-pruned if asked)."""
-    with open(path, "rb") as f:
-        buf = memoryview(f.read())
+def write_block_file(path: str, table: pa.Table, plans: dict | None = None) -> tuple[int, dict]:
+    """Encode all columns of ``table`` → one block file. Atomic. Returns
+    (crc32, per-column meta)."""
+    payload, metas = encode_block_bytes(table, plans)
+    return _atomic_write(path, payload), metas
+
+
+def merge_column_metas(metas_list: list[dict]) -> dict:
+    """Merge per-stripe column metas into one manifest record per column."""
+    out: dict[str, dict] = {}
+    for metas in metas_list:
+        for col, m in metas.items():
+            agg = out.setdefault(
+                col,
+                {"codec": set(), "raw_bytes": 0, "enc_bytes": 0, "null_count": 0,
+                 "min": None, "max": None, "n": 0},
+            )
+            agg["codec"].add(str(m.get("codec")))
+            for k in ("raw_bytes", "enc_bytes", "null_count", "n"):
+                agg[k] += int(m.get(k) or 0)
+            for k, pick in (("min", min), ("max", max)):
+                v = m.get(k)
+                if v is not None:
+                    agg[k] = v if agg[k] is None else pick(agg[k], v)
+            if m.get("lengths_codec"):
+                agg["lengths_codec"] = m["lengths_codec"]
+    for agg in out.values():
+        agg["codec"] = "+".join(sorted(agg["codec"]))
+    return out
+
+
+def _decode_flat_block(buf: memoryview, schema: pa.Schema, columns: list[str] | None):
     magic, n_cols = _FHDR.unpack_from(buf, 0)
-    assert magic == FILE_MAGIC, f"bad block file magic in {path}"
+    assert magic == FILE_MAGIC, "bad block magic"
     off = _FHDR.size
     arrays, names = [], []
     want = set(columns) if columns is not None else None
@@ -75,7 +105,27 @@ def read_block_file(path: str, schema: pa.Schema, columns: list[str] | None = No
             arrays.append(decode_array(buf[off : off + ln], schema.field(name).type))
             names.append(name)
         off += ln
-    yield pa.RecordBatch.from_arrays(arrays, names=names)
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def read_block_file(path: str, schema: pa.Schema, columns: list[str] | None = None):
+    """Decode a block file → RecordBatch generator (column-pruned if asked).
+
+    Two layouts: flat ('RGF1', one stripe) and striped ('RGS1', map-side
+    pre-encoded stripes concatenated by the reduce task — one batch each)."""
+    with open(path, "rb") as f:
+        buf = memoryview(f.read())
+    magic = bytes(buf[:4])
+    if magic == STRIPED_MAGIC:
+        (n_stripes,) = struct.unpack_from("<I", buf, 4)
+        off = 8
+        for _ in range(n_stripes):
+            (ln,) = _U64.unpack_from(buf, off)
+            off += 8
+            yield _decode_flat_block(buf[off : off + ln], schema, columns)
+            off += ln
+    else:
+        yield _decode_flat_block(buf, schema, columns)
 
 
 # ------------------------------------------------------------- encode job
@@ -143,11 +193,15 @@ def encode_table(
     num_partitions: int | None = None,
     target_tokens: int = DEFAULT_TARGET_TOKENS,
     plans: dict | None = None,
+    precombine: bool = False,
 ) -> DataFrame:
     """Encode ``df`` into ``out_dir`` (blocks + manifest). Resumable.
 
     ``size_col`` drives size-balanced partitioning (token mass); ``key_col``
     makes partition assignment + intra-block order deterministic.
+    ``precombine=True`` is the map-side-combine plan: stripes are encoded
+    *before* the shuffle, so the wire carries compressed bytes (~4× less
+    network at scale) and the reduce task only concatenates.
     Returns the manifest DataFrame (one lineage row per partition).
     """
     spark = df.sparkSession
@@ -173,6 +227,11 @@ def encode_table(
     )
     sort_key = key_col
     blocks_dir = os.path.join(out_dir, mf.BLOCKS_DIR)
+
+    if precombine:
+        return _encode_precombine(
+            spark, planned, out_dir, blocks_dir, sort_key, size_col, num_partitions, plans
+        )
 
     def encoder(key: tuple, table: pa.Table) -> pa.Table:
         pid = int(key[0].as_py())
@@ -209,6 +268,108 @@ def encode_table(
     # is worse; fewer causes collision stragglers).  AQE's coalescer would
     # merge groups into few giant tasks (it targets shuffle *bytes*, blind to
     # the Python-side encode cost) — pin it off for this job only.
+    conf = spark.conf
+    prev = conf.get("spark.sql.shuffle.partitions")
+    prev_coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try:
+        conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        result.write.mode("overwrite").format("noop").save()
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev)
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
+    return manifest_df(spark, out_dir)
+
+
+_STRIPE_DDL = (
+    "partition_id int, stripe binary, n_rows long, n_tokens long, "
+    "input_bytes long, min_key string, meta string"
+)
+
+
+def _encode_precombine(
+    spark, planned, out_dir, blocks_dir, sort_key, size_col, num_partitions, plans
+) -> DataFrame:
+    """Map-side-combine encode: stripes encoded in the map stage, shuffled
+    compressed, concatenated per partition in the reduce stage."""
+    import numpy as np
+
+    def map_encode(batches):
+        import pyarrow.compute as pc
+
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
+        if tbl.num_rows == 0:
+            return
+        keys = [("__rugo_pid", "ascending")] + ([(sort_key, "ascending")] if sort_key else [])
+        tbl = tbl.sort_by(keys)
+        pids = tbl.column("__rugo_pid").to_numpy()
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(pids)) + 1, [len(pids)]))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sub = tbl.slice(s, e - s).drop_columns("__rugo_pid")
+            payload, metas = encode_block_bytes(sub, plans)
+            n_tokens = int(pc.sum(sub.column(size_col)).as_py() or 0) if size_col else 0
+            min_key = str(sub.column(sort_key)[0].as_py()) if sort_key else ""
+            yield pa.RecordBatch.from_pylist(
+                [
+                    {
+                        "partition_id": int(pids[s]),
+                        "stripe": payload,
+                        "n_rows": int(e - s),
+                        "n_tokens": n_tokens,
+                        "input_bytes": int(sub.nbytes),
+                        "min_key": min_key,
+                        "meta": json.dumps(metas, default=str),
+                    }
+                ],
+                schema=pa.schema(
+                    [
+                        ("partition_id", pa.int32()),
+                        ("stripe", pa.binary()),
+                        ("n_rows", pa.int64()),
+                        ("n_tokens", pa.int64()),
+                        ("input_bytes", pa.int64()),
+                        ("min_key", pa.string()),
+                        ("meta", pa.string()),
+                    ]
+                ),
+            )
+
+    stripes = planned.mapInArrow(map_encode, _STRIPE_DDL)
+
+    def assemble(key: tuple, table: pa.Table) -> pa.Table:
+        pid = int(key[0].as_py())
+        order = pa.compute.sort_indices(
+            table, sort_keys=[("min_key", "ascending"), ("n_rows", "ascending")]
+        )
+        table = table.take(order)
+        stripe_col = table.column("stripe")
+        parts = [b"RGS1", struct.pack("<I", table.num_rows)]
+        for i in range(table.num_rows):  # per stripe, not per row
+            blob = stripe_col[i].as_py()
+            parts.append(struct.pack("<Q", len(blob)))
+            parts.append(blob)
+        payload = b"".join(parts)
+        path = os.path.join(blocks_dir, f"part-{pid:06d}.rgb")
+        crc = _atomic_write(path, payload)
+        metas_list = [json.loads(m) for m in table.column("meta").to_pylist()]
+        merged = merge_column_metas(metas_list)
+        row = {
+            "partition_id": pid,
+            "n_rows": int(pa.compute.sum(table.column("n_rows")).as_py() or 0),
+            "n_tokens": int(pa.compute.sum(table.column("n_tokens")).as_py() or 0),
+            "input_bytes": int(pa.compute.sum(table.column("input_bytes")).as_py() or 0),
+            "output_bytes": int(os.path.getsize(path)),
+            "block_path": path,
+            "checksum": int(crc),
+            "codecs": json.dumps(merged, default=str),
+        }
+        mf.write_sidecar(out_dir, row)
+        return pa.Table.from_pylist([row], schema=mf.MANIFEST_ARROW)
+
+    result = stripes.groupBy("partition_id").applyInArrow(assemble, mf.MANIFEST_DDL)
     conf = spark.conf
     prev = conf.get("spark.sql.shuffle.partitions")
     prev_coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled")

@@ -54,11 +54,17 @@ def select_int_codec(v: np.ndarray) -> tuple[str, dict]:
     return min(sizes, key=sizes.__getitem__), s
 
 
-def select_bytes_codec(data: bytes, sample_limit: int = 1 << 18) -> str:
-    """Pick 'fsst' or 'raw' (outer zstd is auto either way) by sampled trial."""
+def select_bytes_codec(data: bytes, sample_limit: int = 1 << 16) -> str:
+    """Pick 'fsst' or 'raw' (outer zstd is auto either way) by sampled trial.
+
+    Cost guard: the FSST trial (BPE training) is ~10× the zstd trial, so it
+    only runs when plain zstd leaves room to improve (< 4× on the sample) —
+    when zstd already crushes the data, FSST can't pay for itself."""
     if len(data) < 256:
         return "raw"
     sample = data[:sample_limit]
-    fsst_size = len(general.wrap(fsst.encode(sample), general.ZSTD))
     raw_size = len(general.wrap(sample, general.ZSTD))
+    if raw_size * 4 < len(sample):
+        return "raw"
+    fsst_size = len(general.wrap(fsst.encode(sample), general.ZSTD))
     return "fsst" if fsst_size < raw_size * 0.95 else "raw"

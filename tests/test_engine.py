@@ -206,3 +206,33 @@ def test_all_testdata_tables_roundtrip(spark, tmp_path):
         assert back.schema == df.schema, t
         assert back.exceptAll(df).count() == 0, t
         assert df.exceptAll(back).count() == 0, t
+
+
+def test_precombine_encode_roundtrip_and_resume(spark, token_df, tmp_out):
+    man = encode_table(
+        token_df, tmp_out, key_col="doc_id", size_col="n_tok",
+        num_partitions=6, precombine=True,
+    )
+    rows1 = {r["partition_id"]: r for r in man.collect()}
+    assert set(rows1) == set(range(6))
+    out = decode_table(spark, tmp_out)
+    got = _sorted_pandas(out, "doc_id")
+    want = _sorted_pandas(token_df, "doc_id")
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    for g, w in zip(got["tokens"].values, want["tokens"].values):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    # min/max survive stripe merging → pruning still works
+    import json as _json
+
+    codecs = _json.loads(rows1[0]["codecs"])
+    assert codecs["n_tok"]["min"] is not None and codecs["n_tok"]["max"] is not None
+    # resume: drop one sidecar+block, re-run, identical checksum
+    os.remove(mf.sidecar_path(tmp_out, 2))
+    os.remove(rows1[2]["block_path"])
+    man2 = encode_table(
+        token_df, tmp_out, key_col="doc_id", size_col="n_tok",
+        num_partitions=6, precombine=True,
+    )
+    rows2 = {r["partition_id"]: r for r in man2.collect()}
+    assert rows2[2]["checksum"] == rows1[2]["checksum"]
+    assert rows2[2]["n_rows"] == rows1[2]["n_rows"]
