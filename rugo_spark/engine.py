@@ -193,21 +193,28 @@ def encode_table(
     num_partitions: int | None = None,
     target_tokens: int = DEFAULT_TARGET_TOKENS,
     plans: dict | None = None,
-    precombine: bool = False,
+    precombine: bool | str = "auto",
 ) -> DataFrame:
     """Encode ``df`` into ``out_dir`` (blocks + manifest). Resumable.
 
     ``size_col`` drives size-balanced partitioning (token mass); ``key_col``
     makes partition assignment + intra-block order deterministic.
-    ``precombine=True`` is the map-side-combine plan: stripes are encoded
+    ``precombine`` is the map-side-combine plan: stripes are encoded
     *before* the shuffle, so the wire carries compressed bytes (~4× less
-    network at scale) and the reduce task only concatenates.
+    shuffle volume) and the reduce task only concatenates.  Measured
+    cross-over: grouped wins on small inputs (per-stripe overhead), precombine
+    wins ≥3× once the shuffle no longer fits cache (2.4B tokens: 56 vs 15
+    Mtok/s) — 'auto' switches on total mass.
     Returns the manifest DataFrame (one lineage row per partition).
     """
     spark = df.sparkSession
-    planned, num_partitions = with_partition_id(
+    planned, num_partitions, total_mass = with_partition_id(
         df, num_partitions, size_col=size_col, key_col=key_col, target_mass=target_tokens
     )
+    if precombine == "auto":
+        # big jobs (≥ ~500M tokens through the shuffle) flip to map-side
+        # stripe encoding; small jobs keep the cheaper grouped path
+        precombine = total_mass >= 500_000_000
 
     # checkpoint-restart: skip partitions whose sidecar already exists
     done = [r["partition_id"] for r in mf.completed_partitions(out_dir)]

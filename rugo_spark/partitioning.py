@@ -36,14 +36,15 @@ def with_partition_id(
     size_col: str | None = None,
     key_col: str | None = None,
     target_mass: int | None = None,
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, int]:
     """Add a deterministic ``partition_id`` column, size-balanced by ``size_col``.
 
     ONE scan builds an exact histogram of the (clipped) size column; the
     cumulative-mass mapping is broadcast-joined back — no extra quantile
     pass, no shuffle before the grouped encode.  If ``num_partitions`` is
     None it is derived from total mass / ``target_mass``.
-    Returns (planned df, num_partitions).
+    Returns (planned df, num_partitions, total_mass) — total_mass is 0 when
+    no size column is given.
     """
     key_expr = F.xxhash64(F.col(key_col)) if key_col else F.xxhash64(*df.columns)
     if size_col is None:
@@ -59,7 +60,7 @@ def with_partition_id(
                 ),
             )
         pid = F.pmod(key_expr, F.lit(num_partitions)).cast("int")
-        return df.withColumn("__rugo_pid", pid), num_partitions
+        return df.withColumn("__rugo_pid", pid), num_partitions, 0
 
     # one scan: exact histogram of size values (bounded key space);
     # null sizes count as 0 so the broadcast join never drops rows
@@ -98,4 +99,4 @@ def with_partition_id(
         .withColumn("__rugo_pid", pid)
         .drop("__rugo_sz", "__rugo_cum", "__rugo_frac")
     )
-    return planned, num_partitions
+    return planned, num_partitions, int(total)
