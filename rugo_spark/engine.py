@@ -410,6 +410,70 @@ def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, spark_schema)
 
 
+def stats_df(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-(partition, column) statistics table — the reference's
+    one-row-per-(row_group, column) stats surface (SURVEY.md §1.1) as a
+    DataFrame: codec, encoded/raw bytes, null_count, min/max, distinct est."""
+    import pandas as pd
+
+    rows = []
+    for r in mf.completed_partitions(out_dir):
+        for col, m in json.loads(r["codecs"]).items():
+            rows.append(
+                {
+                    "partition_id": r["partition_id"],
+                    "column": col,
+                    "codec": str(m.get("codec")),
+                    "enc_bytes": int(m.get("enc_bytes") or 0),
+                    "raw_bytes": int(m.get("raw_bytes") or 0),
+                    "null_count": int(m.get("null_count") or 0),
+                    "min": str(m.get("min")) if m.get("min") is not None else None,
+                    "max": str(m.get("max")) if m.get("max") is not None else None,
+                    "distinct_est": int(m["distinct_est"]) if m.get("distinct_est") else None,
+                }
+            )
+    pdf = pd.DataFrame(
+        rows,
+        columns=["partition_id", "column", "codec", "enc_bytes", "raw_bytes",
+                 "null_count", "min", "max", "distinct_est"],
+    )
+    return spark.createDataFrame(
+        pdf,
+        "partition_id int, column string, codec string, enc_bytes long, "
+        "raw_bytes long, null_count long, min string, max string, distinct_est long",
+    )
+
+
+def encode_epoch(
+    df: DataFrame,
+    dataset_dir: str,
+    epoch: int,
+    **kwargs,
+) -> DataFrame:
+    """Append semantics for a growing dataset: each ingest epoch encodes into
+    its own namespace (``<dataset>/epoch=N/``) with independent resume, like
+    the streaming sink's ``batch=N`` layout.  ``decode_dataset`` unions all
+    epochs."""
+    return encode_table(df, os.path.join(dataset_dir, f"epoch={epoch}"), **kwargs)
+
+
+def decode_dataset(spark: SparkSession, dataset_dir: str, **kwargs) -> DataFrame:
+    """Union-decode every epoch under ``dataset_dir`` (or a single plain
+    encode dir)."""
+    from functools import reduce
+
+    epochs = sorted(
+        os.path.join(dataset_dir, d)
+        for d in os.listdir(dataset_dir)
+        if d.startswith("epoch=") and os.path.isdir(os.path.join(dataset_dir, d))
+    )
+    if not epochs:
+        return decode_table(spark, dataset_dir, **kwargs)
+    return reduce(
+        lambda a, b: a.unionAll(b), (decode_table(spark, e, **kwargs) for e in epochs)
+    )
+
+
 # ------------------------------------------------------------- decode job
 
 def _block_may_match(codecs: dict, col: str, op: str, value) -> bool:

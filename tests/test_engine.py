@@ -236,3 +236,22 @@ def test_precombine_encode_roundtrip_and_resume(spark, token_df, tmp_out):
     rows2 = {r["partition_id"]: r for r in man2.collect()}
     assert rows2[2]["checksum"] == rows1[2]["checksum"]
     assert rows2[2]["n_rows"] == rows1[2]["n_rows"]
+
+
+def test_stats_df_and_epoch_append(spark, token_df, tmp_out):
+    from rugo_spark.engine import decode_dataset, encode_epoch, stats_df
+
+    half = N_DOCS // 2
+    a = token_df.limit(half)
+    b = token_df.exceptAll(a)
+    encode_epoch(a, tmp_out, epoch=0, key_col="doc_id", size_col="n_tok", num_partitions=3)
+    encode_epoch(b, tmp_out, epoch=1, key_col="doc_id", size_col="n_tok", num_partitions=3)
+    out = decode_dataset(spark, tmp_out)
+    assert out.count() == N_DOCS
+    assert out.select("doc_id").distinct().count() == N_DOCS
+    s = stats_df(spark, os.path.join(tmp_out, "epoch=0"))
+    rows = s.collect()
+    assert {r["column"] for r in rows} == {"doc_id", "tokens", "n_tok", "source"}
+    ntok = [r for r in rows if r["column"] == "n_tok"]
+    assert all(r["min"] is not None and r["max"] is not None for r in ntok)
+    assert all(r["enc_bytes"] > 0 for r in rows)
