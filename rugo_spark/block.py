@@ -214,10 +214,26 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, plan: dict | None = None) -> t
         parts.append(_frame(body))
         meta["codec"] = codec
     elif kind == KIND_FLOAT:
-        v = dense.to_numpy(zero_copy_only=len(dense) > 0)
-        body = struct.pack("<B", v.dtype.itemsize) + general.wrap(np.ascontiguousarray(v).tobytes())
+        v = np.ascontiguousarray(dense.to_numpy(zero_copy_only=len(dense) > 0))
+        item = v.dtype.itemsize
+        # true BYTE_STREAM_SPLIT (rugo metadata.cpp:89-112 enum id 8) vs
+        # plain, decided by a sampled trial (mantissa entropy dependent)
+        mode = 0
+        if len(v) >= 64:
+            s = v[: min(len(v), 16384)]
+            plain_sz = len(general.wrap(s.tobytes()))
+            split_sz = len(
+                general.wrap(np.ascontiguousarray(s.view(np.uint8).reshape(-1, item).T).tobytes())
+            )
+            mode = 1 if split_sz < plain_sz * 0.97 else 0
+        payload = (
+            np.ascontiguousarray(v.view(np.uint8).reshape(-1, item).T).tobytes()
+            if mode
+            else v.tobytes()
+        )
+        body = struct.pack("<BB", item, mode) + general.wrap(payload)
         parts.append(_frame(body))
-        meta["codec"] = "plain"
+        meta["codec"] = "byte_stream_split" if mode else "plain"
     elif kind == KIND_STR:
         str_codec = plan.get("data")
         if str_codec is None:
@@ -324,10 +340,16 @@ def decode_array(buf: bytes | memoryview, typ: pa.DataType) -> pa.Array:
         return out if prim == typ else out.view(typ)
     if kind == KIND_FLOAT:
         body, off = _read_frame(mv, off)
-        itemsize = body[0]
-        raw = general.unwrap(body[1:])
+        itemsize, mode = body[0], body[1]
+        raw = np.frombuffer(general.unwrap(body[2:]), dtype=np.uint8)
         dt = np.float32 if itemsize == 4 else np.float64
-        vals = _expand(np.frombuffer(raw, dtype=dt), valid)
+        if mode == 1 and len(raw):
+            dense_v = (
+                np.ascontiguousarray(raw.reshape(itemsize, -1).T).view(dt).ravel()
+            )
+        else:
+            dense_v = raw.view(dt)
+        vals = _expand(dense_v, valid)
         return pa.Array.from_buffers(typ, n, [vbuf, pa.py_buffer(vals.tobytes())])
     if kind == KIND_STR:
         mode = mv[off]

@@ -109,3 +109,16 @@ def test_string_dict_mode():
     blob2, meta2 = encode_array(arr, plan={"data": "raw"})
     assert meta2["codec"] == "raw"
     assert decode_array(blob2, arr.type).equals(arr)
+
+
+def test_float_byte_stream_split_mode():
+    # smooth float64 series → byte planes compress → bss mode kicks in
+    vals = np.cumsum(RNG.normal(size=20000) * 1e-6) + 1000.0
+    arr = pa.array(vals, type=pa.float64())
+    blob, meta = encode_array(arr)
+    assert decode_array(blob, arr.type).equals(arr)
+    assert meta["codec"] in {"byte_stream_split", "plain"}
+    # high-entropy floats stay plain (trial decides), still exact
+    arr2 = pa.array(RNG.normal(size=5000).astype(np.float32), type=pa.float32())
+    blob2, meta2 = encode_array(arr2)
+    assert decode_array(blob2, arr2.type).equals(arr2)
