@@ -1,0 +1,109 @@
+"""Per-block Bloom filters for point-lookup block skipping.
+
+The reference *declares* ``TestBloomFilter`` but never implements it
+(rugo ``metadata.hpp:79-80``, no definition in ``metadata.cpp``, test
+underscore-disabled — SURVEY.md §2.1 #29).  We implement the capability it
+promised: every block's key column gets a fixed-size Bloom filter in the
+manifest sidecar; ``decode_table(filters=[(key, '=', v)])`` skips blocks
+whose filter excludes ``v``.
+
+Fixed geometry (m = 2^17 bits = 16 KiB, k = 7) so stripe filters OR
+together in the precombine path.  Hashing is a vectorized FNV-1a over the
+value's string form (first 24 bytes + length) with double hashing
+``h1 + i·h2`` — write side (numpy, whole-column) and query side (single
+value) share the same code.
+"""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+import pyarrow as pa
+
+M_BITS = 1 << 17
+K = 7
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_CAP = 24
+
+
+def _hash_pair(lens: np.ndarray, starts: np.ndarray, data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (h1, h2) per variable-length byte string."""
+    n = len(lens)
+    h1 = np.full(n, _FNV_OFFSET)
+    h2 = np.full(n, _FNV_OFFSET ^ np.uint64(0x9E3779B97F4A7C15))
+    np.seterr(over="ignore")  # uint64 wrap is the hash mixing
+    for k in range(_CAP):
+        m = lens > k
+        if not m.any():
+            break
+        byte = data[starts[m] + k].astype(np.uint64)
+        # update only rows still in range — the hash of a short key must not
+        # depend on the longest key in the batch
+        h1[m] = (h1[m] ^ byte) * _FNV_PRIME
+        h2[m] = (h2[m] + byte + np.uint64(k + 1)) * _FNV_PRIME
+    ln = lens.astype(np.uint64)
+    return h1 ^ (ln * _FNV_PRIME), h2 ^ ln
+
+
+def _string_bytes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        arr = pc.cast(arr, pa.string())  # str(value) form, matches query side
+    arr = pc.drop_null(arr)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    width = 8 if pa.types.is_large_string(arr.type) else 4
+    dt = np.int64 if width == 8 else np.int32
+    offsets = np.frombuffer(bufs[1], dtype=dt, count=len(arr) + 1, offset=arr.offset * width).astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    lens = np.diff(offsets)
+    starts = offsets[:-1]
+    return lens, starts, data
+
+
+def build(arr: pa.Array) -> dict:
+    """Bloom dict for a key column: {'m', 'k', 'bits_b64'} (sidecar-ready)."""
+    lens, starts, data = _string_bytes(arr)
+    bits = np.zeros(M_BITS // 8, dtype=np.uint8)
+    if len(lens):
+        h1, h2 = _hash_pair(lens, starts, data)
+        for i in range(K):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(M_BITS)
+            np.bitwise_or.at(bits, (idx // 8).astype(np.int64), (1 << (idx % 8)).astype(np.uint8))
+    import zlib
+
+    return {"m": M_BITS, "k": K, "bits_b64": base64.b64encode(zlib.compress(bits.tobytes())).decode()}
+
+
+def union(blooms: list[dict]) -> dict:
+    """OR stripe filters together (same fixed geometry)."""
+    import zlib
+
+    acc = np.zeros(M_BITS // 8, dtype=np.uint8)
+    for b in blooms:
+        acc |= np.frombuffer(zlib.decompress(base64.b64decode(b["bits_b64"])), dtype=np.uint8)
+    return {"m": M_BITS, "k": K, "bits_b64": base64.b64encode(zlib.compress(acc.tobytes())).decode()}
+
+
+def might_contain(bloom: dict, value) -> bool:
+    """Query-side membership test (single value, driver)."""
+    import zlib
+
+    raw = str(value).encode()
+    data = np.frombuffer(raw, dtype=np.uint8)
+    h1, h2 = _hash_pair(
+        np.array([len(raw)], dtype=np.int64), np.array([0], dtype=np.int64), data
+    )
+    bits = np.frombuffer(zlib.decompress(base64.b64decode(bloom["bits_b64"])), dtype=np.uint8)
+    with np.errstate(over="ignore"):
+        idx_list = [int((h1[0] + np.uint64(i) * h2[0]) % np.uint64(bloom["m"])) for i in range(bloom["k"])]
+    for idx in idx_list:
+        if not (bits[idx // 8] >> (idx % 8)) & 1:
+            return False
+    return True

@@ -178,8 +178,15 @@ def encode_table_maponly(
             "checksum": int(crc),
             "codecs": json.dumps(metas, default=str),
         }
+        if sort_key is not None:
+            from rugo_spark import bloom as _bloom
+
+            row["bloom_col"] = sort_key
+            row["bloom"] = _bloom.build(tbl.column(sort_key))
         mf.write_sidecar(out_dir, row)
-        yield pa.RecordBatch.from_pylist([row], schema=mf.MANIFEST_ARROW)
+        yield pa.RecordBatch.from_pylist(
+            [{k: row[k] for k in mf.MANIFEST_ARROW.names}], schema=mf.MANIFEST_ARROW
+        )
 
     df.mapInArrow(encoder, mf.MANIFEST_DDL).write.mode("overwrite").format("noop").save()
     return manifest_df(spark, out_dir)
@@ -263,8 +270,15 @@ def encode_table(
             "checksum": int(crc),
             "codecs": json.dumps(metas, default=str),
         }
+        if sort_key is not None:
+            from rugo_spark import bloom as _bloom
+
+            row["bloom_col"] = sort_key
+            row["bloom"] = _bloom.build(tbl.column(sort_key))
         mf.write_sidecar(out_dir, row)
-        return pa.Table.from_pylist([row], schema=mf.MANIFEST_ARROW)
+        return pa.Table.from_pylist(
+            [{k: row[k] for k in mf.MANIFEST_ARROW.names}], schema=mf.MANIFEST_ARROW
+        )
 
     result = planned.groupBy("__rugo_pid").applyInArrow(encoder, mf.MANIFEST_DDL)
     # materialize: run the job now so sidecars exist; manifest DF re-read from sidecars.
@@ -290,7 +304,7 @@ def encode_table(
 
 _STRIPE_DDL = (
     "partition_id int, stripe binary, n_rows long, n_tokens long, "
-    "input_bytes long, min_key string, meta string"
+    "input_bytes long, min_key string, meta string, bloom string"
 )
 
 
@@ -319,6 +333,12 @@ def _encode_precombine(
             payload, metas = encode_block_bytes(sub, plans)
             n_tokens = int(pc.sum(sub.column(size_col)).as_py() or 0) if size_col else 0
             min_key = str(sub.column(sort_key)[0].as_py()) if sort_key else ""
+            if sort_key:
+                from rugo_spark import bloom as _bloom
+
+                bloom_json = json.dumps(_bloom.build(sub.column(sort_key)))
+            else:
+                bloom_json = ""
             yield pa.RecordBatch.from_pylist(
                 [
                     {
@@ -329,6 +349,7 @@ def _encode_precombine(
                         "input_bytes": int(sub.nbytes),
                         "min_key": min_key,
                         "meta": json.dumps(metas, default=str),
+                        "bloom": bloom_json,
                     }
                 ],
                 schema=pa.schema(
@@ -340,6 +361,7 @@ def _encode_precombine(
                         ("input_bytes", pa.int64()),
                         ("min_key", pa.string()),
                         ("meta", pa.string()),
+                        ("bloom", pa.string()),
                     ]
                 ),
             )
@@ -373,8 +395,16 @@ def _encode_precombine(
             "checksum": int(crc),
             "codecs": json.dumps(merged, default=str),
         }
+        blooms = [json.loads(b) for b in table.column("bloom").to_pylist() if b]
+        if blooms and sort_key is not None:
+            from rugo_spark import bloom as _bloom
+
+            row["bloom_col"] = sort_key
+            row["bloom"] = _bloom.union(blooms)
         mf.write_sidecar(out_dir, row)
-        return pa.Table.from_pylist([row], schema=mf.MANIFEST_ARROW)
+        return pa.Table.from_pylist(
+            [{k: row[k] for k in mf.MANIFEST_ARROW.names}], schema=mf.MANIFEST_ARROW
+        )
 
     result = stripes.groupBy("partition_id").applyInArrow(assemble, mf.MANIFEST_DDL)
     conf = spark.conf
@@ -519,11 +549,19 @@ def decode_table(
 
     completed = mf.completed_partitions(out_dir)
     if filters:
-        completed = [
-            r
-            for r in completed
-            if all(_block_may_match(json.loads(r["codecs"]), c, op, v) for c, op, v in filters)
-        ]
+        def _keep(r):
+            codecs = json.loads(r["codecs"])
+            for c, op, v in filters:
+                if not _block_may_match(codecs, c, op, v):
+                    return False
+                if op == "=" and r.get("bloom") and r.get("bloom_col") == c:
+                    from rugo_spark import bloom as _bloom
+
+                    if not _bloom.might_contain(r["bloom"], v):
+                        return False
+            return True
+
+        completed = [r for r in completed if _keep(r)]
     paths = [r["block_path"] for r in completed]
     if not paths:
         return spark.createDataFrame([], out_schema)

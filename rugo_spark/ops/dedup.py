@@ -230,11 +230,13 @@ def _fnv1a(data, lens):
     h = np.full(n, np.uint64(0xCBF29CE484222325))
     prime = np.uint64(0x100000001B3)
     cap = 24
-    for k in range(cap):
-        m = lens > k
-        if not m.any():
-            break
-        byte = np.zeros(n, dtype=np.uint64)
-        byte[m] = data[starts[m] + k]
-        h = (h ^ byte) * prime
-    return h ^ (lens.astype(np.uint64) * prime)
+    with np.errstate(over="ignore"):
+        for k in range(cap):
+            m = lens > k
+            if not m.any():
+                break
+            byte = data[starts[m] + k].astype(np.uint64)
+            # masked update: a token's hash must not depend on the longest
+            # token in the batch (batch-independence → stable simhash)
+            h[m] = (h[m] ^ byte) * prime
+        return h ^ (lens.astype(np.uint64) * prime)

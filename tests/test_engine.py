@@ -255,3 +255,38 @@ def test_stats_df_and_epoch_append(spark, token_df, tmp_out):
     ntok = [r for r in rows if r["column"] == "n_tok"]
     assert all(r["min"] is not None and r["max"] is not None for r in ntok)
     assert all(r["enc_bytes"] > 0 for r in rows)
+
+
+def test_bloom_point_lookup_pruning(spark, token_df, tmp_out):
+    """The capability the reference declared but never implemented
+    (rugo metadata.hpp:79-80): bloom-filter block skipping on point lookups."""
+    from rugo_spark import bloom as bl
+
+    encode_table(token_df, tmp_out, key_col="doc_id", size_col="n_tok", num_partitions=8)
+    rows = mf.completed_partitions(tmp_out)
+    assert all(r.get("bloom") for r in rows)
+    # present key: exactly the blocks whose bloom admits it are scanned; row found
+    got = decode_table(spark, tmp_out, filters=[("doc_id", "=", "doc-000000000042")])
+    assert got.count() == 1
+    # absent key: every block pruned driver-side → zero tasks
+    kept = [r for r in rows if bl.might_contain(r["bloom"], "doc-999999999999")]
+    assert len(kept) <= 1  # fp rate ~0 at this size
+    miss = decode_table(spark, tmp_out, filters=[("doc_id", "=", "doc-999999999999")])
+    assert miss.count() == 0
+
+
+def test_bloom_unit():
+    import pyarrow as pa
+
+    from rugo_spark import bloom as bl
+
+    arr = pa.array([f"key-{i}" for i in range(5000)])
+    b = bl.build(arr)
+    assert all(bl.might_contain(b, f"key-{i}") for i in range(0, 5000, 97))
+    fps = sum(bl.might_contain(b, f"other-{i}") for i in range(1000))
+    assert fps < 20
+    ints = pa.array(list(range(1000)), type=pa.int64())
+    bi = bl.build(ints)
+    assert bl.might_contain(bi, 999) and not bl.might_contain(bi, 12345)
+    u = bl.union([b, bi])
+    assert bl.might_contain(u, "key-1") and bl.might_contain(u, 999)

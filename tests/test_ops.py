@@ -195,3 +195,13 @@ def test_embedding_near_dups_finds_clone(spark, emb):
     both = emb.unionAll(clone)
     pairs = embedding_near_dups(both, threshold=0.999, bits=4).collect()
     assert any(r["id_a"] == 0 and r["id_b"] == 10_000 for r in pairs)
+
+
+def test_simhash_batch_independent(spark, docs):
+    """Same text must hash identically regardless of batch composition."""
+    one = docs.limit(1).select("doc_id", "text")
+    alone = dedup.simhash(one).collect()[0]["simhash"]
+    with_crowd = {
+        r["doc_id"]: r["simhash"] for r in dedup.simhash(docs.limit(200)).collect()
+    }
+    assert with_crowd[one.first()["doc_id"]] == alone
