@@ -289,6 +289,44 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "band_id").orderBy("event_id", "band_id")
 
 
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation with a distinct count."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar functions over orders."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofweek("o_orderdate").cast("long").alias("order_dow"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+    )
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar functions over the embedding column."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).cast("long").alias("dim"),
+        F.aggregate(emb, F.lit(0.0), lambda a, x: a + x.cast("double")).alias("vec_sum"),
+        F.array_max(emb).cast("double").alias("vec_max"),
+        F.array_min(emb).cast("double").alias("vec_min"),
+    )
+
+
 def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (grouping-sets family)."""
     l = _t(spark, sf_dir, "lineitem")
@@ -335,6 +373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_latest_order": q_asof_join,
         "range_join_value_bands": q_range_join,
         "rollup_pricing": q_rollup_pricing,
+        "cube_orders": q_cube_orders,
+        "date_functions": q_date_functions,
+        "array_functions": q_array_functions,
         "doc_fingerprint": q_fingerprint,
         "multimodal_features": q_multimodal_features,
     }
@@ -441,6 +482,30 @@ def oracle_sql() -> dict[str, str]:
               ON e.value >= n.n_nationkey * 40.0
              AND e.value <  n.n_nationkey * 40.0 + 60.0
             ORDER BY e.event_id, band_id
+        """,
+        "cube_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n,
+                   COUNT(DISTINCT o_custkey) AS n_customers
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "date_functions": """
+            SELECT o_orderkey,
+                   YEAR(o_orderdate) AS order_year,
+                   MONTH(o_orderdate) AS order_month,
+                   DAYOFWEEK(o_orderdate) + 1 AS order_dow,
+                   STRFTIME(o_orderdate, '%Y-%m') AS order_ym
+            FROM orders
+        """,
+        "array_functions": """
+            SELECT vec_id,
+                   LEN(embedding) AS dim,
+                   LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))) AS vec_sum,
+                   CAST(LIST_MAX(embedding) AS DOUBLE) AS vec_max,
+                   CAST(LIST_MIN(embedding) AS DOUBLE) AS vec_min
+            FROM embeddings
         """,
         "rollup_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -532,6 +532,7 @@ def decode_table(
     columns: list[str] | None = None,
     num_tasks: int | None = None,
     filters: list[tuple] | None = None,
+    verify_checksums: bool = False,
 ) -> DataFrame:
     """Reconstruct the original DataFrame from blocks. One task per block file,
     no shuffle; column pruning skips undecoded columns entirely; ``filters``
@@ -548,6 +549,7 @@ def decode_table(
     import pandas as pd
 
     completed = mf.completed_partitions(out_dir)
+    crc_by_path = {r["block_path"]: int(r["checksum"]) for r in completed}
     if filters:
         def _keep(r):
             codecs = json.loads(r["codecs"])
@@ -572,6 +574,15 @@ def decode_table(
     def decoder(batches):
         for batch in batches:
             for path in batch.column(0).to_pylist():  # per-partition only
+                if verify_checksums:
+                    with open(path, "rb") as f:
+                        got = zlib.crc32(f.read())
+                    want = crc_by_path.get(path)
+                    if want is not None and got != want:
+                        raise IOError(
+                            f"checksum mismatch for {path}: block corrupted "
+                            f"(manifest {want}, file {got})"
+                        )
                 yield from read_block_file(path, arrow_schema, columns)
 
     out = man.mapInArrow(decoder, out_schema)

@@ -290,3 +290,19 @@ def test_bloom_unit():
     assert bl.might_contain(bi, 999) and not bl.might_contain(bi, 12345)
     u = bl.union([b, bi])
     assert bl.might_contain(u, "key-1") and bl.might_contain(u, 999)
+
+
+def test_decode_checksum_verification(spark, token_df, tmp_out):
+    man = encode_table(token_df, tmp_out, key_col="doc_id", size_col="n_tok", num_partitions=3)
+    victim = man.collect()[0]["block_path"]
+    assert decode_table(spark, tmp_out, verify_checksums=True).count() == N_DOCS
+    # corrupt one byte mid-file → verified decode must fail loudly
+    with open(victim, "r+b") as f:
+        f.seek(100)
+        b = f.read(1)
+        f.seek(100)
+        f.write(bytes([b[0] ^ 0xFF]))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="checksum mismatch"):
+        decode_table(spark, tmp_out, verify_checksums=True).count()
