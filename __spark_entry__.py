@@ -41,7 +41,12 @@ def entry(spark: SparkSession) -> DataFrame:
     from rugo_spark.engine import decode_table, encode_table
     from rugo_spark.tokengen import token_batch
 
-    df = spark.createDataFrame(token_batch(2000).to_pandas())
+    # Arrow path handles pandas list-columns; harmless if already enabled.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    df = spark.createDataFrame(
+        token_batch(2000).to_pandas(),
+        schema="doc_id string, tokens array<int>, n_tok int, source string",
+    )
     out = _fresh("entry_tokens", "sf0.001")
     encode_table(df, out, key_col="doc_id", size_col="n_tok", num_partitions=8)
     return decode_table(spark, out).select("doc_id", "n_tok", "source")

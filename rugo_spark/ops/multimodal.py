@@ -41,7 +41,7 @@ def synth_media_df(spark, n: int = 256, seed: int = 42) -> DataFrame:
             "sample_rate": rng.integers(8000, 48000, n).astype("int32"),
         }
     )
-    return spark.createDataFrame(pdf)
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
 
 
 def decode_image(payload: bytes) -> np.ndarray:
