@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_documents": _roundtrip("documents", "doc_id", "n_chars"),
         "roundtrip_lineitem": _roundtrip("lineitem", "l_orderkey", None),
         "roundtrip_events": _roundtrip("events", "event_id", None),
+        "roundtrip_part": _roundtrip("part", "p_partkey", None),
         "manifest_lineage": q_manifest,
         "agg_pricing_summary": q_agg_pricing,
         "join_top_revenue": q_join_revenue,
@@ -391,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_documents": "SELECT * FROM documents",
         "roundtrip_lineitem": "SELECT * FROM lineitem",
         "roundtrip_events": "SELECT * FROM events",
+        "roundtrip_part": "SELECT * FROM part",
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,

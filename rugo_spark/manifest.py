@@ -53,6 +53,11 @@ def write_schema(out_dir: str, arrow_schema: pa.Schema, spark_schema_json: str) 
 
 
 def read_schema(out_dir: str) -> tuple[pa.Schema, dict]:
+    path = os.path.join(out_dir, SCHEMA_FILE)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"not an encoded dataset (missing {SCHEMA_FILE}): {out_dir}"
+        )
     with open(os.path.join(out_dir, SCHEMA_FILE)) as f:
         payload = json.load(f)
     schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(payload["arrow_schema_b64"])))

@@ -306,3 +306,16 @@ def test_decode_checksum_verification(spark, token_df, tmp_out):
 
     with _pytest.raises(Exception, match="checksum mismatch"):
         decode_table(spark, tmp_out, verify_checksums=True).count()
+
+
+def test_io_roundtrip_and_missing_dataset_error(spark, tmp_path):
+    from rugo_spark.io import read_table, write_table
+
+    df = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    p = str(tmp_path / "io_rt")
+    write_table(df, p)
+    assert read_table(spark, p).count() == df.count()
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="not an encoded dataset"):
+        decode_table(spark, str(tmp_path / "nope"))
