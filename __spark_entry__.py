@@ -345,6 +345,21 @@ def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_docs_to_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data path: documents → tokenize → size-balanced
+    encode → decode; the oracle recomputes n_tok from raw text in SQL, so a
+    value match proves the whole pipeline (tokenizer + encode + decode)."""
+    from rugo_spark.engine import decode_table, encode_table
+    from rugo_spark.ops.tokenize import tokenize
+
+    d = _t(spark, sf_dir, "documents")
+    tok = tokenize(d)
+    out = _fresh("pipeline_tokens", sf_dir)
+    encode_table(tok, out, key_col="doc_id", size_col="n_tok", num_partitions=8)
+    back = decode_table(spark, out)
+    return back.select("doc_id", F.size("tokens").cast("long").alias("n_tok"))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction plumbing (deterministic fake decode)."""
     from rugo_spark.ops.multimodal import extract_features, synth_media_df
@@ -384,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_functions": q_array_functions,
         "doc_fingerprint": q_fingerprint,
         "multimodal_features": q_multimodal_features,
+        "pipeline_docs_to_encoded": q_pipeline_docs_to_encoded,
     }
 
 
@@ -489,6 +505,11 @@ def oracle_sql() -> dict[str, str]:
               ON e.value >= n.n_nationkey * 40.0
              AND e.value <  n.n_nationkey * 40.0 + 60.0
             ORDER BY e.event_id, band_id
+        """,
+        "pipeline_docs_to_encoded": """
+            SELECT doc_id,
+                   LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_tok
+            FROM documents
         """,
         "cube_orders": """
             SELECT o_orderstatus, o_orderpriority,

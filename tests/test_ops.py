@@ -205,3 +205,16 @@ def test_simhash_batch_independent(spark, docs):
         r["doc_id"]: r["simhash"] for r in dedup.simhash(docs.limit(200)).collect()
     }
     assert with_crowd[one.first()["doc_id"]] == alone
+
+
+def test_tokenize_shape_and_determinism(spark, docs):
+    from rugo_spark.ops.tokenize import VOCAB, tokenize
+
+    t1 = tokenize(docs.limit(50)).toPandas().sort_values("doc_id").reset_index(drop=True)
+    t2 = tokenize(docs.limit(50)).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(t1.columns) == ["doc_id", "tokens", "n_tok", "source"]
+    for a, b in zip(t1["tokens"], t2["tokens"]):
+        assert list(a) == list(b)
+    flat = [t for row in t1["tokens"] for t in row]
+    assert flat and all(0 <= t < VOCAB for t in flat)
+    assert (t1["n_tok"] == t1["tokens"].map(len)).all()
