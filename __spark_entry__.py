@@ -248,6 +248,18 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rugo_spark.ops.textstats import repetition_ratio
+
+    return repetition_ratio(_t(spark, sf_dir, "documents"))
+
+
+def q_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rugo_spark.ops.textstats import pii_counts
+
+    return pii_counts(_t(spark, sf_dir, "documents"))
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rugo_spark.ops.textstats import fingerprint
 
@@ -398,6 +410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_functions": q_date_functions,
         "array_functions": q_array_functions,
         "doc_fingerprint": q_fingerprint,
+        "repetition_ratio": q_repetition_ratio,
+        "pii_counts": q_pii_counts,
         "multimodal_features": q_multimodal_features,
         "pipeline_docs_to_encoded": q_pipeline_docs_to_encoded,
     }
@@ -505,6 +519,26 @@ def oracle_sql() -> dict[str, str]:
               ON e.value >= n.n_nationkey * 40.0
              AND e.value <  n.n_nationkey * 40.0 + 60.0
             ORDER BY e.event_id, band_id
+        """,
+        "repetition_ratio": """
+            SELECT doc_id,
+                   LEN(grams) AS total_ngrams,
+                   LEN(LIST_DISTINCT(grams)) AS distinct_ngrams,
+                   CASE WHEN LEN(grams) > 0
+                        THEN 1.0 - LEN(LIST_DISTINCT(grams)) * 1.0 / LEN(grams)
+                        ELSE 0.0 END AS repetition_ratio
+            FROM (
+              SELECT doc_id,
+                     LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 4, 0) + 1),
+                                    i -> SUBSTR(text, CAST(i AS INT), 5)) AS grams
+              FROM documents)
+        """,
+        "pii_counts": """
+            SELECT doc_id,
+                   LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z0-9._%+\\-]+@[a-zA-Z0-9.\\-]+\\.[a-zA-Z][a-zA-Z]+')) AS n_emails,
+                   LEN(REGEXP_EXTRACT_ALL(text, 'https?://[^\\s]+')) AS n_urls,
+                   LEN(REGEXP_EXTRACT_ALL(text, '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS n_phoneish
+            FROM documents
         """,
         "pipeline_docs_to_encoded": """
             SELECT doc_id,

@@ -84,6 +84,45 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def repetition_ratio(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
+    """Boilerplate/repetition signal: 1 − distinct/total character n-grams.
+
+    High values flag template-y or looping documents (a standard pretraining
+    quality filter).  Built-ins only; ties out exactly against a SQL oracle."""
+    text = F.col(text_col)
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)),"
+        f" i -> substr({text_col}, i, {n}))"
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        id_col,
+        total.cast("long").alias("total_ngrams"),
+        distinct.cast("long").alias("distinct_ngrams"),
+        F.when(total > 0, 1.0 - distinct.cast("double") / total.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("repetition_ratio"),
+    )
+
+
+PII_PATTERNS = {  # RE2-safe (no lookaround/backrefs) so SQL oracles match
+    "n_emails": r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z][a-zA-Z]+",
+    "n_urls": r"https?://[^\s]+",
+    "n_phoneish": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+}
+
+
+def pii_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Counts of PII-ish spans (emails / URLs / phone-like digit runs) — the
+    screening pass a training pipeline runs before redaction."""
+    cols = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).cast("long").alias(name)
+        for name, pat in PII_PATTERNS.items()
+    ]
+    return df.select(id_col, *cols)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Polynomial rolling-hash document fingerprint (numpy kernel, mapInArrow).
 
