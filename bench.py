@@ -154,6 +154,15 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).collect()
         timings[name] = time.perf_counter() - t0
+
+    # one more map-only sample later in the session (time-diversified min —
+    # a noisy-neighbor burst earlier shouldn't define the headline)
+    for _ in range(2):
+        shutil.rmtree(out_mo, ignore_errors=True)
+        t0 = time.perf_counter()
+        encode_table_maponly(tok_df, out_mo, sort_key="doc_id", size_col="n_tok")
+        timings["encode_maponly"] = min(timings["encode_maponly"], time.perf_counter() - t0)
+    extra["encode_maponly_tokens_per_sec"] = round(total_tokens / timings["encode_maponly"])
     spark.stop()
 
     # ---------------- scaling: the same encode job at N and 4N cores.
