@@ -319,3 +319,18 @@ def test_io_roundtrip_and_missing_dataset_error(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="not an encoded dataset"):
         decode_table(spark, str(tmp_path / "nope"))
+
+
+def test_blocks_invariant_to_input_partitioning(spark, token_df, tmp_path):
+    """Grouped encode output is a pure function of (data, num_partitions):
+    input split layout must not change a single output byte (this is what
+    makes resume + re-runs on different cluster sizes reproducible)."""
+    outs = {}
+    for tag, nparts in [("a", 3), ("b", 11)]:
+        out = str(tmp_path / tag)
+        encode_table(
+            token_df.repartition(nparts), out,
+            key_col="doc_id", size_col="n_tok", num_partitions=5,
+        )
+        outs[tag] = {r["partition_id"]: r["checksum"] for r in mf.completed_partitions(out)}
+    assert outs["a"] == outs["b"]
