@@ -67,27 +67,41 @@ def _roundtrip(table: str, key: str, size_col: str | None):
 
 
 def q_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine lineage surface (no SQL oracle — rows-only check)."""
+    """Engine lineage surface, checked on conservation invariants: the
+    manifest's row/token accounting must tie out exactly against the source
+    table (SUM(n_rows) = COUNT(*), SUM(n_tokens) = SUM(n_chars))."""
     from rugo_spark.engine import encode_table
 
     df = _t(spark, sf_dir, "documents")
     out = _fresh("man_documents", sf_dir)
     man = encode_table(df, out, key_col="doc_id", size_col="n_chars", num_partitions=8)
-    return man.select("partition_id", "n_rows", "input_bytes", "output_bytes", "checksum")
+    return man.agg(
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.sum("n_tokens").cast("long").alias("total_size_mass"),
+        (F.min("output_bytes") > 0).alias("all_blocks_nonempty"),
+        (F.count_distinct("block_path") == F.count(F.lit(1))).alias("block_paths_unique"),
+    )
+
+
+def _money_cents(col: str):
+    """Exact integer cents from a 2-decimal double (NOTES.md #6: never cast a
+    double product to DECIMAL per row — Spark HALF_UP vs DuckDB half-even
+    diverge).  ROUND(x*100) is never at a .5 boundary for 2-decimal inputs,
+    so both engines agree; all sums then run in exact int64 arithmetic."""
+    return F.round(F.col(col) * 100).cast("long")
 
 
 def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
+    ext_cents = _money_cents("l_extendedprice")
+    disc_pct = _money_cents("l_discount")  # discount is 0.00-0.10 → 0-10
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
-            ).cast("decimal(28,4)").alias("sum_disc_price"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            (F.sum(ext_cents) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(ext_cents * (F.lit(100) - disc_pct)) / F.lit(10000.0)).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -98,16 +112,13 @@ def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
+    ext_cents = _money_cents("l_extendedprice")
+    disc_pct = _money_cents("l_discount")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
-            ).cast("decimal(28,4)").alias("revenue")
-        )
+        .agg((F.sum(ext_cents * (F.lit(100) - disc_pct)) / F.lit(10000.0)).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(10)
     )
@@ -351,7 +362,7 @@ def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -373,10 +384,19 @@ def q_pipeline_docs_to_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column feature extraction plumbing (deterministic fake decode)."""
+    """Binary-column feature extraction plumbing (deterministic fake decode).
+
+    Returns hashable scalars (the driver canonicalizer sorts all columns, so
+    an array<float> output crashes it): the vector dim plus its sequential
+    double fold — both fully determined by the feature vector."""
     from rugo_spark.ops.multimodal import extract_features, synth_media_df
 
-    return extract_features(synth_media_df(spark, n=256), fake=True)
+    feats = extract_features(synth_media_df(spark, n=256), fake=True)
+    return feats.select(
+        "asset_id",
+        F.size("features").cast("long").alias("feat_dim"),
+        F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double")).alias("feat_sum"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -423,11 +443,23 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_lineitem": "SELECT * FROM lineitem",
         "roundtrip_events": "SELECT * FROM events",
         "roundtrip_part": "SELECT * FROM part",
+        # invariant oracle: lineage accounting must conserve source rows/mass
+        "manifest_lineage": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_size_mass,
+                   TRUE AS all_blocks_nonempty,
+                   TRUE AS block_paths_unique
+            FROM documents
+        """,
+        # money math: exact integer cents summed as BIGINT, ONE division at
+        # the end (double) — identical in both engines (no per-row decimal
+        # casts, whose HALF_UP vs half-even rounding diverges)
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS sum_disc_price,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS sum_disc_price,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -436,7 +468,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "join_top_revenue": """
             SELECT c_custkey, c_name,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS revenue
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -572,7 +605,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_pricing": """
             SELECT l_returnflag, l_linestatus,
                    COUNT(*) AS n,
-                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY l_returnflag, l_linestatus

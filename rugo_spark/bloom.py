@@ -33,18 +33,35 @@ def _hash_pair(lens: np.ndarray, starts: np.ndarray, data: np.ndarray) -> tuple[
     n = len(lens)
     h1 = np.full(n, _FNV_OFFSET)
     h2 = np.full(n, _FNV_OFFSET ^ np.uint64(0x9E3779B97F4A7C15))
-    np.seterr(over="ignore")  # uint64 wrap is the hash mixing
-    for k in range(_CAP):
-        m = lens > k
-        if not m.any():
-            break
-        byte = data[starts[m] + k].astype(np.uint64)
-        # update only rows still in range — the hash of a short key must not
-        # depend on the longest key in the batch
-        h1[m] = (h1[m] ^ byte) * _FNV_PRIME
-        h2[m] = (h2[m] + byte + np.uint64(k + 1)) * _FNV_PRIME
-    ln = lens.astype(np.uint64)
-    return h1 ^ (ln * _FNV_PRIME), h2 ^ ln
+    with np.errstate(over="ignore"):  # uint64 wrap is the hash mixing
+        for k in range(_CAP):
+            m = lens > k
+            if not m.any():
+                break
+            byte = data[starts[m] + k].astype(np.uint64)
+            # update only rows still in range — the hash of a short key must
+            # not depend on the longest key in the batch
+            h1[m] = (h1[m] ^ byte) * _FNV_PRIME
+            h2[m] = (h2[m] + byte + np.uint64(k + 1)) * _FNV_PRIME
+        ln = lens.astype(np.uint64)
+        return h1 ^ (ln * _FNV_PRIME), h2 ^ ln
+
+
+def _canonical_strings(arr: pa.Array) -> pa.Array:
+    """Canonical string rendering shared by write and probe sides.
+
+    Timestamps go through epoch-micros int64 first: Spark ships them to Arrow
+    as timestamp[us, tz=UTC] while a probe's datetime infers naive
+    timestamp[us] — their direct string renderings differ ('...Z' suffix, tz
+    shift) but the stored int64 agrees whenever the probe is tz-aware or the
+    session tz is UTC."""
+    import pyarrow.compute as pc
+
+    if pa.types.is_timestamp(arr.type):
+        arr = pc.cast(arr, pa.int64())
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        arr = pc.cast(arr, pa.string())
+    return arr
 
 
 def _string_bytes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -52,8 +69,7 @@ def _string_bytes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
-        arr = pc.cast(arr, pa.string())  # str(value) form, matches query side
+    arr = _canonical_strings(arr)
     arr = pc.drop_null(arr)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -91,11 +107,19 @@ def union(blooms: list[dict]) -> dict:
     return {"m": M_BITS, "k": K, "bits_b64": base64.b64encode(zlib.compress(acc.tobytes())).decode()}
 
 
+def _render_probe(value) -> bytes:
+    """Render a probe value through the SAME canonical path the write side
+    uses (``_canonical_strings``): ``str(value)`` diverges from Arrow's
+    rendering for timestamps ('2020-01-01 00:00:00' vs Arrow's
+    '2020-01-01 00:00:00.000000Z'), which made every match a false negative."""
+    return _canonical_strings(pa.array([value]))[0].as_py().encode()
+
+
 def might_contain(bloom: dict, value) -> bool:
     """Query-side membership test (single value, driver)."""
     import zlib
 
-    raw = str(value).encode()
+    raw = _render_probe(value)
     data = np.frombuffer(raw, dtype=np.uint8)
     h1, h2 = _hash_pair(
         np.array([len(raw)], dtype=np.int64), np.array([0], dtype=np.int64), data

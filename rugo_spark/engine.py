@@ -130,12 +130,37 @@ def read_block_file(path: str, schema: pa.Schema, columns: list[str] | None = No
 
 # ------------------------------------------------------------- encode job
 
+def _input_fingerprint(df: DataFrame) -> str:
+    """Deterministic id of the input layout a map-only encode keys its
+    partition ids on: file list + split-size conf + split count.  Resuming
+    into the same out_dir after any of these changed would silently mix
+    stale and new blocks — the fingerprint guards that."""
+    import hashlib
+
+    files = sorted(df.inputFiles())
+    conf = df.sparkSession.conf
+    max_bytes = conf.get("spark.sql.files.maxPartitionBytes", "")
+    # semanticHash: canonicalized logical plan, computed WITHOUT executing the
+    # query (df.rdd.getNumPartitions would finalize AQE stages) — catches
+    # repartition()/plan changes on non-file inputs too
+    blob = json.dumps(
+        {
+            "files": files,
+            "maxPartitionBytes": max_bytes,
+            "defaultParallelism": df.sparkSession.sparkContext.defaultParallelism,
+            "plan": df.semanticHash(),
+        }
+    )
+    return hashlib.sha1(blob.encode()).hexdigest()
+
+
 def encode_table_maponly(
     df: DataFrame,
     out_dir: str,
     sort_key: str | None = None,
     size_col: str | None = None,
     plans: dict | None = None,
+    on_layout_change: str = "error",
 ) -> DataFrame:
     """Shuffle-FREE encode: each input split becomes one block.
 
@@ -144,9 +169,27 @@ def encode_table_maponly(
     splits in place (`mapInArrow`, zero data movement).  Partition ids come
     from the task's split index, which is deterministic for a fixed input
     layout + parallelism; resume re-scans but skips re-encoding completed
-    splits.  Use `encode_table` when the input is skewed."""
+    splits.  The input layout is fingerprinted into ``_schema.json``; a
+    resume against a changed layout raises (``on_layout_change='error'``) or
+    clears the stale sidecars+blocks (``'clear'``) instead of silently mixing
+    old and new data.  Use `encode_table` when the input is skewed."""
     spark = df.sparkSession
-    mf.write_schema(out_dir, _arrow_schema_of(df), df.schema.json())
+    fp = _input_fingerprint(df)
+    prev = mf.read_schema_payload(out_dir)
+    if prev is not None and mf.completed_partitions(out_dir):
+        if prev.get("input_fingerprint") != fp:
+            if on_layout_change == "clear":
+                import shutil
+
+                shutil.rmtree(os.path.join(out_dir, mf.MANIFEST_DIR), ignore_errors=True)
+                shutil.rmtree(os.path.join(out_dir, mf.BLOCKS_DIR), ignore_errors=True)
+            else:
+                raise ValueError(
+                    f"refusing to resume into {out_dir}: input layout changed "
+                    f"(fingerprint {prev.get('input_fingerprint')} != {fp}); "
+                    "pass on_layout_change='clear' to re-encode from scratch"
+                )
+    mf.write_schema(out_dir, _arrow_schema_of(df), df.schema.json(), extra={"input_fingerprint": fp})
     blocks_dir = os.path.join(out_dir, mf.BLOCKS_DIR)
 
     def encoder(batches):

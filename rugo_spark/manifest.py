@@ -40,16 +40,28 @@ MANIFEST_ARROW = pa.schema(
 )
 
 
-def write_schema(out_dir: str, arrow_schema: pa.Schema, spark_schema_json: str) -> None:
+def write_schema(
+    out_dir: str, arrow_schema: pa.Schema, spark_schema_json: str, extra: dict | None = None
+) -> None:
     os.makedirs(out_dir, exist_ok=True)
     payload = {
         "arrow_schema_b64": base64.b64encode(arrow_schema.serialize().to_pybytes()).decode(),
         "spark_schema": json.loads(spark_schema_json),
+        **(extra or {}),
     }
     tmp = os.path.join(out_dir, SCHEMA_FILE + ".tmp")
     with open(tmp, "w") as f:
         json.dump(payload, f)
     os.replace(tmp, os.path.join(out_dir, SCHEMA_FILE))
+
+
+def read_schema_payload(out_dir: str) -> dict | None:
+    """Raw _schema.json payload (None if absent) — carries resume guards."""
+    path = os.path.join(out_dir, SCHEMA_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
 
 
 def read_schema(out_dir: str) -> tuple[pa.Schema, dict]:

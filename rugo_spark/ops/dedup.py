@@ -22,11 +22,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def char_shingles(text_col: str, n: int = 5):
-    """Array of character n-grams (distinct), pure built-ins."""
+    """Array of character n-grams (distinct), pure built-ins.
+
+    A text of length L yields L-n+1 shingles; texts shorter than n yield an
+    empty array (the explicit length guard matters: Spark's ``sequence(1, 0)``
+    is the *descending* [1, 0], not empty)."""
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(0, greatest(length({text_col}) - {n}, 0) - 1),"
-            f" i -> substr({text_col}, i + 1, {n}))"
+            f"if(length({text_col}) < {n}, array(),"
+            f" transform(sequence(1, length({text_col}) - {n - 1}),"
+            f" i -> substr({text_col}, i, {n})))"
         )
     )
 
@@ -49,16 +54,23 @@ def minhash_lsh_candidates(
     n_hashes: int = 32,
     n_bands: int = 8,
     shingle: int = 5,
+    bucket_cap: int = 64,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
     Plan shape (scale-first): signature computed in one projection (no
     shuffle) → explode to n_bands rows/doc → ONE shuffle on (band, band_key)
-    → per-bucket self-join emits pairs → estimated Jaccard from full
-    signatures.  Bucket keys are hashes of signature bands, so co-bucketed
-    docs are likely near-duplicates; skew-safe because identical docs share
-    all bands but the pair emission is per-bucket.
+    → per-bucket pair emission → estimated Jaccard from full signatures.
+
+    Pair emission is CAPPED: buckets of ≤ ``bucket_cap`` docs emit all pairs;
+    larger buckets emit a star from the bucket's min-id representative —
+    O(k) pairs instead of O(k²), which is the difference between finishing
+    and not on boilerplate-heavy crawl data where a cluster of k identical
+    docs (k in the millions) shares every band.  Connectivity for downstream
+    union-find grouping is preserved (the star spans the bucket).
     """
+    from pyspark.sql.window import Window
+
     rows_per_band = n_hashes // n_bands
     sig = df.select(
         F.col(id_col),
@@ -81,14 +93,22 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select(id_col, "sig", "bk.band", "bk.band_key")
+    wb = Window.partitionBy("band", "band_key")
+    bands = bands.withColumn("_rn", F.row_number().over(wb.orderBy(id_col))).withColumn(
+        "_cnt", F.count(F.lit(1)).over(wb)
+    )
     left = bands.alias("a")
     right = bands.alias("b")
+    # _rn is ordered by id, so both branches emit id_a < id_b canonically
+    emit = F.when(F.col("a._cnt") <= F.lit(bucket_cap), F.col("a._rn") < F.col("b._rn")).otherwise(
+        (F.col("a._rn") == 1) & (F.col("b._rn") > 1)
+    )
     pairs = (
         left.join(
             right,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & emit,
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

@@ -34,21 +34,26 @@ def asof_join(
     semantics, 'backward'). ``tolerance``: max allowed left_ts − right_ts
     (same type as the ts columns' difference), else no match."""
     lcols = left.columns
+    # the right row rides as ONE struct so a single last(ignorenulls) carries
+    # it atomically — per-column last() could mix values from different right
+    # rows when the latest row holds NULL in one of right_cols
+    rstruct = F.struct(
+        F.col(right_ts).alias("__ts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    rstruct_type = right.select(rstruct.alias("_r")).schema[0].dataType
     l = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("_rt"),
+        F.lit(None).cast(rstruct_type).alias("_r"),
     )
     r = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
-        F.col(right_ts).alias("_rt"),
+        rstruct.alias("_r"),
     )
     u = l.unionByName(r)
     # right rows sort before left rows at equal timestamps (<= semantics)
@@ -58,18 +63,16 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.select(
-        "*",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}") for c in right_cols],
-        F.last("_rt", ignorenulls=True).over(w).alias("_mt"),
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_m")
     ).filter(F.col("_is_left") == 1)
     if tolerance is not None:
-        keep = F.col("_mt").isNotNull() & ((F.col("_t") - F.col("_mt")) <= tolerance)
+        keep = F.col("_m").isNotNull() & ((F.col("_t") - F.col("_m.__ts")) <= tolerance)
         matched = matched.select(
             *lcols,
-            *[F.when(keep, F.col(f"_m_{c}")).alias(c) for c in right_cols],
+            *[F.when(keep, F.col(f"_m.{c}")).alias(c) for c in right_cols],
         )
     else:
-        matched = matched.select(*lcols, *[F.col(f"_m_{c}").alias(c) for c in right_cols])
+        matched = matched.select(*lcols, *[F.col(f"_m.{c}").alias(c) for c in right_cols])
     return matched
 
 

@@ -67,26 +67,34 @@ def embedding_near_dups(
     bits: int = 6,
     dim: int | None = None,
     seed: int = 42,
+    bucket_cap: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucket self-join.
 
     Same-bucket vectors (sign-bit hyperplane key) are candidate pairs; exact
     cosine filters at ``threshold``.  Scale shape: the self-join is per
-    bucket (≈ n/2^bits rows each), never all-pairs.  Recall note: split
-    near-dups landing in different buckets are missed — raise recall by
-    lowering ``bits`` or unioning a second seed's buckets."""
+    bucket (≈ n/2^bits rows each), never all-pairs; buckets larger than
+    ``bucket_cap`` emit a min-id star instead of all pairs (O(k) not O(k²) on
+    embedding-identical clusters).  Recall note: split near-dups landing in
+    different buckets are missed — raise recall by lowering ``bits`` or
+    unioning a second seed's buckets."""
+    from pyspark.sql.window import Window
+
     if dim is None:
         first = df.select(F.size(vec_col)).first()
         dim = int(first[0])
     planes = _hyperplanes(dim, bits, seed)
+    wb = Window.partitionBy("_bucket")
     b = df.select(
         F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("_bucket")
+    ).withColumn("_rn", F.row_number().over(wb.orderBy(id_col))).withColumn(
+        "_cnt", F.count(F.lit(1)).over(wb)
     )
     left, right = b.alias("a"), b.alias("b")
-    pairs = left.join(
-        right,
-        (F.col("a._bucket") == F.col("b._bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    emit = F.when(F.col("a._cnt") <= F.lit(bucket_cap), F.col("a._rn") < F.col("b._rn")).otherwise(
+        (F.col("a._rn") == 1) & (F.col("b._rn") > 1)
     )
+    pairs = left.join(right, (F.col("a._bucket") == F.col("b._bucket")) & emit)
     dot = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
     na = F.sqrt(_dot(F.col(f"a.{vec_col}"), F.col(f"a.{vec_col}")))
     nb = F.sqrt(_dot(F.col(f"b.{vec_col}"), F.col(f"b.{vec_col}")))

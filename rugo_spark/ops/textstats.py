@@ -90,9 +90,11 @@ def repetition_ratio(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     High values flag template-y or looping documents (a standard pretraining
     quality filter).  Built-ins only; ties out exactly against a SQL oracle."""
     text = F.col(text_col)
+    # length guard: Spark's sequence(1, 0) is descending [1, 0], not empty
     grams = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)),"
-        f" i -> substr({text_col}, i, {n}))"
+        f"if(length({text_col}) < {n}, array(),"
+        f" transform(sequence(1, length({text_col}) - {n - 1}),"
+        f" i -> substr({text_col}, i, {n})))"
     )
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))

@@ -1,0 +1,174 @@
+"""Round-2 defect fixes: bloom probe rendering per key type, shingle
+off-by-one, asof-join right-row atomicity, LSH bucket caps, map-only resume
+layout guard (VERDICT.md round 1 + ADVICE.md)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import pyspark.sql.functions as F
+
+
+# ------------------------------------------------------------ bloom probes
+
+@pytest.mark.parametrize(
+    "values,probe_in,probe_out",
+    [
+        ([1, 5, 9, 123456], 5, 7),
+        ([1.5, 2.25, -3.75], 2.25, 9.9),
+        (["a", "bb", "ccc"], "bb", "zz"),
+        (
+            [datetime.date(2020, 1, 1), datetime.date(2021, 6, 30)],
+            datetime.date(2020, 1, 1),
+            datetime.date(1999, 1, 1),
+        ),
+        (
+            [datetime.datetime(2020, 1, 1), datetime.datetime(2021, 6, 30, 12, 34, 56)],
+            datetime.datetime(2020, 1, 1),
+            datetime.datetime(1999, 1, 1),
+        ),
+    ],
+    ids=["int", "float", "str", "date", "timestamp"],
+)
+def test_bloom_roundtrip_by_key_type(values, probe_in, probe_out):
+    """Write-side hashing and query-side probe must render values through the
+    same path (ADVICE: str(ts) vs Arrow's ts rendering made every timestamp
+    lookup a false negative)."""
+    from rugo_spark import bloom as bl
+
+    b = bl.build(pa.array(values))
+    assert bl.might_contain(b, probe_in), f"false negative for {probe_in!r}"
+    assert not bl.might_contain(b, probe_out)
+
+
+def test_bloom_timestamp_filter_end_to_end(spark, tmp_out):
+    """decode_table(filters=[(ts,'=',v)]) must return the matching rows (the
+    reproduced ADVICE bug: 50 matching rows returned 0)."""
+    from rugo_spark.engine import decode_table, encode_table
+
+    base = datetime.datetime(2020, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "ts": [base + datetime.timedelta(hours=i % 20) for i in range(400)],
+            "v": list(range(400)),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    encode_table(df, tmp_out, key_col="ts", num_partitions=4)
+    probe = base + datetime.timedelta(hours=3)
+    got = decode_table(spark, tmp_out, filters=[("ts", "=", probe)]).collect()
+    assert len(got) == 20
+    assert all(r["ts"] == probe for r in got)
+
+
+# ------------------------------------------------------------ shingles
+
+def test_char_shingles_count_and_short_text(spark):
+    from rugo_spark.ops.dedup import char_shingles
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["abcdef", "abc", "", "abcde"]})
+    ).select(char_shingles("text", 5).alias("sh"))
+    got = [r["sh"] for r in df.collect()]
+    assert got[0] == ["abcde", "bcdef"]  # L-n+1 = 2 shingles, final one kept
+    assert got[1] == []  # shorter than n → empty, not whole-text
+    assert got[2] == []
+    assert got[3] == ["abcde"]
+
+
+# ------------------------------------------------------------ asof atomic
+
+def test_asof_join_right_row_atomic(spark):
+    """When the latest right row holds NULL in one right column, the match
+    must carry that row's values verbatim — never mix columns from two
+    different right rows (pandas merge_asof row-level semantics)."""
+    from rugo_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame([(1, 3)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 1, 10, 100), (1, 2, 20, None)], "k int, t int, v1 int, v2 int"
+    )
+    got = asof_join(left, right, key="k", left_ts="t", right_ts="t",
+                    right_cols=["v1", "v2"]).collect()
+    assert len(got) == 1
+    assert got[0]["v1"] == 20 and got[0]["v2"] is None  # latest row, atomic
+
+
+# ------------------------------------------------------------ LSH caps
+
+def test_minhash_lsh_bucket_cap_linear_pairs(spark):
+    """A cluster of k identical docs must emit O(k) pairs (min-id star), not
+    O(k²) — the 100 TB boilerplate blow-up (VERDICT 'What's wrong' #3)."""
+    from rugo_spark.ops.dedup import minhash_lsh_candidates
+
+    k = 500
+    text = "the same boilerplate header repeated on every page of the crawl"
+    pdf = pd.DataFrame({"doc_id": list(range(k)), "text": [text] * k})
+    pairs = minhash_lsh_candidates(
+        spark.createDataFrame(pdf), n_hashes=16, n_bands=4, bucket_cap=16
+    ).collect()
+    assert len(pairs) == k - 1  # star from min-id representative
+    assert all(p["id_a"] == 0 for p in pairs)
+    assert all(p["est_jaccard"] == 1.0 for p in pairs)
+    # connectivity: every doc reachable from the representative
+    assert sorted(p["id_b"] for p in pairs) == list(range(1, k))
+
+
+def test_minhash_lsh_small_buckets_still_all_pairs(spark):
+    from rugo_spark.ops.dedup import minhash_lsh_candidates
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["identical text body for lsh pairing"] * 3,
+        }
+    )
+    pairs = minhash_lsh_candidates(
+        spark.createDataFrame(pdf), n_hashes=16, n_bands=4, bucket_cap=16
+    ).collect()
+    got = sorted((p["id_a"], p["id_b"]) for p in pairs)
+    assert got == [(1, 2), (1, 3), (2, 3)]  # below cap → all pairs
+
+
+def test_embedding_near_dups_bucket_cap(spark):
+    from rugo_spark.ops.similarity import embedding_near_dups
+
+    k = 200
+    vec = [1.0, 0.0, 0.5, 0.25]
+    pdf = pd.DataFrame({"vec_id": list(range(k)), "embedding": [vec] * k})
+    pairs = embedding_near_dups(
+        spark.createDataFrame(pdf), threshold=0.99, bits=2, bucket_cap=16
+    ).collect()
+    assert len(pairs) == k - 1
+    assert all(p["id_a"] == 0 for p in pairs)
+
+
+# ------------------------------------------------------------ resume guard
+
+def test_maponly_resume_refuses_changed_layout(spark, tmp_out, tmp_path):
+    from rugo_spark.engine import decode_table, encode_table_maponly
+
+    src_a = str(tmp_path / "src_a.parquet")
+    src_b = str(tmp_path / "src_b.parquet")
+    pdf = pd.DataFrame({"doc_id": [f"d{i}" for i in range(100)], "n": list(range(100))})
+    spark.createDataFrame(pdf).repartition(4).write.parquet(src_a)
+    spark.createDataFrame(pdf).repartition(2).write.parquet(src_b)
+
+    encode_table_maponly(spark.read.parquet(src_a), tmp_out, sort_key="doc_id")
+    # same layout: resume is a no-op, decode intact
+    encode_table_maponly(spark.read.parquet(src_a), tmp_out, sort_key="doc_id")
+    assert decode_table(spark, tmp_out).count() == 100
+
+    # different split layout into the same dir: refuse (stale pids would mix)
+    with pytest.raises(ValueError, match="input layout changed"):
+        encode_table_maponly(spark.read.parquet(src_b), tmp_out, sort_key="doc_id")
+
+    # explicit clear: stale sidecars dropped, fresh encode is consistent
+    encode_table_maponly(
+        spark.read.parquet(src_b), tmp_out, sort_key="doc_id", on_layout_change="clear"
+    )
+    assert decode_table(spark, tmp_out).count() == 100
