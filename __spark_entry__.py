@@ -228,12 +228,13 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only check: approximate op)."""
+    """LSH-bucketed approximate top-k (ids only — float-safe; oracle is a
+    bit-exact sequential recomputation of the same probe)."""
     from rugo_spark.ops.similarity import ann_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ann_topk(e, [float(x) for x in q], k=20, bits=6)
+    return ann_topk(e, [float(x) for x in q], k=20, bits=6).select("vec_id")
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,12 +246,13 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidates verified by exact n-gram Jaccard (rows-only)."""
-    from rugo_spark.ops.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+    """Exact n-gram Jaccard pairs (≥0.2) via shingle inverted index — the
+    verification stage of the dedup pipeline, oracled by the equivalent
+    DuckDB list-function SQL."""
+    from rugo_spark.ops.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(d, n_hashes=16, n_bands=4).select("id_a", "id_b")
-    return ngram_jaccard_pairs(d, prefilter=cands)
+    return ngram_jaccard_pairs(d, threshold=0.2)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,10 +394,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rugo_spark.ops.multimodal import extract_features, synth_media_df
 
     feats = extract_features(synth_media_df(spark, n=256), fake=True)
+    # integer-exact checksum: each feature is byte/255 in float32, so
+    # round(x*255) recovers the byte — the sum is exact in both engines
     return feats.select(
         "asset_id",
         F.size("features").cast("long").alias("feat_dim"),
-        F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double")).alias("feat_sum"),
+        F.aggregate(
+            "features",
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.round(x.cast("double") * 255).cast("long"),
+        ).alias("feat_byte_sum"),
     )
 
 
@@ -437,8 +445,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _recompute_oracles() -> dict[str, str]:
+    """VALUES-literal oracles for hash-family ops the SQL dialect can't
+    express: an independent per-row Python recomputation (different code
+    path: sequential loops + from-spec xxHash64) over the same parquet the
+    driver registers, rendered as literal SQL.  A value-hash match proves the
+    distributed kernels agree with the sequential reimplementation (the
+    reference's differential-oracle pattern, tests/test_statistics.py:68-94).
+    The driver compares at sf0.01; override via SPARK_GRAFT_ORACLE_SF_DIR."""
+    import pyarrow.parquet as pq
+
+    from rugo_spark import oracle_recompute as orc
+
+    out: dict[str, str] = {}
+    try:
+        tbl = pq.read_table(
+            os.path.join(_ORACLE_SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        docs = list(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+        out["dedup_simhash"] = orc.values_sql(
+            [(d, orc.simhash_row(t)) for d, t in docs],
+            [("doc_id", "BIGINT"), ("simhash", "BIGINT")],
+        )
+        out["doc_fingerprint"] = orc.values_sql(
+            [(d, orc.fingerprint_row(t)) for d, t in docs],
+            [("doc_id", "BIGINT"), ("fingerprint", "BIGINT")],
+        )
+        pairs = orc.minhash_pairs(docs, n_hashes=16, n_bands=4)
+        out["dedup_minhash_lsh"] = orc.values_sql(
+            [(a, b, j) for a, b, _eq, j in pairs],
+            [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("est_jaccard", "DOUBLE")],
+        )
+        out["multimodal_features"] = orc.values_sql(
+            orc.multimodal_features_rows(256),
+            [("asset_id", "VARCHAR"), ("feat_dim", "BIGINT"), ("feat_byte_sum", "BIGINT")],
+        )
+        etbl = pq.read_table(
+            os.path.join(_ORACLE_SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        embs = list(zip(etbl.column("vec_id").to_pylist(), etbl.column("embedding").to_pylist()))
+        query = [float(x) for x in dict(embs)[0]]
+        out["embedding_ann_topk"] = orc.values_sql(
+            [(v,) for v in orc.ann_topk_ids(embs, query, k=20, bits=6)],
+            [("vec_id", "BIGINT")],
+        )
+        out["embedding_near_dups"] = orc.values_sql(
+            orc.embedding_near_dup_pairs(embs, threshold=0.3, bits=4),
+            [("id_a", "BIGINT"), ("id_b", "BIGINT")],
+        )
+    except Exception:
+        pass  # missing testdata → those queries fall back to rows-only checks
+    return out
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        **_recompute_oracles(),
         "roundtrip_documents": "SELECT * FROM documents",
         "roundtrip_lineitem": "SELECT * FROM lineitem",
         "roundtrip_events": "SELECT * FROM events",
@@ -552,6 +617,31 @@ def oracle_sql() -> dict[str, str]:
               ON e.value >= n.n_nationkey * 40.0
              AND e.value <  n.n_nationkey * 40.0 + 60.0
             ORDER BY e.event_id, band_id
+        """,
+        # exact Jaccard over distinct 5-gram shingles, inverted-index style
+        # (mirrors ops/dedup.ngram_jaccard_pairs); double division of the
+        # same integers is bit-identical in both engines
+        "dedup_jaccard_verify": """
+            WITH sh AS (
+              SELECT doc_id,
+                     LIST_DISTINCT(
+                       CASE WHEN LENGTH(text) < 5 THEN []
+                            ELSE LIST_TRANSFORM(RANGE(1, LENGTH(text) - 3),
+                                                i -> SUBSTR(text, CAST(i AS INT), 5))
+                       END) AS sh
+              FROM documents),
+            ex AS (SELECT doc_id, UNNEST(sh) AS g FROM sh),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            cnt AS (SELECT doc_id, LEN(sh) AS n_sh FROM sh)
+            SELECT id_a, id_b,
+                   CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.2
         """,
         "repetition_ratio": """
             SELECT doc_id,

@@ -38,7 +38,7 @@ from rugo_spark.codecs import (
 from rugo_spark.selector import select_bytes_codec, select_int_codec
 
 MAGIC = b"RGC1"
-KIND_INT, KIND_FLOAT, KIND_STR, KIND_LIST, KIND_BOOL, KIND_IPC = 0, 1, 2, 3, 4, 5
+KIND_INT, KIND_FLOAT, KIND_STR, KIND_LIST, KIND_BOOL, KIND_IPC, KIND_DEC128 = 0, 1, 2, 3, 4, 5, 6
 
 _HDR = struct.Struct("<4sBBQ")
 _U64 = struct.Struct("<Q")
@@ -70,7 +70,11 @@ def _kind_of(t: pa.DataType) -> int:
         return KIND_STR
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return KIND_LIST
-    # universal fallback: decimals, structs, maps, nested exotica — Arrow IPC
+    if pa.types.is_decimal128(t):
+        # two int64 lanes through the integer codecs (FOR/bss) — DECIMAL is
+        # first-class in the reference's vocabulary (rugo metadata.cpp:184-201)
+        return KIND_DEC128
+    # universal fallback: decimal256, structs, maps, nested exotica — Arrow IPC
     # stream + outer zstd (correct for every type; lightweight codecs apply
     # to the kinds above, which cover the hot token-table path)
     return KIND_IPC
@@ -196,7 +200,7 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, plan: dict | None = None) -> t
     # per-block min/max — the stats the reference surfaces per column chunk
     # for external pruning (rugo metadata.cpp:430-463); used by decode-side
     # block skipping (decode_table filters)
-    if kind in (KIND_INT, KIND_FLOAT, KIND_STR) and len(dense) > 0:
+    if kind in (KIND_INT, KIND_FLOAT, KIND_STR, KIND_DEC128) and len(dense) > 0:
         try:
             mm = pc.min_max(dense)
             meta["min"], meta["max"] = mm["min"].as_py(), mm["max"].as_py()
@@ -276,6 +280,18 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, plan: dict | None = None) -> t
         v = dense.to_numpy(zero_copy_only=False)
         parts.append(_frame(general.wrap(np.packbits(v, bitorder="little").tobytes())))
         meta["codec"] = "bitpack"
+    elif kind == KIND_DEC128:
+        # 16-byte LE two's-complement values → (lo, hi) int64 lanes; money
+        # columns have tiny hi-lane ranges, so FOR/bss compress them hard
+        buf = dense.buffers()[1]
+        lanes = np.frombuffer(buf, dtype=np.int64, count=len(dense) * 2, offset=dense.offset * 16)
+        lo = np.ascontiguousarray(lanes[0::2])
+        hi = np.ascontiguousarray(lanes[1::2])
+        lo_body, lo_codec = _encode_int_values(lo, plan.get("values"))
+        hi_body, hi_codec = _encode_int_values(hi, plan.get("values"))
+        parts.append(_frame(lo_body))
+        parts.append(_frame(hi_body))
+        meta["codec"] = f"dec128({lo_codec}+{hi_codec})"
     elif kind == KIND_IPC:
         sink = pa.BufferOutputStream()
         tbl = pa.table({"c": arr})  # keep original validity — no re-expansion needed
@@ -403,6 +419,20 @@ def decode_array(buf: bytes | memoryview, typ: pa.DataType) -> pa.Array:
         return pa.Array.from_buffers(
             pa.bool_(), n, [vbuf, pa.py_buffer(np.packbits(vals, bitorder="little").tobytes())]
         )
+    if kind == KIND_DEC128:
+        lo_body, off = _read_frame(mv, off)
+        hi_body, off = _read_frame(mv, off)
+        lo = _decode_int_body(lo_body)
+        hi = _decode_int_body(hi_body)
+        n_dense = len(lo)
+        lanes = np.empty(n_dense * 2, dtype=np.int64)
+        lanes[0::2] = lo
+        lanes[1::2] = hi
+        if valid is not None:
+            full = np.zeros(n * 2, dtype=np.int64)
+            full[np.repeat(valid, 2)] = lanes
+            lanes = full
+        return pa.Array.from_buffers(typ, n, [vbuf, pa.py_buffer(lanes.tobytes())])
     if kind == KIND_IPC:
         body, off = _read_frame(mv, off)
         with pa.ipc.open_stream(pa.py_buffer(general.unwrap(body))) as r:

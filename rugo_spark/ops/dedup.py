@@ -41,9 +41,18 @@ def minhash_signature(shingles_col, n_hashes: int = 32):
 
     xxhash64 is Spark's built-in 64-bit hash (JVM-side); one seed per hash
     function.  Returns array<long> of length n_hashes.
+
+    The per-seed lambda MUST be built by a single-parameter factory: a
+    ``lambda s, j=j`` two-parameter lambda is interpreted by PySpark as the
+    (element, index) form, silently replacing the seed with the element's
+    array index — every signature slot collapses to the same hash function.
     """
+
+    def _hash_with_seed(j: int):
+        return lambda s: F.xxhash64(s, F.lit(j))
+
     return F.array(
-        *[F.array_min(F.transform(shingles_col, lambda s, j=j: F.xxhash64(s, F.lit(j)))) for j in range(n_hashes)]
+        *[F.array_min(F.transform(shingles_col, _hash_with_seed(j))) for j in range(n_hashes)]
     )
 
 

@@ -128,17 +128,18 @@ def pii_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Polynomial rolling-hash document fingerprint (numpy kernel, mapInArrow).
 
-    hash = Σ byte[i] · P^(n−1−i) mod 2^64 with P = 1099511628211 — computed
-    per batch on the concatenated byte stream with per-document segmentation
-    (no per-row Python).
+    hash = Horner fold of ALL document bytes mod 2^64 with P = 1099511628211,
+    xor'd with len·P — an exact content key (two docs differing anywhere
+    differ), unlike the earlier 64-byte-prefix sketch.  Vectorization: rows
+    sorted by length descending so byte position k touches a contiguous
+    PREFIX of the batch (no boolean masks); total work is O(total_bytes)
+    numpy gathers.
     """
     import pyarrow as pa
 
     P = np.uint64(1099511628211)
 
     def kernel(batches):
-        import pyarrow.compute as pc
-
         for batch in batches:
             ids = batch.column(0)
             texts = batch.column(1)
@@ -149,16 +150,21 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
             lens = np.diff(offs)
             n = len(lens)
-            out = np.zeros(n, dtype=np.uint64)
-            # Horner fold over byte positions: out = out*P + byte_k for k < len
             starts = offs[:-1]
             maxlen = int(lens.max()) if n else 0
-            for k in range(min(maxlen, 64)):  # cap: first 64 bytes + length mix
-                m = lens > k
-                b = np.zeros(n, dtype=np.uint64)
-                b[m] = data[starts[m] + k]
-                out[m] = out[m] * P + b[m]
-            out ^= lens.astype(np.uint64) * P
+            order = np.argsort(-lens, kind="stable")
+            sl = lens[order]
+            ss = starts[order]
+            out_s = np.zeros(n, dtype=np.uint64)
+            # remaining[k] = rows with len > k = the sorted prefix active at byte k
+            remaining = n - np.cumsum(np.bincount(sl, minlength=maxlen + 1))
+            with np.errstate(over="ignore"):
+                for k in range(maxlen):
+                    p = int(remaining[k])
+                    out_s[:p] = out_s[:p] * P + data[ss[:p] + k]
+                out = np.empty(n, dtype=np.uint64)
+                out[order] = out_s
+                out ^= lens.astype(np.uint64) * P
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(out.view(np.int64), type=pa.int64())],
                 names=[batch.schema.names[0], "fingerprint"],

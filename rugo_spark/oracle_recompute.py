@@ -1,0 +1,361 @@
+"""Independent per-row Python recomputation for oracle VALUES tables.
+
+The driver's correctness gate wants a DuckDB-runnable SQL oracle per query.
+Hash-family ops (simhash, minhash/LSH, rolling-hash fingerprint, fake media
+features) aren't SQL-expressible, so their oracles are *differential*: this
+module recomputes each result with deliberately different code — per-row
+Python loops over the same parquet inputs, and a from-spec xxHash64 — and
+``values_sql`` renders the expected table as a literal SQL VALUES clause.
+A value-hash match then proves the distributed Spark path (vectorized
+kernels, shuffles, window caps) agrees with a sequential reimplementation —
+the same differential-oracle pattern the reference uses with PyArrow
+(reference tests/test_statistics.py:68-94).
+
+xxHash64 here is implemented from the public xxHash specification with
+Spark's composition rules (seed 42, each argument hashed with the previous
+result as seed) so the minhash pipeline is reproducible outside the JVM.
+"""
+
+from __future__ import annotations
+
+import re
+
+_M64 = (1 << 64) - 1
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def xxh64_bytes(data: bytes, seed: int) -> int:
+    """xxHash64 of a byte string (public spec, 32/8/4/1-byte phases)."""
+    seed &= _M64
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed
+        v4 = (seed - _P1) & _M64
+        def _round(acc: int, k: int) -> int:
+            return (_rotl((acc + k * _P2) & _M64, 31) * _P1) & _M64
+
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _M64, 31) * _P1) & _M64
+            h = (h * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl((k * _P2) & _M64, 31) * _P1) & _M64
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        k = int.from_bytes(data[i : i + 4], "little")
+        h ^= (k * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    return _fmix(h)
+
+
+def xxh64_long(v: int, seed: int) -> int:
+    h = (seed + _P5 + 8) & _M64
+    k = (_rotl(((v & _M64) * _P2) & _M64, 31) * _P1) & _M64
+    h ^= k
+    h = (_rotl(h, 27) * _P1 + _P4) & _M64
+    return _fmix(h)
+
+
+def xxh64_int(v: int, seed: int) -> int:
+    h = (seed + _P5 + 4) & _M64
+    h ^= ((v & 0xFFFFFFFF) * _P1) & _M64
+    h = (_rotl(h, 23) * _P2 + _P3) & _M64
+    return _fmix(h)
+
+
+def _signed64(x: int) -> int:
+    x &= _M64
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def spark_xxhash64(*args, seed: int = 42) -> int:
+    """Spark's xxhash64(...) composition: fold args left-to-right, each
+    hashed with the running result as seed.  str → UTF-8 bytes; int → the
+    4-byte path if tagged ('i', v), else the 8-byte long path."""
+    h = seed
+    for a in args:
+        if isinstance(a, tuple) and a[0] == "i":
+            h = xxh64_int(a[1], h)
+        elif isinstance(a, str):
+            h = xxh64_bytes(a.encode("utf-8"), h)
+        elif isinstance(a, (bytes, bytearray)):
+            h = xxh64_bytes(bytes(a), h)
+        elif isinstance(a, int):
+            h = xxh64_long(a, h)
+        else:
+            raise TypeError(f"unsupported xxhash64 arg {type(a)}")
+    return _signed64(h)
+
+
+# --------------------------------------------------------------- text ops
+
+_WS = re.compile(r"\s+", re.ASCII)  # Java regex \s is ASCII-only
+
+
+def _words(text: str) -> list[str]:
+    t = text.strip()
+    return _WS.split(t) if t else [""]  # Spark split('') -> ['']
+
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+
+def _fnv_word(w: bytes) -> int:
+    """Mirror of ops/dedup._fnv1a: first 24 bytes folded, then length mix."""
+    h = _FNV_OFFSET
+    for b in w[:24]:
+        h = ((h ^ b) * _FNV_PRIME) & _M64
+    return (h ^ ((len(w) * _FNV_PRIME) & _M64)) & _M64
+
+
+_WORD_HASH_CACHE: dict[str, int] = {}
+
+
+def _fnv_word_cached(w: str) -> int:
+    h = _WORD_HASH_CACHE.get(w)
+    if h is None:
+        h = _WORD_HASH_CACHE[w] = _fnv_word(w.encode("utf-8"))
+    return h
+
+
+def simhash_row(text: str, bits: int = 64) -> int:
+    hs = [_fnv_word_cached(w) for w in _words(text.lower())]
+    fp = 0
+    for b in range(bits):
+        vote = sum(1 if (h >> b) & 1 else -1 for h in hs)
+        if vote > 0:
+            fp |= 1 << b
+    return _signed64(fp)
+
+
+def fingerprint_row(text: str, P: int = 1099511628211) -> int:
+    data = text.encode("utf-8")
+    out = 0
+    for b in data:
+        out = (out * P + b) & _M64
+    return _signed64(out ^ ((len(data) * P) & _M64))
+
+
+def shingles_row(text: str, n: int = 5) -> list[str]:
+    """Distinct character n-grams, first-occurrence order (ops/dedup.char_shingles)."""
+    if len(text) < n:
+        return []
+    seen: dict[str, None] = {}
+    for i in range(len(text) - n + 1):
+        seen.setdefault(text[i : i + n], None)
+    return list(seen)
+
+
+def minhash_pairs(
+    docs: list[tuple[int, str]],
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle: int = 5,
+    bucket_cap: int = 64,
+) -> list[tuple[int, int, int, float]]:
+    """Sequential recompute of ops/dedup.minhash_lsh_candidates: returns
+    (id_a, id_b, equal_hashes, est_jaccard) rows, pair-distinct."""
+    rows_per_band = n_hashes // n_bands
+    sigs: dict[int, list[int]] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    hcache: dict[str, list[int]] = {}  # shingles repeat heavily across docs
+
+    def _sh_hashes(s: str) -> list[int]:
+        h = hcache.get(s)
+        if h is None:
+            h = hcache[s] = [spark_xxhash64(s, ("i", j)) for j in range(n_hashes)]
+        return h
+
+    for doc_id, text in docs:
+        sh = shingles_row(text, shingle)
+        hs = [_sh_hashes(s) for s in sh]
+        sig = [min(h[j] for h in hs) if hs else None for j in range(n_hashes)]
+        if sig[0] is None:
+            continue  # empty shingle set: array_min(empty)=null, no bands emitted
+        sigs[doc_id] = sig
+        for b in range(n_bands):
+            vals = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            key = _signed64(spark_xxhash64(*vals))
+            buckets.setdefault((b, key), []).append(doc_id)
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        if len(ids) <= bucket_cap:
+            pairs.update((a, b) for i, a in enumerate(ids) for b in ids[i + 1 :])
+        else:
+            rep = ids[0]
+            pairs.update((rep, b) for b in ids[1:])
+    out = []
+    for a, b in sorted(pairs):
+        eq = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        out.append((a, b, eq, eq / float(n_hashes)))
+    return out
+
+
+def multimodal_features_rows(n: int = 256, dim: int = 64) -> list[tuple[str, int, int]]:
+    """Per-row recompute of q_multimodal_features: (asset_id, feat_dim,
+    feat_byte_sum).  Each feature is byte/255 in float32, so round(x*255)
+    recovers the byte exactly — the checksum is integer-exact (no float
+    accumulation-order sensitivity)."""
+    import numpy as np
+
+    rng = np.random.default_rng(np.random.SeedSequence([42, n]))
+    sizes = rng.integers(128, 4096, n)  # same stream order as synth_media_df
+    medias = [rng.integers(0, 256, s, dtype=np.uint8).tobytes() for s in sizes]
+    out = []
+    for i, payload in enumerate(medias):
+        L = len(payload)
+        total = sum(payload[(k * 131) % max(L, 1)] if L > 0 else 0 for k in range(dim))
+        out.append((f"asset-{i:08d}", dim, total))
+    return out
+
+
+# --------------------------------------------------------------- embeddings
+
+def _seq_dot(a, b) -> float:
+    """Sequential left-to-right double fold — mirrors ops/similarity._dot
+    (F.aggregate over zip_with), so results are bit-identical."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42):
+    import numpy as np
+
+    rng = np.random.default_rng(np.random.SeedSequence([seed, dim, bits]))
+    return rng.standard_normal((bits, dim))
+
+
+def _bucket_row(vec, planes) -> int:
+    key = 0
+    for b in range(len(planes)):
+        if _seq_dot(vec, [float(x) for x in planes[b]]) > 0:
+            key |= 1 << b
+    return key
+
+
+def embedding_near_dup_pairs(
+    embs: list[tuple[int, list[float]]],
+    threshold: float,
+    bits: int,
+    bucket_cap: int = 256,
+    seed: int = 42,
+) -> list[tuple[int, int]]:
+    """Sequential recompute of ops/similarity.embedding_near_dups (ids only)."""
+    import math
+
+    planes = _hyperplanes(len(embs[0][1]), bits, seed)
+    by_id = dict(embs)
+    buckets: dict[int, list[int]] = {}
+    for vid, v in embs:
+        buckets.setdefault(_bucket_row(v, planes), []).append(vid)
+    out = []
+    for ids in buckets.values():
+        ids = sorted(ids)
+        if len(ids) <= bucket_cap:
+            cand = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        else:
+            cand = [(ids[0], b) for b in ids[1:]]
+        for a, b in cand:
+            va, vb = by_id[a], by_id[b]
+            cos = _seq_dot(va, vb) / (
+                math.sqrt(_seq_dot(va, va)) * math.sqrt(_seq_dot(vb, vb))
+            )
+            if cos >= threshold:
+                out.append((a, b))
+    return sorted(out)
+
+
+def ann_topk_ids(
+    embs: list[tuple[int, list[float]]],
+    query: list[float],
+    k: int,
+    bits: int,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> list[int]:
+    """Sequential recompute of ops/similarity.ann_topk (ids only)."""
+    import math
+
+    import numpy as np
+
+    planes = _hyperplanes(len(query), bits, seed)
+    qv = np.asarray(query, dtype=np.float64)
+    qkey = 0
+    for b in range(bits):
+        if float(planes[b] @ qv) > 0:
+            qkey |= 1 << b
+    probe = {qkey} | ({qkey ^ (1 << b) for b in range(bits)} if multiprobe else set())
+    qnorm = float(np.sqrt(np.dot(query, query))) or 1.0
+    scored = []
+    for vid, v in embs:
+        if _bucket_row(v, planes) in probe:
+            cos = _seq_dot(v, query) / (math.sqrt(_seq_dot(v, v)) * qnorm)
+            scored.append((-cos, vid))
+    scored.sort()
+    return [vid for _, vid in scored[:k]]
+
+
+# --------------------------------------------------------------- SQL render
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        return repr(v)  # shortest round-trip repr; DuckDB parses as DOUBLE
+    if isinstance(v, int):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def values_sql(rows: list[tuple], columns: list[tuple[str, str]]) -> str:
+    """Render rows as ``SELECT CAST(...) ... FROM (VALUES ...)`` — a
+    DuckDB-runnable literal oracle.  ``columns``: (name, duckdb_type)."""
+    if not rows:
+        sel = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in columns)
+        return f"SELECT {sel} WHERE FALSE"
+    body = ",\n".join("(" + ", ".join(_sql_literal(v) for v in r) + ")" for r in rows)
+    cols = ", ".join(f"col{i}" for i in range(len(columns)))
+    sel = ", ".join(f"CAST(col{i} AS {t}) AS {n}" for i, (n, t) in enumerate(columns))
+    return f"SELECT {sel} FROM (VALUES\n{body}\n) AS t({cols})"

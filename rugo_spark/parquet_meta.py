@@ -97,10 +97,16 @@ def _opt(v):
     return None if v is None or (isinstance(v, int) and v < 0) else v
 
 
-def _from_parquet_file(pf: pq.ParquetFile) -> dict:
+def _from_parquet_file(pf: pq.ParquetFile, extras: list[list[dict]] | None = None) -> dict:
     md = pf.metadata
     schema = pf.schema_arrow
     result = {"num_rows": md.num_rows, "row_groups": []}
+    _no_extra = {
+        "index_page_offset": None,
+        "bloom_offset": None,
+        "bloom_length": None,
+        "key_value_metadata": None,
+    }
     for rg_i in range(md.num_row_groups):
         rg = md.row_group(rg_i)
         rg_dict = {
@@ -111,7 +117,13 @@ def _from_parquet_file(pf: pq.ParquetFile) -> dict:
         for c_i in range(rg.num_columns):
             col = rg.column(c_i)
             stats = col.statistics if col.is_stats_set else None
-            kv = None  # parquet-mr rarely writes per-chunk kv; rugo emits None then
+            # the three footer fields pyarrow's binding hides come from the
+            # thrift-lite scan (rugo parses them: metadata.cpp:536-581)
+            try:
+                extra = extras[rg_i][c_i] if extras else _no_extra
+            except (IndexError, TypeError):
+                extra = _no_extra
+            kv = extra["key_value_metadata"]
             rg_dict["columns"].append(
                 {
                     "name": _canonical_name(col.path_in_schema),
@@ -131,13 +143,12 @@ def _from_parquet_file(pf: pq.ParquetFile) -> dict:
                     "total_uncompressed_size": _opt(col.total_uncompressed_size),
                     "total_compressed_size": _opt(col.total_compressed_size),
                     "data_page_offset": _opt(col.data_page_offset),
-                    # pyarrow's parquet-cpp binding raises for this field
-                    "index_page_offset": None,
+                    "index_page_offset": _opt(extra["index_page_offset"]),
                     "dictionary_page_offset": (
                         _opt(col.dictionary_page_offset) if col.has_dictionary_page else None
                     ),
-                    "bloom_offset": None,  # unimplemented in reference too (metadata.hpp:79-80)
-                    "bloom_length": None,
+                    "bloom_offset": _opt(extra["bloom_offset"]),
+                    "bloom_length": _opt(extra["bloom_length"]),
                     "encodings": list(col.encodings),
                     "compression_codec": col.compression,
                     "key_value_metadata": kv,
@@ -147,19 +158,34 @@ def _from_parquet_file(pf: pq.ParquetFile) -> dict:
     return result
 
 
+def _safe_extras(fn, *args):
+    try:
+        return fn(*args)
+    except Exception:
+        return None  # malformed/exotic footer: extras degrade to None fields
+
+
 def read_metadata(path: str) -> dict:
     """rugo ``read_metadata(path)`` parity (``metadata_reader.pyx:76-80``) —
     but footer-only I/O via PyArrow, not a whole-file read (the reference
     reads the entire file into memory first; SURVEY.md §4 flags that)."""
-    return _from_parquet_file(pq.ParquetFile(path))
+    from rugo_spark.thrift_lite import file_column_extras
+
+    return _from_parquet_file(pq.ParquetFile(path), _safe_extras(file_column_extras, path))
 
 
 def read_metadata_from_bytes(data: bytes) -> dict:
     """rugo ``read_metadata_from_bytes`` parity (``metadata_reader.pyx:83-87``)."""
-    return _from_parquet_file(pq.ParquetFile(pa.BufferReader(data)))
+    from rugo_spark.thrift_lite import extract_footer, footer_column_extras
+
+    extras = _safe_extras(lambda d: footer_column_extras(extract_footer(d)), data)
+    return _from_parquet_file(pq.ParquetFile(pa.BufferReader(data)), extras)
 
 
 def read_metadata_from_memoryview(mv) -> dict:
     """rugo ``read_metadata_from_memoryview`` parity, zero-copy
     (``metadata_reader.pyx:90-99``): pa.py_buffer wraps without copying."""
-    return _from_parquet_file(pq.ParquetFile(pa.BufferReader(pa.py_buffer(mv))))
+    from rugo_spark.thrift_lite import extract_footer, footer_column_extras
+
+    extras = _safe_extras(lambda d: footer_column_extras(extract_footer(d)), mv)
+    return _from_parquet_file(pq.ParquetFile(pa.BufferReader(pa.py_buffer(mv))), extras)

@@ -1,8 +1,13 @@
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
+
+# recompute-based oracles must read the same SF the parity tests query
+# (the driver's gate runs at sf0.01 — the entry module's default)
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")

@@ -87,3 +87,33 @@ def test_logical_types_on_own_tables():
     assert cols["l_returnflag"]["logical_type"] == "varchar"
     assert cols["l_shipdate"]["logical_type"].startswith("timestamp[us")
     assert cols["l_quantity"]["type"] == "float64"
+
+
+def test_bloom_and_index_footer_fields():
+    """The three per-chunk fields pyarrow hides, recovered by the thrift-lite
+    footer scan (rugo parses them: metadata.cpp:536-581): bloom offset on the
+    reference's own bloom fixture, index_page_offset cross-checked against
+    DuckDB's parquet_metadata() on every fixture."""
+    import glob
+
+    import duckdb
+
+    from rugo_spark.parquet_meta import read_metadata, read_metadata_from_bytes
+    from rugo_spark.thrift_lite import file_column_extras
+
+    p = "/root/reference/tests/data/data_index_bloom_encoding_stats.parquet"
+    md = read_metadata(p)
+    col = md["row_groups"][0]["columns"][0]
+    assert col["bloom_offset"] == 192  # non-None: the writer stored a bloom
+    with open(p, "rb") as f:
+        assert read_metadata_from_bytes(f.read()) == md
+
+    con = duckdb.connect()
+    for path in sorted(glob.glob("/root/reference/tests/data/*.parquet")):
+        extras = file_column_extras(path)  # must parse every footer
+        rows = con.execute(
+            f"SELECT row_group_id, column_id, index_page_offset "
+            f"FROM parquet_metadata('{path}') ORDER BY 1, 2"
+        ).fetchall()
+        for rg, ci, ipo in rows:
+            assert extras[rg][ci]["index_page_offset"] == ipo, path

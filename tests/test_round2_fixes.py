@@ -172,3 +172,37 @@ def test_maponly_resume_refuses_changed_layout(spark, tmp_out, tmp_path):
         spark.read.parquet(src_b), tmp_out, sort_key="doc_id", on_layout_change="clear"
     )
     assert decode_table(spark, tmp_out).count() == 100
+
+
+# ------------------------------------------------------------ decimal path
+
+def test_decimal128_block_roundtrip():
+    from decimal import Decimal
+
+    from rugo_spark.block import encode_array, decode_array
+
+    t = pa.decimal128(18, 2)
+    vals = [Decimal("12345.67"), None, Decimal("-0.01"), Decimal("99999999999999.99")] * 64
+    arr = pa.array(vals, type=t)
+    blob, meta = encode_array(arr)
+    assert decode_array(blob, t).equals(arr)
+    assert meta["codec"].startswith("dec128(")  # int-lane path, not arrow-ipc
+
+
+def test_decimal_table_roundtrip_and_stats_codec(spark, tmp_out):
+    from decimal import Decimal
+
+    from rugo_spark.engine import decode_table, encode_table, stats_df
+
+    pdf = pd.DataFrame(
+        {
+            "k": [f"k{i:04d}" for i in range(300)],
+            "amount": [Decimal(f"{i}.{i % 100:02d}") for i in range(300)],
+        }
+    )
+    df = spark.createDataFrame(pdf, "k string, amount decimal(18,2)")
+    encode_table(df, tmp_out, key_col="k", num_partitions=3)
+    back = decode_table(spark, tmp_out).toPandas().sort_values("k").reset_index(drop=True)
+    assert back["amount"].tolist() == pdf["amount"].tolist()
+    codecs = {r["codec"] for r in stats_df(spark, tmp_out).filter("column = 'amount'").collect()}
+    assert codecs and all(c.startswith("dec128(") for c in codecs), codecs
