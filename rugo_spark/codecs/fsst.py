@@ -30,45 +30,62 @@ ESCAPE = 255
 MAX_SYMBOLS = 255  # output codes 0..254; 255 = escape
 MAX_SYMBOL_LEN = 8
 _MAX_MERGES = 160  # leaves ≥95 output codes for frequent single bytes
-_SAMPLE_LIMIT = 1 << 20
-_PAIR_K = np.uint32(1 << 16)
+_SAMPLE_LIMIT = 1 << 19  # train on ≤512 KiB — table quality plateaus well below
+_CODE_SPACE = 512  # 256 literals + ≤_MAX_MERGES merged codes, rounded up
+_K = np.uint32(_CODE_SPACE)
 
 
 @dataclass
 class Table:
-    rounds: list[tuple[np.ndarray, np.ndarray]] = field(default_factory=list)  # (sorted pair keys, new codes)
+    rounds: list[np.ndarray] = field(default_factory=list)  # dense pair LUTs (int16)
     n_merges: int = 0
     expansions: list[bytes] = field(default_factory=list)  # per internal code ≥256
     code_map: np.ndarray | None = None  # internal code → output code (or -1)
     out_expansions: list[bytes] = field(default_factory=list)  # per output code
 
 
-def _apply_round(codes: np.ndarray, pair_keys: np.ndarray, new_codes: np.ndarray) -> np.ndarray:
-    """Replace every non-overlapping occurrence of the round's pairs in ONE
-    vectorized pass (greedy-left overlap resolution via run parity)."""
-    if len(codes) < 2 or len(pair_keys) == 0:
+def _apply_round(codes: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """Replace non-overlapping occurrences of the round's pairs in ONE
+    vectorized pass.
+
+    ``lut`` is a dense (CODE_SPACE²) int16 map pair-key → merged code (or
+    −1): a single gather, no searchsorted — this is the encode hot loop.
+    Greedy-left overlap resolution (within a run of k overlapping candidates
+    merge every other one, ⌈k/2⌉ total) is computed with whole-array integer
+    ops: run-relative position parity via cumsum + maximum.accumulate, no
+    candidate-index materialization."""
+    if len(codes) < 2:
         return codes
-    c32 = codes.astype(np.uint32, copy=False)
-    pk = (c32[:-1] << np.uint32(16)) | c32[1:]
-    idx = np.searchsorted(pair_keys, pk)
-    idx_c = np.minimum(idx, len(pair_keys) - 1)
-    cand = np.flatnonzero(pair_keys[idx_c] == pk)
-    if len(cand) == 0:
+    pk = codes[:-1] * _K + codes[1:]
+    nc = lut.take(pk)
+    hit = nc >= 0
+    if not hit.any():
         return codes
-    # consecutive candidates overlap (share an element): keep even offsets
-    is_start = np.concatenate(([True], np.diff(cand) != 1))
-    run_start = cand[is_start][np.cumsum(is_start) - 1]
-    keep = cand[((cand - run_start) & 1) == 0]
-    codes[keep] = new_codes[idx_c[keep]]
-    mask = np.ones(len(codes), dtype=bool)
-    mask[keep + 1] = False
-    return codes[mask]
+    # parity within runs: c = running hit count; at each run start remember
+    # c there; keep hits whose (c - run_start_c) is even
+    c = np.cumsum(hit, dtype=np.int32)
+    is_start = np.empty_like(hit)
+    is_start[0] = hit[0]
+    np.less(hit[:-1], hit[1:], out=is_start[1:])  # 0→1 edge = run start
+    start_c = np.where(is_start, c, 0)
+    np.maximum.accumulate(start_c, out=start_c)
+    np.subtract(c, start_c, out=c)
+    keep = hit
+    keep &= (c & 1) == 0
+    # masked element-wise copy — no candidate-index materialization
+    np.copyto(codes[:-1], nc, where=keep, casting="unsafe")
+    stay = np.empty(len(codes), dtype=bool)
+    stay[0] = True
+    np.logical_not(keep, out=stay[1:])
+    return codes[stay]
 
 
 def train(sample: bytes, max_merges: int = _MAX_MERGES, rounds: int = 4) -> Table:
     """Train a symbol table by bounded pair-merge rounds on ``sample``.
-    Each round selects the highest-count pairs and applies them all in one
-    vectorized pass (same batch application at encode time)."""
+    Each round counts pairs with a dense bincount (code space is ≤512, so
+    pair space is 512² bins — no sort), selects the highest-count pairs, and
+    applies them all in one vectorized pass (same batch application at
+    encode time)."""
     t = Table()
     codes = np.frombuffer(sample[:_SAMPLE_LIMIT], dtype=np.uint8).astype(np.uint32)
     expansions: dict[int, bytes] = {}
@@ -77,38 +94,38 @@ def train(sample: bytes, max_merges: int = _MAX_MERGES, rounds: int = 4) -> Tabl
     for r in range(rounds):
         if len(codes) < 2 or t.n_merges >= max_merges:
             break
-        pairs = (codes[:-1] << np.uint32(16)) | codes[1:]
-        uniq, counts = np.unique(pairs, return_counts=True)
-        order = np.argsort(counts)[::-1]
+        pairs = codes[:-1] * _K + codes[1:]
+        counts = np.bincount(pairs, minlength=_CODE_SPACE * _CODE_SPACE)
         budget = (max_merges - t.n_merges + (rounds - r - 1)) // (rounds - r)
-        sel_keys: list[int] = []
-        sel_codes: list[int] = []
-        for idx in order:
-            if len(sel_keys) >= budget or counts[idx] < min_count:
+        # top candidates only: argpartition beats a full sort of 262k bins
+        top_n = min(budget * 3 + 16, counts.size)
+        top = np.argpartition(counts, -top_n)[-top_n:]
+        order = top[np.argsort(counts[top])[::-1]]
+        lut = np.full(_CODE_SPACE * _CODE_SPACE, -1, dtype=np.int16)
+        n_sel = 0
+        for key in order:
+            if n_sel >= budget or counts[key] < min_count:
                 break
-            a, b = int(uniq[idx] >> 16), int(uniq[idx] & 0xFFFF)
+            a, b = int(key) // _CODE_SPACE, int(key) % _CODE_SPACE
             exp_a = expansions.get(a, bytes([a]) if a < 256 else b"")
             exp_b = expansions.get(b, bytes([b]) if b < 256 else b"")
             exp = exp_a + exp_b
             if len(exp) > MAX_SYMBOL_LEN:
                 continue
             expansions[next_code] = exp
-            sel_keys.append(a * int(_PAIR_K) + b)
-            sel_codes.append(next_code)
+            lut[key] = next_code
             next_code += 1
-        if not sel_keys:
+            n_sel += 1
+        if n_sel == 0:
             break
-        order2 = np.argsort(sel_keys)
-        pair_keys = np.asarray(sel_keys, dtype=np.uint32)[order2]
-        new_codes = np.asarray(sel_codes, dtype=np.uint32)[order2]
-        t.rounds.append((pair_keys, new_codes))
-        t.n_merges += len(sel_keys)
-        codes = _apply_round(codes, pair_keys, new_codes)
+        t.rounds.append(lut)
+        t.n_merges += n_sel
+        codes = _apply_round(codes, lut)
     t.expansions = [expansions[c] for c in range(256, next_code)]
 
     # assign output codes: merged symbols first, then most frequent literals
     n_codes = next_code
-    code_map = np.full(n_codes, -1, dtype=np.int64)
+    code_map = np.full(n_codes, -1, dtype=np.int16)
     out_expansions: list[bytes] = []
     for c in range(256, next_code):
         code_map[c] = len(out_expansions)
@@ -129,18 +146,23 @@ def train(sample: bytes, max_merges: int = _MAX_MERGES, rounds: int = 4) -> Tabl
 def compress(data: bytes, t: Table) -> bytes:
     """Apply the trained merges + code assignment to ``data`` → code stream."""
     codes = np.frombuffer(data, dtype=np.uint8).astype(np.uint32)
-    for pair_keys, new_codes in t.rounds:
-        codes = _apply_round(codes, pair_keys, new_codes)
+    for lut in t.rounds:
+        codes = _apply_round(codes, lut)
     assert t.code_map is not None
-    out_code = t.code_map[codes.astype(np.int64)]
-    has_code = out_code >= 0
-    lens = np.where(has_code, 1, 2).astype(np.int64)
-    offs = np.concatenate(([0], np.cumsum(lens)))
-    out = np.empty(offs[-1], dtype=np.uint8)
-    out[offs[:-1][has_code]] = out_code[has_code]
-    esc = ~has_code
-    if esc.any():
-        eo = offs[:-1][esc]
+    out_code = t.code_map[codes]
+    esc = out_code < 0
+    n = len(codes)
+    # starts[i] = i + (escapes before i): escapes emit 2 bytes, symbols 1
+    incl = np.cumsum(esc, dtype=np.int64)
+    starts = np.arange(n, dtype=np.int64)
+    starts += incl
+    starts -= esc
+    total = n + (int(incl[-1]) if n else 0)
+    out = np.empty(total, dtype=np.uint8)
+    has_code = ~esc
+    out[starts[has_code]] = out_code[has_code]
+    if incl[-1] if n else 0:
+        eo = starts[esc]
         out[eo] = ESCAPE
         out[eo + 1] = codes[esc]  # escaped codes are always literal bytes < 256
     return out.tobytes()

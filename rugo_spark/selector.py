@@ -57,14 +57,15 @@ def select_int_codec(v: np.ndarray) -> tuple[str, dict]:
 def select_bytes_codec(data: bytes, sample_limit: int = 1 << 16) -> str:
     """Pick 'fsst' or 'raw' (outer zstd is auto either way) by sampled trial.
 
-    Cost guard: the FSST trial (BPE training) is ~10× the zstd trial, so it
-    only runs when plain zstd leaves room to improve (< 4× on the sample) —
-    when zstd already crushes the data, FSST can't pay for itself."""
+    Cost guard: the FSST trial (BPE training) costs a few ms on the 64 KiB
+    sample (bincount-trained, LUT rounds), so it runs unless plain zstd
+    already crushes the sample (> 6×) — measured: fsst+zstd still wins ~18%
+    on document text that zstd compresses 4.4×."""
     if len(data) < 256:
         return "raw"
     sample = data[:sample_limit]
     raw_size = len(general.wrap(sample, general.ZSTD))
-    if raw_size * 4 < len(sample):
+    if raw_size * 6 < len(sample):
         return "raw"
     fsst_size = len(general.wrap(fsst.encode(sample), general.ZSTD))
     return "fsst" if fsst_size < raw_size * 0.95 else "raw"

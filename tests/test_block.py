@@ -86,6 +86,7 @@ def test_ipc_fallback_kinds():
     import decimal
 
     cases = [
+        # decimal128 graduated to the int-lane path in round 2
         pa.array([decimal.Decimal("1.23"), None, decimal.Decimal("-99.99")], type=pa.decimal128(10, 2)),
         pa.array([{"a": 1, "b": "x"}, None, {"a": 2, "b": None}], type=pa.struct([("a", pa.int64()), ("b", pa.string())])),
         pa.array([[("k", 1)], [], None], type=pa.map_(pa.string(), pa.int64())),
@@ -93,7 +94,10 @@ def test_ipc_fallback_kinds():
     ]
     for arr in cases:
         blob, meta = encode_array(arr)
-        assert meta["codec"] == "arrow-ipc"
+        if pa.types.is_decimal128(arr.type):
+            assert meta["codec"].startswith("dec128(")
+        else:
+            assert meta["codec"] == "arrow-ipc"
         out = decode_array(blob, arr.type)
         assert out.equals(arr), str(arr.type)
 

@@ -92,3 +92,49 @@ def test_general_wrap():
     rnd = RNG.integers(0, 256, 1000).astype(np.uint8).tobytes()
     framed = general.wrap(rnd, general.ZSTD, auto=True)
     assert general.unwrap(framed) == rnd
+
+
+def test_fsst_throughput_floor_and_selector_pick():
+    """FSST kernel speed regression floor (best-of-3 on 1 MiB; the rewrite
+    does LUT-gather rounds + bincount training — measured 7-15 MB/s encode
+    on this box, floor set noise-safe) and the selector picking fsst on
+    medium-entropy text where it beats raw-zstd by >5%."""
+    import time
+
+    import numpy as np
+
+    from rugo_spark.codecs import fsst, general
+    from rugo_spark.selector import select_bytes_codec
+
+    import duckdb
+
+    texts = duckdb.connect().execute(
+        "SELECT text FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    data = ("\n".join(t[0] for t in texts) * 8).encode()[:1_000_000]
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        enc = fsst.encode(data)
+        best = min(best, time.perf_counter() - t0)
+    assert fsst.decode(enc) == data
+    assert len(data) / best >= 4e6, f"fsst encode {len(data)/best/1e6:.1f} MB/s < 4 MB/s floor"
+
+    # selector: document text is fsst's sweet spot (zstd alone < 4x, and
+    # fsst+zstd beats raw+zstd by >5% — measured ~18% on this corpus)
+    assert select_bytes_codec(data) == "fsst"
+    fsst_z = len(general.wrap(enc, general.ZSTD))
+    raw_z = len(general.wrap(data, general.ZSTD))
+    assert fsst_z < raw_z * 0.95
+
+
+def test_fsst_overlap_parity_quality():
+    """Greedy-parity overlap resolution must merge every other candidate in
+    a run (first-fit-only regressed ratio 0.24→0.36 on real text)."""
+    from rugo_spark.codecs import fsst
+
+    data = b"abababababababab" * 4096  # runs of overlapping 'ab'/'ba' pairs
+    enc = fsst.encode(data)
+    assert fsst.decode(enc) == data
+    assert len(enc) < len(data) // 4  # parity merging compresses runs hard
