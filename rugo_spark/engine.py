@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from rugo_spark import manifest as mf
 from rugo_spark.block import decode_array, encode_array
-from rugo_spark.partitioning import with_partition_id
+from rugo_spark.partitioning import release_after_plan, with_partition_id
 
 FILE_MAGIC = b"RGF1"
 STRIPED_MAGIC = b"RGS1"
@@ -261,6 +261,7 @@ def encode_table(
     planned, num_partitions, total_mass = with_partition_id(
         df, num_partitions, size_col=size_col, key_col=key_col, target_mass=target_tokens
     )
+    plan_handle = planned  # carries the cached-histogram handle for release
     if precombine == "auto":
         # big jobs (≥ ~500M tokens through the shuffle) flip to map-side
         # stripe encoding; small jobs keep the cheaper grouped path
@@ -286,9 +287,12 @@ def encode_table(
     blocks_dir = os.path.join(out_dir, mf.BLOCKS_DIR)
 
     if precombine:
-        return _encode_precombine(
-            spark, planned, out_dir, blocks_dir, sort_key, size_col, num_partitions, plans
-        )
+        try:
+            return _encode_precombine(
+                spark, planned, out_dir, blocks_dir, sort_key, size_col, num_partitions, plans
+            )
+        finally:
+            release_after_plan(plan_handle)
 
     def encoder(key: tuple, table: pa.Table) -> pa.Table:
         pid = int(key[0].as_py())
@@ -342,6 +346,7 @@ def encode_table(
     finally:
         conf.set("spark.sql.shuffle.partitions", prev)
         conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
+        release_after_plan(plan_handle)
     return manifest_df(spark, out_dir)
 
 
