@@ -204,6 +204,23 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full quality-feature surface (length/word/punct/stopword/upper ratios
+    + composite 0-1 score) — the pretraining quality-filter feature vector."""
+    from rugo_spark.ops.textstats import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: (asset, n_frames) → (asset, frame_idx)
+    rows with built-ins only (explode over a stride sequence)."""
+    from rugo_spark.ops.multimodal import frame_sample_plan, synth_media_df
+
+    plan = frame_sample_plan(synth_media_df(spark, n=256), every_n=10)
+    return plan.select("asset_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rugo_spark.ops.textstats import lang_id
 
@@ -234,7 +251,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ann_topk(e, [float(x) for x in q], k=20, bits=6).select("vec_id")
+    return ann_topk(e, [float(x) for x in q], k=20, bits=8, n_tables=4).select("vec_id")
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,6 +270,15 @@ def q_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, threshold=0.2)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup grouping end to end: LSH candidates → distributed connected
+    components → per-doc cluster id + keep/drop decision.  Oracle: union-find
+    over the independently recomputed pair set."""
+    from rugo_spark.ops.dedup import dedup_clusters
+
+    return dedup_clusters(_t(spark, sf_dir, "documents"), n_hashes=16, n_bands=4)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,12 +449,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
+        "quality_features_full": q_quality_features,
+        "multimodal_frame_sample": q_frame_sample,
         "lang_id": q_lang_id,
         "token_counts_bpe": q_token_counts,
         "embedding_cosine_topk": q_embedding_topk,
         "embedding_ann_topk": q_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_minhash_lsh": q_minhash_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_jaccard_verify": q_jaccard_verify,
         "dedup_simhash": q_simhash,
         "asof_join_latest_order": q_asof_join,
@@ -479,6 +508,10 @@ def _recompute_oracles() -> dict[str, str]:
             [(a, b, j) for a, b, _eq, j in pairs],
             [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("est_jaccard", "DOUBLE")],
         )
+        out["dedup_clusters"] = orc.values_sql(
+            orc.dedup_cluster_rows(docs, n_hashes=16, n_bands=4),
+            [("doc_id", "BIGINT"), ("cluster_id", "BIGINT"), ("is_kept", "BOOLEAN")],
+        )
         out["multimodal_features"] = orc.values_sql(
             orc.multimodal_features_rows(256),
             [("asset_id", "VARCHAR"), ("feat_dim", "BIGINT"), ("feat_byte_sum", "BIGINT")],
@@ -489,12 +522,16 @@ def _recompute_oracles() -> dict[str, str]:
         embs = list(zip(etbl.column("vec_id").to_pylist(), etbl.column("embedding").to_pylist()))
         query = [float(x) for x in dict(embs)[0]]
         out["embedding_ann_topk"] = orc.values_sql(
-            [(v,) for v in orc.ann_topk_ids(embs, query, k=20, bits=6)],
+            [(v,) for v in orc.ann_topk_ids(embs, query, k=20, bits=8, n_tables=4)],
             [("vec_id", "BIGINT")],
         )
         out["embedding_near_dups"] = orc.values_sql(
             orc.embedding_near_dup_pairs(embs, threshold=0.3, bits=4),
             [("id_a", "BIGINT"), ("id_b", "BIGINT")],
+        )
+        out["multimodal_frame_sample"] = orc.values_sql(
+            orc.frame_sample_rows(256, every_n=10),
+            [("asset_id", "VARCHAR"), ("frame_idx", "BIGINT")],
         )
     except Exception:
         pass  # missing testdata → those queries fall back to rows-only checks
@@ -593,6 +630,37 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_id": _LANG_ID_SQL,
+        # full quality-feature surface: mirrors ops/textstats.quality_features
+        # (double ops in the same order so the composite score is bit-equal)
+        "quality_features_full": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(LENGTH(text) AS DOUBLE) AS n,
+                     STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS words,
+                     CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+                     CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Z]', '', 'g')) AS DOUBLE) AS upper_chars
+              FROM documents),
+            u AS (
+              SELECT doc_id, n, punct, upper_chars,
+                     CAST(LEN(words) AS DOUBLE) AS n_words,
+                     CAST(LEN(LIST_FILTER(words,
+                          w -> w IN ('the','and','of','to','in','is','that','for','with','was'))) AS DOUBLE) AS stop_hits
+              FROM t)
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS text_len,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(punct AS BIGINT) AS punct_chars,
+                   CAST(stop_hits AS BIGINT) AS en_stopword_hits,
+                   CASE WHEN n_words > 0 THEN n / n_words ELSE 0.0 END AS mean_word_len,
+                   -- CAST(.. AS DOUBLE): bare 0.4/0.2 literals are DECIMAL in
+                   -- DuckDB and the decimal sum folds to exactly 0.6, while
+                   -- Spark sums doubles (0.6000000000000001)
+                   CASE WHEN n >= 200 AND n <= 20000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                     + CASE WHEN punct / GREATEST(n, 1.0) BETWEEN 0.005 AND 0.1 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                     + CASE WHEN stop_hits / GREATEST(n_words, 1.0) >= 0.05 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                     + CASE WHEN upper_chars / GREATEST(n, 1.0) <= 0.3 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS quality_score
+            FROM u
+        """,
         "token_counts_bpe": """
             SELECT doc_id,
                    LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_ws_tokens,

@@ -183,6 +183,91 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    edges: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over candidate-pair edges → (v, cluster_id).
+
+    Pregel-style min-label propagation with pointer jumping: every vertex
+    starts labelled with its own id; each round (a) takes the min label over
+    neighbours, then (b) jumps through the label graph (lbl ← label[lbl]),
+    which compresses paths and brings convergence to O(log diameter) rounds.
+    Each round's result is ``localCheckpoint``ed — persisting alone is NOT
+    enough for iterative plans: the logical plan doubles per round and
+    Catalyst analysis time (and driver heap) blow up exponentially.  Each
+    round is two equi-joins + a groupBy (shuffles on vertex id); at
+    10^12-edge scale the same loop holds.
+    """
+    sym = edges.select(F.col(left).alias("src"), F.col(right).alias("dst")).unionByName(
+        edges.select(F.col(right).alias("src"), F.col(left).alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.withColumnRenamed("v", "_dv"), F.col("dst") == F.col("_dv"))
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        stage1 = labels.join(nbr, labels.v == nbr.src, "left").select(
+            "v", F.least("lbl", F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl")
+        )
+        # pointer jump: follow one hop through the label mapping
+        x, y = stage1.alias("x"), stage1.alias("y")
+        stage2 = x.join(y, F.col("x.lbl") == F.col("y.v"), "left").select(
+            F.col("x.v").alias("v"),
+            F.least(F.col("x.lbl"), F.coalesce(F.col("y.lbl"), F.col("x.lbl"))).alias("lbl"),
+        )
+        new_labels = stage2.localCheckpoint(eager=True)
+        n_changed = (
+            new_labels.withColumnRenamed("lbl", "_new")
+            .join(labels, "v")
+            .filter(F.col("_new") < F.col("lbl"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels.withColumnRenamed("lbl", "cluster_id")
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle: int = 5,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Full near-dup grouping: minhash-LSH candidates → connected components
+    → every doc labelled with its cluster's min id (`cluster_id`) and the
+    keep/drop decision (`is_kept` = doc is the cluster representative).
+    Docs with no candidate pair form singleton clusters."""
+    pairs = minhash_lsh_candidates(
+        df, text_col=text_col, id_col=id_col,
+        n_hashes=n_hashes, n_bands=n_bands, shingle=shingle, bucket_cap=bucket_cap,
+    )
+    comps = connected_components(pairs)
+    return (
+        df.select(id_col)
+        .join(comps, F.col(id_col) == comps.v, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_kept", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash per document via an Arrow-vectorized numpy kernel.
 

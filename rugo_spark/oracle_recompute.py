@@ -247,6 +247,38 @@ def multimodal_features_rows(n: int = 256, dim: int = 64) -> list[tuple[str, int
     return out
 
 
+def dedup_cluster_rows(
+    docs: list[tuple[int, str]],
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle: int = 5,
+    bucket_cap: int = 64,
+) -> list[tuple[int, int, bool]]:
+    """Sequential recompute of ops/dedup.dedup_clusters: union-find over the
+    recomputed minhash pairs → (doc_id, cluster_id=min of component, is_kept)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b, _eq, _j in minhash_pairs(docs, n_hashes, n_bands, shingle, bucket_cap):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the root IS the cluster id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = []
+    for doc_id, _text in docs:
+        cid = find(doc_id)
+        out.append((doc_id, cid, doc_id == cid))
+    return out
+
+
 # --------------------------------------------------------------- embeddings
 
 def _seq_dot(a, b) -> float:
@@ -312,27 +344,56 @@ def ann_topk_ids(
     bits: int,
     seed: int = 42,
     multiprobe: bool = True,
+    n_tables: int = 4,
 ) -> list[int]:
     """Sequential recompute of ops/similarity.ann_topk (ids only)."""
     import math
 
     import numpy as np
 
-    planes = _hyperplanes(len(query), bits, seed)
     qv = np.asarray(query, dtype=np.float64)
-    qkey = 0
-    for b in range(bits):
-        if float(planes[b] @ qv) > 0:
-            qkey |= 1 << b
-    probe = {qkey} | ({qkey ^ (1 << b) for b in range(bits)} if multiprobe else set())
+    cand: set[int] = set()
+    for t in range(n_tables):
+        planes = _hyperplanes(len(query), bits, seed + 1000 * t)
+        qkey = 0
+        for b in range(bits):
+            if float(planes[b] @ qv) > 0:
+                qkey |= 1 << b
+        probe = {qkey} | ({qkey ^ (1 << b) for b in range(bits)} if multiprobe else set())
+        for vid, v in embs:
+            if _bucket_row(v, planes) in probe:
+                cand.add(vid)
     qnorm = float(np.sqrt(np.dot(query, query))) or 1.0
+    by_id = dict(embs)
     scored = []
-    for vid, v in embs:
-        if _bucket_row(v, planes) in probe:
-            cos = _seq_dot(v, query) / (math.sqrt(_seq_dot(v, v)) * qnorm)
-            scored.append((-cos, vid))
+    for vid in cand:
+        v = by_id[vid]
+        cos = _seq_dot(v, query) / (math.sqrt(_seq_dot(v, v)) * qnorm)
+        scored.append((-cos, vid))
     scored.sort()
     return [vid for _, vid in scored[:k]]
+
+
+def frame_sample_rows(n: int = 256, every_n: int = 10) -> list[tuple[str, int]]:
+    """Per-row recompute of ops/multimodal.frame_sample_plan over the synth
+    media table (same deterministic rng draw order as synth_media_df)."""
+    import numpy as np
+
+    rng = np.random.default_rng(np.random.SeedSequence([42, n]))
+    kinds = np.array(["image/png", "audio/wav", "video/mp4"])
+    sizes = rng.integers(128, 4096, n)
+    for s in sizes:
+        rng.integers(0, 256, s, dtype=np.uint8)  # media payload draws
+    kind_idx = rng.integers(0, 3, n)
+    rng.integers(16, 1920, n)  # width
+    rng.integers(16, 1080, n)  # height
+    n_frames = rng.integers(1, 300, n)
+    out = []
+    for i in range(n):
+        if kinds[kind_idx[i]] == "video/mp4":
+            for f in range(0, int(n_frames[i]), every_n):
+                out.append((f"asset-{i:08d}", f))
+    return out
 
 
 # --------------------------------------------------------------- SQL render

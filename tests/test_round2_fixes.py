@@ -229,3 +229,70 @@ def test_decode_distributed_planning_matches_local(spark, tmp_out):
 
     # checksum verification flows through the distributed plan too
     assert decode_table(spark, tmp_out, plan="distributed", verify_checksums=True).count() == 2000
+
+
+# ------------------------------------------------------------ clustering
+
+def test_connected_components_chain_and_singletons(spark):
+    from rugo_spark.ops.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": [0, 1, 2, 3, 10], "id_b": [1, 2, 3, 4, 11]})
+    )
+    got = sorted((r["v"], r["cluster_id"]) for r in connected_components(edges).collect())
+    assert got == [(0, 0), (1, 0), (2, 0), (3, 0), (4, 0), (10, 10), (11, 10)]
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Distributed label propagation must agree with a sequential union-find
+    over the same (recomputed) candidate pairs."""
+    from rugo_spark import oracle_recompute as orc
+    from rugo_spark.ops.dedup import dedup_clusters
+
+    texts = []
+    for g in range(6):  # 6 template groups with small mutations + singletons
+        base = f"group {g} boilerplate body repeated across mirrored pages of the web corpus {g}"
+        for j in range(5):
+            texts.append(base + (" tail" * (j % 2)))
+    texts += [f"unique document number {i} with entirely distinct content words" for i in range(10)]
+    docs = list(enumerate(texts))
+    pdf = pd.DataFrame({"doc_id": [d for d, _ in docs], "text": [t for _, t in docs]})
+
+    got = sorted(
+        (r["doc_id"], r["cluster_id"], r["is_kept"])
+        for r in dedup_clusters(spark.createDataFrame(pdf), n_hashes=16, n_bands=4).collect()
+    )
+    want = sorted(orc.dedup_cluster_rows(docs, 16, 4))
+    assert got == want
+    # every cluster keeps exactly one representative
+    kept = [c for _, c, k in got if k]
+    assert sorted(set(c for _, c, _ in got)) == sorted(kept)
+
+
+# ------------------------------------------------------------ ANN recall
+
+def test_ann_topk_recall_vs_exact(spark):
+    """Recall@20 of the multi-table LSH probe vs brute-force cosine on
+    isotropic random embeddings (LSH's worst case — real corpora cluster).
+    Also asserts the probe actually pruned the scan."""
+    from rugo_spark.ops.similarity import ann_topk, cosine_topk, lsh_bucket, _hyperplanes
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in cosine_topk(e, q, k=20).collect()}
+    ann = {r["vec_id"] for r in ann_topk(e, q, k=20, bits=8, n_tables=4).collect()}
+    recall = len(ann & exact) / 20
+    assert recall >= 0.4, f"recall@20 {recall} below floor"
+    # the probe must prune: candidate rows well below a full scan
+    from rugo_spark import oracle_recompute as orc
+
+    embs = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in e.collect()]
+    cand = set()
+    for t in range(4):
+        planes = _hyperplanes(len(q), 8, 42 + 1000 * t)
+        import numpy as np
+
+        qkey = sum(1 << b for b in range(8) if float(planes[b] @ np.asarray(q)) > 0)
+        probe = {qkey} | {qkey ^ (1 << b) for b in range(8)}
+        cand |= {vid for vid, v in embs if orc._bucket_row(v, planes) in probe}
+    assert len(cand) < 0.5 * len(embs), f"probe scanned {len(cand)}/{len(embs)}"
