@@ -254,6 +254,16 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(e, [float(x) for x in q], k=20, bits=8, n_tables=4).select("vec_id")
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k (kmeans coarse quantizer, cluster-pruned
+    probe) — the second ANN scale path besides hyperplane LSH."""
+    from rugo_spark.ops.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(e, [float(x) for x in q], k=20, n_clusters=16, n_probe=4).select("vec_id")
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (rows-only: hash family not in SQL)."""
     from rugo_spark.ops.dedup import minhash_lsh_candidates
@@ -455,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_bpe": q_token_counts,
         "embedding_cosine_topk": q_embedding_topk,
         "embedding_ann_topk": q_ann_topk,
+        "embedding_ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_minhash_lsh": q_minhash_dedup,
         "dedup_clusters": q_dedup_clusters,
@@ -528,6 +539,10 @@ def _recompute_oracles() -> dict[str, str]:
         out["embedding_near_dups"] = orc.values_sql(
             orc.embedding_near_dup_pairs(embs, threshold=0.3, bits=4),
             [("id_a", "BIGINT"), ("id_b", "BIGINT")],
+        )
+        out["embedding_ivf_topk"] = orc.values_sql(
+            [(v,) for v in orc.ivf_topk_ids(embs, query, k=20, n_clusters=16, n_probe=4)],
+            [("vec_id", "BIGINT")],
         )
         out["multimodal_frame_sample"] = orc.values_sql(
             orc.frame_sample_rows(256, every_n=10),

@@ -108,6 +108,102 @@ def embedding_near_dups(
     )
 
 
+def kmeans_centroids(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd, fixed iterations) on a sample
+    — the IVF coarse quantizer.  Unit-normalized float64 centroids; runs
+    once on the driver, so only the *assignment* kernel needs cross-process
+    bit-stability (see ``ivf_assign_rows``)."""
+    X = np.asarray(sample, dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.maximum(norms, 1e-12)
+    rng = np.random.default_rng(np.random.SeedSequence([seed, k, X.shape[1]]))
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        a = ivf_assign_rows(X, C)
+        for j in range(len(C)):
+            m = a == j
+            if m.any():
+                c = X[m].mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+    return C
+
+
+def ivf_assign_rows(X: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest-centroid (cosine) assignment, one gemv per centroid.
+
+    Per-centroid ``X @ c`` keeps each row's score a plain length-d dot whose
+    float op order does not depend on the batch's row count — the executor
+    kernel (arbitrary Arrow batch sizes) and the sequential oracle recompute
+    must produce identical argmax ties."""
+    X = np.asarray(X, dtype=np.float64)
+    scores = np.empty((len(X), len(centroids)), dtype=np.float64)
+    for j, c in enumerate(centroids):
+        scores[:, j] = X @ c
+    return np.argmax(scores, axis=1)
+
+
+def ivf_topk(
+    df: DataFrame, query: list[float], k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    n_clusters: int = 16, n_probe: int = 4,
+    sample_n: int = 512, seed: int = 42,
+) -> DataFrame:
+    """IVF-flat approximate top-k: spherical-kmeans coarse quantizer →
+    probe the ``n_probe`` centroids nearest the query → exact cosine within.
+
+    Scale shape: the cluster id is computable at WRITE time (the same
+    assignment kernel inside the encode job) and persisted/partitioned on,
+    so the probe becomes a partition-pruned scan of n_probe/n_clusters of
+    the data.  Here it is computed inline: one vectorized ``mapInArrow``
+    pass (numpy gemv per centroid, no per-row Python), filter, exact cosine.
+    The training sample is the first ``sample_n`` rows by id — deterministic
+    and resume-stable (at real scale: a seeded ``df.sample`` with the sample
+    persisted next to the index)."""
+    import pyarrow as _pa
+
+    sample_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).select(vec_col).collect()
+    )
+    C = kmeans_centroids(
+        np.asarray([[float(x) for x in r[0]] for r in sample_rows]), n_clusters, seed=seed
+    )
+    qv = np.asarray(query, dtype=np.float64)
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    probe = np.argsort(-(C @ qn), kind="stable")[:n_probe]
+    probe_set = {int(x) for x in probe}
+    id_type = dict(df.dtypes)[id_col]
+
+    def assign(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            emb = batch.column(1)
+            if isinstance(emb, _pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            import pyarrow.compute as pc
+
+            flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False).astype(np.float64)
+            d = C.shape[1]
+            X = flat.reshape(-1, d)
+            a = ivf_assign_rows(X, C)
+            keep = np.isin(a, list(probe_set))
+            idx = _pa.array(np.flatnonzero(keep))
+            yield _pa.RecordBatch.from_arrays(
+                [pc.take(ids, idx), pc.take(emb, idx)],
+                names=[id_col, vec_col],
+            )
+
+    cands = df.select(id_col, vec_col).mapInArrow(
+        assign, f"{id_col} {id_type}, {vec_col} array<float>"
+    )
+    return (
+        cands.select(F.col(id_col), cosine_similarity(F.col(vec_col), query).alias("cos"))
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )
+
+
 def ann_topk(
     df: DataFrame, query: list[float], k: int = 10,
     vec_col: str = "embedding", id_col: str = "vec_id",

@@ -396,6 +396,41 @@ def frame_sample_rows(n: int = 256, every_n: int = 10) -> list[tuple[str, int]]:
     return out
 
 
+def ivf_topk_ids(
+    embs: list[tuple[int, list[float]]],
+    query: list[float],
+    k: int,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    sample_n: int = 512,
+    seed: int = 42,
+) -> list[int]:
+    """Sequential recompute of ops/similarity.ivf_topk (ids only): same
+    deterministic kmeans + per-centroid gemv assignment, sequential cosine."""
+    import math
+
+    import numpy as np
+
+    from rugo_spark.ops.similarity import ivf_assign_rows, kmeans_centroids
+
+    ordered = sorted(embs)
+    sample = np.asarray([v for _, v in ordered[:sample_n]], dtype=np.float64)
+    C = kmeans_centroids(sample, n_clusters, seed=seed)
+    qv = np.asarray(query, dtype=np.float64)
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    probe = {int(x) for x in np.argsort(-(C @ qn), kind="stable")[:n_probe]}
+    X = np.asarray([v for _, v in embs], dtype=np.float64)
+    assign = ivf_assign_rows(X, C)
+    qnorm = float(np.sqrt(np.dot(query, query))) or 1.0
+    scored = []
+    for (vid, v), cl in zip(embs, assign):
+        if int(cl) in probe:
+            cos = _seq_dot(v, query) / (math.sqrt(_seq_dot(v, v)) * qnorm)
+            scored.append((-cos, vid))
+    scored.sort()
+    return [vid for _, vid in scored[:k]]
+
+
 # --------------------------------------------------------------- SQL render
 
 def _sql_literal(v) -> str:

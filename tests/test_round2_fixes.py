@@ -296,3 +296,23 @@ def test_ann_topk_recall_vs_exact(spark):
         probe = {qkey} | {qkey ^ (1 << b) for b in range(8)}
         cand |= {vid for vid, v in embs if orc._bucket_row(v, planes) in probe}
     assert len(cand) < 0.5 * len(embs), f"probe scanned {len(cand)}/{len(embs)}"
+
+
+def test_ivf_topk_matches_recompute_and_recalls(spark):
+    """IVF-flat probe: Spark path must match the sequential recompute id-for-id
+    (deterministic kmeans + batch-stable gemv assignment), with recall vs
+    exact top-k above the n_probe/n_clusters floor behaviour."""
+    import math
+
+    from rugo_spark import oracle_recompute as orc
+    from rugo_spark.ops.similarity import cosine_topk, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = [r["vec_id"] for r in ivf_topk(e, q, k=20, n_clusters=16, n_probe=4).collect()]
+    embs = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in e.collect()]
+    want = orc.ivf_topk_ids(embs, q, k=20, n_clusters=16, n_probe=4)
+    assert got == want
+    exact = {r["vec_id"] for r in cosine_topk(e, q, k=20).collect()}
+    recall = len(set(got) & exact) / 20
+    assert recall >= 0.3, f"ivf recall@20 {recall}"
