@@ -593,8 +593,10 @@ def _sidecar_keep(row: dict, filters: list[tuple] | None) -> bool:
 _PLAN_DDL = "block_path string, checksum long"
 
 # above this many sidecars, decode planning (JSON parse + block-skip tests)
-# runs on executors instead of a driver loop
-_DISTRIBUTED_PLAN_THRESHOLD = 4096
+# runs on executors instead of a driver loop (measured: driver parse ≈
+# 0.25 ms/sidecar — ~5 s at 20k; the distributed plan costs one extra
+# stage ≈ 1-2 s, so it pays above ~20k and is mandatory at 10⁵-10⁶)
+_DISTRIBUTED_PLAN_THRESHOLD = 20000
 
 
 def _plan_df_distributed(spark: SparkSession, out_dir: str, filters, sidecar_names: list[str]):
@@ -673,9 +675,10 @@ def decode_table(
     if plan == "auto":
         plan = "distributed" if len(sidecar_names) > _DISTRIBUTED_PLAN_THRESHOLD else "local"
 
+    par = spark.sparkContext.defaultParallelism
     if plan == "distributed":
         man = _plan_df_distributed(spark, out_dir, filters, sidecar_names)
-        if num_tasks:
+        if num_tasks:  # else decode runs on the planner's partitioning (no shuffle)
             man = man.repartition(max(1, min(int(num_tasks), 4096)))
     else:
         completed = [r for r in mf.completed_partitions(out_dir) if _sidecar_keep(r, filters)]
@@ -687,8 +690,13 @@ def decode_table(
                 "checksum": [int(r["checksum"]) for r in completed],
             }
         )
-        n = num_tasks or len(completed)
-        man = spark.createDataFrame(pdf).repartition(max(1, min(int(n), 4096)))
+        if num_tasks is None:
+            # one task per block is right for few big blocks, pathological
+            # for many small ones (task overhead ~10-20 ms): target ≥4 waves
+            # per core OR ~32 MB per task, whichever gives more tasks
+            total_bytes = sum(int(r.get("output_bytes") or 0) for r in completed)
+            num_tasks = min(len(completed), max(par * 4, total_bytes // (32 << 20)))
+        man = spark.createDataFrame(pdf).repartition(max(1, min(int(num_tasks), 4096)))
 
     def decoder(batches):
         for batch in batches:
