@@ -101,3 +101,73 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     q.awaitTermination(300)
     out = spark.sql("SELECT doc_id FROM dedup_out").toPandas()
     assert sorted(out["doc_id"].tolist()) == [1, 2, 3, 4, 5]
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data handling: a row arriving in a later micro-batch with an
+    event time older than the watermark must be excluded from its (already
+    closed) window's emitted aggregate."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 10:00:00")
+
+    def write(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+                    "n_tok": pa.array([r[1] for r in rows], type=pa.int32()),
+                    "ts": pa.array([base + pd.Timedelta(seconds=r[2]) for r in rows],
+                                   type=pa.timestamp("us")),
+                }
+            ),
+            str(src / name),
+        )
+
+    # batch 1: window [10:00,10:01) with 2 docs
+    write("f0.parquet", [("a", 10, 0), ("b", 20, 30)])
+    # batch 2: an event at 10:05 advances the watermark (2 min) past 10:01
+    write("f1.parquet", [("w", 1, 300)])
+    # batch 3: keeps the watermark there (the input-side late filter uses the
+    # watermark as of the PREVIOUS batch, so the drop needs one more batch)
+    write("f2.parquet", [("w2", 1, 310)])
+    # batch 4: a LATE row for the closed [10:00,10:01) window → dropped
+    write("f3.parquet", [("late", 1000, 10)])
+    # force strictly increasing modification times so the file source
+    # processes them in this order (modTime ties are unordered)
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    names = ["f0.parquet", "f1.parquet", "f2.parquet", "f3.parquet"]
+    for i, name in enumerate(names):
+        _os.utime(str(src / name), (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("doc_id string, n_tok int, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    from rugo_spark.streaming import token_rate_monitor
+
+    q = (
+        token_rate_monitor(stream)
+        .writeStream.format("memory")
+        .queryName("late_rates")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = {
+        r["window_start"]: (r["docs"], r["tokens"])
+        for r in spark.sql("SELECT * FROM late_rates").collect()
+    }
+    first = pd.Timestamp("2024-01-01 10:00:00")
+    assert first in {pd.Timestamp(k) for k in emitted}
+    docs, tokens = [v for k, v in emitted.items() if pd.Timestamp(k) == first][0]
+    assert (docs, tokens) == (2, 30)  # the late 1000-token row was dropped
