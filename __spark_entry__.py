@@ -66,6 +66,21 @@ def _roundtrip(table: str, key: str, size_col: str | None):
     return q
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over the binary media column (deterministic fake
+    resample; scalar projection — crc32 + dims — for the canonicalizer)."""
+    from rugo_spark.ops.multimodal import resize_media, synth_media_df
+
+    r = resize_media(synth_media_df(spark, n=256), target_w=16, target_h=16)
+    return r.select(
+        "asset_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.crc32("media").alias("media_crc"),
+        F.length("media").cast("long").alias("out_len"),
+    )
+
+
 def q_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine lineage surface, checked on conservation invariants: the
     manifest's row/token accounting must tie out exactly against the source
@@ -481,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q_repetition_ratio,
         "pii_counts": q_pii_counts,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
         "pipeline_docs_to_encoded": q_pipeline_docs_to_encoded,
     }
 
@@ -543,6 +559,11 @@ def _recompute_oracles() -> dict[str, str]:
         out["embedding_ivf_topk"] = orc.values_sql(
             [(v,) for v in orc.ivf_topk_ids(embs, query, k=20, n_clusters=16, n_probe=4)],
             [("vec_id", "BIGINT")],
+        )
+        out["multimodal_resize"] = orc.values_sql(
+            orc.resize_rows(256, 16, 16),
+            [("asset_id", "VARCHAR"), ("width", "BIGINT"), ("height", "BIGINT"),
+             ("media_crc", "BIGINT"), ("out_len", "BIGINT")],
         )
         out["multimodal_frame_sample"] = orc.values_sql(
             orc.frame_sample_rows(256, every_n=10),

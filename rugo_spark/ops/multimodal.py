@@ -94,6 +94,63 @@ def extract_features(
     return df.select(id_col, media_col).mapInArrow(kernel, f"{id_col} string, features array<float>")
 
 
+def resize_media(
+    df: DataFrame, target_w: int = 64, target_h: int = 64,
+    media_col: str = "media", id_col: str = "asset_id", fake: bool = True,
+) -> DataFrame:
+    """Resize plumbing over the opaque binary column: batch-vectorized
+    mapInArrow, binary in → binary out + updated (width, height) metadata.
+
+    Real pixel decode/resample is stubbed like ``decode_image`` (no image
+    libs in this sandbox); ``fake=True`` produces a deterministic
+    stride-sampled byte grid of exactly ``target_w·target_h`` bytes from the
+    payload — the schema, batching and output shape are the production
+    contract, the resample kernel is the swap-in point for PIL/vips."""
+    import pyarrow as pa
+
+    n_out = target_w * target_h
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            media = batch.column(1)
+            if isinstance(media, pa.ChunkedArray):
+                media = media.combine_chunks()
+            if not fake:
+                raise NotImplementedError("real media resize requires an image library")
+            bufs = media.buffers()
+            offs = np.frombuffer(bufs[1], np.int32, count=len(media) + 1, offset=media.offset * 4).astype(np.int64)
+            data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+            lens = np.diff(offs)
+            n = len(lens)
+            # stride sampling: out[i, k] = payload[floor(k * len_i / n_out)]
+            # — one 2-D gather for the whole batch, no per-row Python
+            k = np.arange(n_out, dtype=np.int64)
+            L = np.maximum(lens, 1)
+            idx = offs[:-1, None] + (k[None, :] * L[:, None]) // n_out
+            out = data[idx] if n else np.zeros((0, n_out), dtype=np.uint8)
+            if n:
+                out[lens == 0] = 0
+            flat = pa.py_buffer(out.tobytes())
+            o = np.arange(0, (n + 1) * n_out, n_out, dtype=np.int32)
+            arr = pa.Array.from_buffers(
+                pa.binary(), n, [None, pa.py_buffer(o.tobytes()), flat]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    arr,
+                    pa.array(np.full(n, target_w, dtype=np.int32)),
+                    pa.array(np.full(n, target_h, dtype=np.int32)),
+                ],
+                names=[batch.schema.names[0], "media", "width", "height"],
+            )
+
+    return df.select(id_col, media_col).mapInArrow(
+        kernel, f"{id_col} string, media binary, width int, height int"
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling *plan* for video rows: expands (asset, n_frames) into
     (asset, frame_idx) rows with built-ins only — the decode of each frame

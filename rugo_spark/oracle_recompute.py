@@ -374,6 +374,27 @@ def ann_topk_ids(
     return [vid for _, vid in scored[:k]]
 
 
+def resize_rows(
+    n: int = 256, target_w: int = 16, target_h: int = 16
+) -> list[tuple[str, int, int, int, int]]:
+    """Per-row recompute of ops/multimodal.resize_media (fake path):
+    (asset_id, width, height, crc32 of resized bytes, out_len)."""
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(np.random.SeedSequence([42, n]))
+    sizes = rng.integers(128, 4096, n)
+    medias = [rng.integers(0, 256, s, dtype=np.uint8).tobytes() for s in sizes]
+    n_out = target_w * target_h
+    out = []
+    for i, payload in enumerate(medias):
+        L = len(payload)
+        resized = bytes(payload[(k * max(L, 1)) // n_out] if L else 0 for k in range(n_out))
+        out.append((f"asset-{i:08d}", target_w, target_h, zlib.crc32(resized), n_out))
+    return out
+
+
 def frame_sample_rows(n: int = 256, every_n: int = 10) -> list[tuple[str, int]]:
     """Per-row recompute of ops/multimodal.frame_sample_plan over the synth
     media table (same deterministic rng draw order as synth_media_df)."""
