@@ -117,3 +117,46 @@ def test_bloom_and_index_footer_fields():
         ).fetchall()
         for rg, ci, ipo in rows:
             assert extras[rg][ci]["index_page_offset"] == ipo, path
+
+
+def test_thrift_lite_fuzz_roundtrip(tmp_path):
+    """Property check: the compact-protocol footer scanner must parse every
+    pyarrow-written layout (row-group sizes, compressions, nullable mixes)
+    with the right [n_row_groups][n_cols] shape and agree with DuckDB on
+    index_page_offset."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rugo_spark.thrift_lite import file_column_extras
+
+    rng = np.random.default_rng(11)
+    con = duckdb.connect()
+    for trial in range(12):
+        n = int(rng.integers(1, 40))
+        tbl = pa.table(
+            {
+                "i": pa.array([int(x) if x % 3 else None for x in rng.integers(0, 1000, n)]),
+                "s": pa.array([f"v{x}" if x % 4 else None for x in rng.integers(0, 50, n)]),
+                "f": pa.array(rng.standard_normal(n)),
+            }
+        )
+        path = str(tmp_path / f"fuzz{trial}.parquet")
+        pq.write_table(
+            tbl,
+            path,
+            row_group_size=int(rng.integers(1, n + 1)),
+            compression=["snappy", "zstd", "none"][trial % 3],
+            write_statistics=bool(trial % 2),
+        )
+        extras = file_column_extras(path)
+        md = pq.ParquetFile(path).metadata
+        assert len(extras) == md.num_row_groups
+        assert all(len(rg) == md.num_columns for rg in extras)
+        rows = con.execute(
+            f"SELECT row_group_id, column_id, index_page_offset "
+            f"FROM parquet_metadata('{path}') ORDER BY 1, 2"
+        ).fetchall()
+        for rg, ci, ipo in rows:
+            assert extras[rg][ci]["index_page_offset"] == ipo
