@@ -120,6 +120,37 @@ def _validity_buffer(valid: np.ndarray) -> pa.Buffer:
 
 # ---------------------------------------------------------------- encode
 
+def _decimal_float_exponent(v: np.ndarray, max_e: int = 6) -> int | None:
+    """Smallest e such that EVERY value reconstructs bit-exactly from
+    round(x·10^e)/10^e in float64 (then cast to the column dtype).  Bitwise
+    comparison (int view), so -0.0, NaN, inf and precision edge cases all
+    fall through to the generic float path; the sample prunes, the full
+    block verifies."""
+    if not len(v):
+        return None
+    x64 = v.astype(np.float64)
+    if not np.all(np.isfinite(x64)):
+        return None
+    bits = v.view(np.int64 if v.dtype.itemsize == 8 else np.int32)
+
+    def ok(vals64, orig_bits, e):
+        scaled = vals64 * np.float64(10.0**e)
+        if not np.all(np.abs(scaled) < 2**62):
+            return False
+        # mirror the EXACT encode→decode path: through int64 (which drops
+        # the sign of -0.0 — the float64 rint alone would not) and back
+        ints = np.rint(scaled).astype(np.int64)
+        recon = (ints.astype(np.float64) / np.float64(10.0**e)).astype(v.dtype)
+        return np.array_equal(recon.view(orig_bits.dtype), orig_bits)
+
+    sample = slice(0, min(len(v), 4096))
+    for e in range(0, max_e + 1):
+        if ok(x64[sample], bits[sample], e):
+            if ok(x64, bits, e):
+                return e
+    return None
+
+
 def _encode_int_values(v: np.ndarray, codec: str | None) -> tuple[bytes, str]:
     if codec is None:
         codec, _ = select_int_codec(v)
@@ -220,24 +251,37 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, plan: dict | None = None) -> t
     elif kind == KIND_FLOAT:
         v = np.ascontiguousarray(dense.to_numpy(zero_copy_only=len(dense) > 0))
         item = v.dtype.itemsize
-        # true BYTE_STREAM_SPLIT (rugo metadata.cpp:89-112 enum id 8) vs
-        # plain, decided by a sampled trial (mantissa entropy dependent)
-        mode = 0
-        if len(v) >= 64:
-            s = v[: min(len(v), 16384)]
-            plain_sz = len(general.wrap(s.tobytes()))
-            split_sz = len(
-                general.wrap(np.ascontiguousarray(s.view(np.uint8).reshape(-1, item).T).tobytes())
+        # mode 2: decimal-in-disguise floats (ALP-style, public idea from the
+        # ALP paper / DuckDB): doubles that are k-decimal values round-trip
+        # EXACTLY through round(x·10^e) int64 — verified bitwise on the whole
+        # block, else fall through.  Money columns compress ~5-10× better as
+        # FOR/bss ints than as float mantissas.
+        dec_e = _decimal_float_exponent(v) if len(v) >= 64 else None
+        if dec_e is not None:
+            ints = np.rint(v.astype(np.float64) * np.float64(10.0**dec_e)).astype(np.int64)
+            ibody, icodec = _encode_int_values(ints, plan.get("values"))
+            body = struct.pack("<BB", item, 2) + struct.pack("<B", dec_e) + ibody
+            parts.append(_frame(body))
+            meta["codec"] = f"dec_float(e{dec_e}+{icodec})"
+        else:
+            # true BYTE_STREAM_SPLIT (rugo metadata.cpp:89-112 enum id 8) vs
+            # plain, decided by a sampled trial (mantissa entropy dependent)
+            mode = 0
+            if len(v) >= 64:
+                s = v[: min(len(v), 16384)]
+                plain_sz = len(general.wrap(s.tobytes()))
+                split_sz = len(
+                    general.wrap(np.ascontiguousarray(s.view(np.uint8).reshape(-1, item).T).tobytes())
+                )
+                mode = 1 if split_sz < plain_sz * 0.97 else 0
+            payload = (
+                np.ascontiguousarray(v.view(np.uint8).reshape(-1, item).T).tobytes()
+                if mode
+                else v.tobytes()
             )
-            mode = 1 if split_sz < plain_sz * 0.97 else 0
-        payload = (
-            np.ascontiguousarray(v.view(np.uint8).reshape(-1, item).T).tobytes()
-            if mode
-            else v.tobytes()
-        )
-        body = struct.pack("<BB", item, mode) + general.wrap(payload)
-        parts.append(_frame(body))
-        meta["codec"] = "byte_stream_split" if mode else "plain"
+            body = struct.pack("<BB", item, mode) + general.wrap(payload)
+            parts.append(_frame(body))
+            meta["codec"] = "byte_stream_split" if mode else "plain"
     elif kind == KIND_STR:
         str_codec = plan.get("data")
         if str_codec is None:
@@ -357,14 +401,19 @@ def decode_array(buf: bytes | memoryview, typ: pa.DataType) -> pa.Array:
     if kind == KIND_FLOAT:
         body, off = _read_frame(mv, off)
         itemsize, mode = body[0], body[1]
-        raw = np.frombuffer(general.unwrap(body[2:]), dtype=np.uint8)
         dt = np.float32 if itemsize == 4 else np.float64
-        if mode == 1 and len(raw):
-            dense_v = (
-                np.ascontiguousarray(raw.reshape(itemsize, -1).T).view(dt).ravel()
-            )
+        if mode == 2:
+            e = body[2]
+            ints = _decode_int_body(body[3:])
+            dense_v = (ints.astype(np.float64) / np.float64(10.0**e)).astype(dt)
         else:
-            dense_v = raw.view(dt)
+            raw = np.frombuffer(general.unwrap(body[2:]), dtype=np.uint8)
+            if mode == 1 and len(raw):
+                dense_v = (
+                    np.ascontiguousarray(raw.reshape(itemsize, -1).T).view(dt).ravel()
+                )
+            else:
+                dense_v = raw.view(dt)
         vals = _expand(dense_v, valid)
         return pa.Array.from_buffers(typ, n, [vbuf, pa.py_buffer(vals.tobytes())])
     if kind == KIND_STR:

@@ -126,3 +126,37 @@ def test_float_byte_stream_split_mode():
     arr2 = pa.array(RNG.normal(size=5000).astype(np.float32), type=pa.float32())
     blob2, meta2 = encode_array(arr2)
     assert decode_array(blob2, arr2.type).equals(arr2)
+
+
+def test_dec_float_codec_money_columns_and_edges():
+    """Decimal-in-disguise floats (ALP-style): money columns encode as exact
+    scaled ints (verified bitwise per block); -0.0 / NaN / inf / random
+    mantissas fall through to the generic float path."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    for col in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]:
+        arr = t.column(col).combine_chunks()
+        blob, meta = encode_array(arr)
+        back = decode_array(blob, arr.type)
+        a = arr.to_numpy(zero_copy_only=False)
+        b = back.to_numpy(zero_copy_only=False)
+        assert np.array_equal(a.view(np.int64), b.view(np.int64)), col  # bitwise
+        assert meta["codec"].startswith("dec_float("), (col, meta["codec"])
+        assert meta["enc_bytes"] < meta["raw_bytes"] * 0.45, (col, meta)
+
+    for name, vals, expect_dec in [
+        ("negzero", np.array([0.0, -0.0, 1.25] * 100), False),
+        ("nan_inf", np.array([1.0, np.nan, np.inf, -np.inf] * 100), False),
+        ("random", np.random.default_rng(3).standard_normal(4000), False),
+        ("f32", np.array([1.5, 2.25, 3.75] * 200, dtype=np.float32), True),
+    ]:
+        arr = pa.array(vals)
+        blob, meta = encode_array(arr)
+        back = decode_array(blob, arr.type)
+        a = arr.to_numpy(zero_copy_only=False)
+        b = back.to_numpy(zero_copy_only=False)
+        iv = np.int64 if a.dtype.itemsize == 8 else np.int32
+        assert np.array_equal(a.view(iv), b.view(iv)), name
+        assert meta["codec"].startswith("dec_float(") == expect_dec, (name, meta["codec"])
