@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Training-data pipeline demo: raw documents → quality/language filters →
+near-dup clustering (keep one per cluster) → tokenize → size-balanced encode
+→ pruned decode — the end-to-end path a pretraining data pipeline runs, all
+on this engine's operators.  Run: ``python examples/pipeline_demo.py``
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import pyspark.sql.functions as F
+
+from rugo_spark import get_spark
+from rugo_spark.engine import decode_table, encode_table
+from rugo_spark.ops.dedup import dedup_clusters
+from rugo_spark.ops.textstats import lang_id, quality_features
+from rugo_spark.ops.tokenize import tokenize
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".scratch", "pipeline")
+    shutil.rmtree(out, ignore_errors=True)
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n0 = docs.count()
+
+    # 1. quality + language screen (built-ins, codegen'd)
+    q = quality_features(docs).filter(F.col("quality_score") >= 0.4).select("doc_id")
+    lang = lang_id(docs).filter(F.col("lang_pred") != "und").select("doc_id")
+    kept = docs.join(q, "doc_id", "left_semi").join(lang, "doc_id", "left_semi")
+    n1 = kept.count()
+
+    # 2. near-dup clustering: keep one representative per cluster
+    reps = dedup_clusters(kept, n_hashes=16, n_bands=4).filter("is_kept").select("doc_id")
+    deduped = kept.join(reps, "doc_id", "left_semi")
+    n2 = deduped.count()
+
+    # 3. tokenize → size-balanced encode (one shuffle) → lineage
+    tok = tokenize(deduped)
+    manifest = encode_table(tok, out, key_col="doc_id", size_col="n_tok", num_partitions=4)
+    total_tokens = manifest.agg(F.sum("n_tokens")).first()[0]
+
+    # 4. pruned decode: only long documents, only two columns
+    back = decode_table(spark, out, columns=["doc_id", "n_tok"], filters=[("n_tok", ">", 64)])
+    n_long = back.count()
+
+    print(f"documents: {n0} → quality+lang {n1} → deduped {n2}")
+    print(f"encoded {total_tokens} tokens into {manifest.count()} partitions")
+    print(f"decoded (pruned to n_tok>64, 2 columns): {n_long} rows")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
