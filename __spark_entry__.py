@@ -306,6 +306,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(_t(spark, sf_dir, "documents"), n_hashes=16, n_bands=4)
 
 
+def q_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage dedup shape at scale: LSH candidate generation →
+    exact n-gram Jaccard verification (≥0.5) on candidates only."""
+    from rugo_spark.ops.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(d, n_hashes=16, n_bands=4).select("id_a", "id_b")
+    return ngram_jaccard_pairs(d, prefilter=cands, threshold=0.5)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rugo_spark.ops.dedup import simhash
 
@@ -484,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_minhash_lsh": q_minhash_dedup,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_lsh_verified": q_lsh_verified,
         "dedup_jaccard_verify": q_jaccard_verify,
         "dedup_simhash": q_simhash,
         "asof_join_latest_order": q_asof_join,
@@ -538,6 +549,10 @@ def _recompute_oracles() -> dict[str, str]:
         out["dedup_clusters"] = orc.values_sql(
             orc.dedup_cluster_rows(docs, n_hashes=16, n_bands=4),
             [("doc_id", "BIGINT"), ("cluster_id", "BIGINT"), ("is_kept", "BOOLEAN")],
+        )
+        out["dedup_lsh_verified"] = orc.values_sql(
+            orc.lsh_verified_pairs(docs, n_hashes=16, n_bands=4, threshold=0.5),
+            [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("jaccard", "DOUBLE")],
         )
         out["multimodal_features"] = orc.values_sql(
             orc.multimodal_features_rows(256),

@@ -229,6 +229,30 @@ def minhash_pairs(
     return out
 
 
+def lsh_verified_pairs(
+    docs: list[tuple[int, str]],
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle: int = 5,
+    bucket_cap: int = 64,
+    threshold: float = 0.5,
+) -> list[tuple[int, int, float]]:
+    """Sequential recompute of the LSH→exact-Jaccard verification pipeline:
+    candidates from ``minhash_pairs``, exact Jaccard over distinct shingle
+    sets, thresholded.  The double division of the same two ints matches
+    Spark bit-for-bit."""
+    sh = {d: set(shingles_row(t, shingle)) for d, t in docs}
+    out = []
+    for a, b, _eq, _j in minhash_pairs(docs, n_hashes, n_bands, shingle, bucket_cap):
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        if union:
+            jac = float(inter) / union
+            if jac >= threshold:
+                out.append((a, b, jac))
+    return sorted(out)
+
+
 def multimodal_features_rows(n: int = 256, dim: int = 64) -> list[tuple[str, int, int]]:
     """Per-row recompute of q_multimodal_features: (asset_id, feat_dim,
     feat_byte_sum).  Each feature is byte/255 in float32, so round(x*255)
@@ -460,7 +484,11 @@ def _sql_literal(v) -> str:
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, float):
-        return repr(v)  # shortest round-trip repr; DuckDB parses as DOUBLE
+        # exponent form forces a DOUBLE literal: DuckDB parses bare decimal
+        # literals as DECIMAL, which truncates the last ulp on re-cast
+        # (repr is the shortest round-trip form, so 'e0' is exact)
+        r = repr(v)
+        return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "e0"
     if isinstance(v, int):
         return str(v)
     return "'" + str(v).replace("'", "''") + "'"
