@@ -80,3 +80,19 @@ def test_query_vs_oracle(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() == 2000
+
+
+def test_values_sql_float_literals_roundtrip_through_duckdb():
+    """DuckDB parses bare decimal literals as DECIMAL, truncating the last
+    ulp on re-cast — values_sql must emit DOUBLE (exponent-form) literals
+    that round-trip bit-exactly."""
+    import math
+
+    from rugo_spark.oracle_recompute import values_sql
+
+    vals = [0.9895470383275261, 1.0 / 3.0, 2.0**-40, 1e300, -0.0, 123.456]
+    sql = values_sql([(v,) for v in vals], [("x", "DOUBLE")])
+    got = [r[0] for r in duckdb.connect().execute(sql).fetchall()]
+    assert len(got) == len(vals)
+    for a, b in zip(sorted(vals), sorted(got)):
+        assert a == b and math.copysign(1, a) == math.copysign(1, b), (a, b)
