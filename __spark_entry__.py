@@ -474,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_lineitem": _roundtrip("lineitem", "l_orderkey", None),
         "roundtrip_events": _roundtrip("events", "event_id", None),
         "roundtrip_part": _roundtrip("part", "p_partkey", None),
+        "roundtrip_orders": _roundtrip("orders", "o_orderkey", None),
         "manifest_lineage": q_manifest,
         "agg_pricing_summary": q_agg_pricing,
         "join_top_revenue": q_join_revenue,
@@ -596,6 +597,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_lineitem": "SELECT * FROM lineitem",
         "roundtrip_events": "SELECT * FROM events",
         "roundtrip_part": "SELECT * FROM part",
+        "roundtrip_orders": "SELECT * FROM orders",
         # invariant oracle: lineage accounting must conserve source rows/mass
         "manifest_lineage": """
             SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,

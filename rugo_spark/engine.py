@@ -643,6 +643,7 @@ def decode_table(
     filters: list[tuple] | None = None,
     verify_checksums: bool = False,
     plan: str = "auto",
+    on_corrupt: str = "error",
 ) -> DataFrame:
     """Reconstruct the original DataFrame from blocks. One task per block file,
     no shuffle; column pruning skips undecoded columns entirely; ``filters``
@@ -651,7 +652,13 @@ def decode_table(
 
     ``plan``: 'local' parses sidecars in a driver loop (lowest latency for
     small manifests), 'distributed' plans in a Spark stage (scales to 10⁶
-    blocks), 'auto' switches on manifest size."""
+    blocks), 'auto' switches on manifest size.
+
+    ``on_corrupt`` (with ``verify_checksums``): 'error' fails the job on a
+    checksum mismatch; 'skip' quarantines the block (logs to stderr, decodes
+    the rest) — the at-scale triage mode: one rotted block of 10⁶ shouldn't
+    kill a day-long read, and the manifest pins exactly which partition to
+    re-encode."""
     arrow_schema, spark_schema_json = mf.read_schema(out_dir)
     from pyspark.sql.types import StructType
 
@@ -707,10 +714,16 @@ def decode_table(
                         got = zlib.crc32(f.read())
                     want = crcs[i]
                     if want is not None and got != want:
-                        raise IOError(
+                        msg = (
                             f"checksum mismatch for {path}: block corrupted "
                             f"(manifest {want}, file {got})"
                         )
+                        if on_corrupt == "skip":
+                            import sys as _sys
+
+                            print(f"rugo_spark: QUARANTINED {msg}", file=_sys.stderr)
+                            continue
+                        raise IOError(msg)
                 yield from read_block_file(path, arrow_schema, columns)
 
     out = man.mapInArrow(decoder, out_schema)

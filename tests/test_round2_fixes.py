@@ -316,3 +316,25 @@ def test_ivf_topk_matches_recompute_and_recalls(spark):
     exact = {r["vec_id"] for r in cosine_topk(e, q, k=20).collect()}
     recall = len(set(got) & exact) / 20
     assert recall >= 0.3, f"ivf recall@20 {recall}"
+
+
+# ------------------------------------------------------------ quarantine
+
+def test_decode_on_corrupt_skip_quarantines_block(spark, tmp_out):
+    import glob
+    import os
+
+    from rugo_spark.engine import decode_table, encode_table
+
+    pdf = pd.DataFrame({"k": [f"k{i:03d}" for i in range(400)], "v": list(range(400))})
+    encode_table(spark.createDataFrame(pdf), tmp_out, key_col="k", num_partitions=4)
+    victim = sorted(glob.glob(os.path.join(tmp_out, "blocks", "*.rgb")))[0]
+    with open(victim, "r+b") as f:
+        f.seek(20)
+        f.write(b"\xde\xad\xbe\xef")
+
+    with pytest.raises(Exception):  # default: fail loudly
+        decode_table(spark, tmp_out, verify_checksums=True).count()
+
+    n = decode_table(spark, tmp_out, verify_checksums=True, on_corrupt="skip").count()
+    assert 0 < n < 400  # rest of the dataset still decodes
