@@ -30,7 +30,7 @@ ESCAPE = 255
 MAX_SYMBOLS = 255  # output codes 0..254; 255 = escape
 MAX_SYMBOL_LEN = 8
 _MAX_MERGES = 160  # leaves ≥95 output codes for frequent single bytes
-_SAMPLE_LIMIT = 1 << 19  # train on ≤512 KiB — table quality plateaus well below
+_SAMPLE_LIMIT = 1 << 18  # train on ≤256 KiB — ratio is flat 64 KiB-512 KiB (measured)
 _CODE_SPACE = 512  # 256 literals + ≤_MAX_MERGES merged codes, rounded up
 _K = np.uint32(_CODE_SPACE)
 
@@ -143,8 +143,120 @@ def train(sample: bytes, max_merges: int = _MAX_MERGES, rounds: int = 4) -> Tabl
     return t
 
 
+_LEN_MASK = np.zeros(9, dtype=np.uint64)
+for _l in range(1, 9):
+    _LEN_MASK[_l] = np.uint64((1 << (8 * _l)) - 1) if _l < 8 else np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _match_tables(t: Table):
+    """Longest-match lookup tables, built once per trained table: per 2-byte
+    prefix the two longest symbols (covers >99% of prefix collisions among
+    ≤255 symbols), a 1-byte-symbol table, and per-symbol packed keys."""
+    if getattr(t, "_match", None) is not None:
+        return t._match
+    n_sym = len(t.out_expansions)
+    symlen = np.zeros(max(n_sym, 1), dtype=np.int64)
+    symkey = np.zeros(max(n_sym, 1), dtype=np.uint64)
+    lut1 = np.full(256, -1, dtype=np.int16)
+    by_prefix: dict[int, list[int]] = {}
+    for i, e in enumerate(t.out_expansions):
+        symlen[i] = len(e)
+        symkey[i] = int.from_bytes(e.ljust(8, b"\0"), "little")
+        if len(e) == 1:
+            lut1[e[0]] = i
+        elif len(e) >= 2:
+            by_prefix.setdefault(e[0] | (e[1] << 8), []).append(i)
+    lut_a = np.full(65536, -1, dtype=np.int16)
+    lut_b = np.full(65536, -1, dtype=np.int16)
+    for p, ids in by_prefix.items():
+        ids.sort(key=lambda i: -symlen[i])
+        lut_a[p] = ids[0]
+        if len(ids) > 1:
+            lut_b[p] = ids[1]
+    t._match = (lut1, lut_a, lut_b, symkey, symlen)
+    return t._match
+
+
 def compress(data: bytes, t: Table) -> bytes:
-    """Apply the trained merges + code assignment to ``data`` → code stream."""
+    """Greedy longest-match encode (the real-FSST strategy) vectorized:
+
+    1. Per POSITION (whole-array passes): sliding 8-byte windows, candidate
+       symbols via a 2-byte-prefix LUT, full-key masked compare → the longest
+       matching symbol (or 1-byte symbol / escape) at every position.
+    2. The inherently sequential greedy WALK (take match, jump its length) is
+       vectorized ACROSS 1 KiB chunks: one position vector steps all chunks
+       at once (~chunk/avg_len iterations over an n_chunks-wide vector).
+       A match is never taken across a chunk seam (1-byte fallback) — ≤1
+       shorter token per KiB, ratio noise.
+    3. Stitch: flatten per-chunk token matrices (chunk-major = input order),
+       expand escapes.
+    """
+    d = np.frombuffer(data, dtype=np.uint8)
+    n = len(d)
+    if n == 0:
+        return b""
+    assert t.code_map is not None
+    lut1, lut_a, lut_b, symkey, symlen = _match_tables(t)
+
+    C = 512
+    n_chunks = (n + C - 1) // C
+    pos = np.arange(n_chunks, dtype=np.int64) * C
+    ends = np.minimum(pos + C, n)
+    toks = np.full((n_chunks, C), -1, dtype=np.int32)
+    active = np.arange(n_chunks)
+    step = 0
+    # all matching is LAZY — evaluated only at the ~n/avg_len positions the
+    # greedy walk actually visits (a quarter of all positions on text),
+    # per step over an n_chunks-wide vector
+    while len(active):
+        p = pos[active]
+        rem = ends[active] - p  # never match across a chunk seam
+        # sliding 8-byte window at the visited positions only
+        w = d[p].astype(np.uint64)
+        for k in range(1, 8):
+            idx = p + k
+            np.minimum(idx, n - 1, out=idx)
+            w |= np.where(p + k < n, d[idx], 0).astype(np.uint64) << np.uint64(8 * k)
+        w16 = (w & np.uint64(0xFFFF)).astype(np.int64)
+        byte0 = d[p]
+        one = lut1[byte0]
+        tk = np.where(one >= 0, one.astype(np.int32), 256 + byte0.astype(np.int32))
+        ln = np.ones(len(p), dtype=np.int64)
+        for lut in (lut_b, lut_a):  # secondary first; the longest overrides
+            cand = lut[w16]
+            has = cand >= 0
+            c = np.where(has, cand, 0)
+            cl = symlen[c]
+            ok = has & (cl <= rem) & ((w & _LEN_MASK[cl]) == symkey[c])
+            tk = np.where(ok, c.astype(np.int32), tk)
+            ln = np.where(ok, cl, ln)
+        toks[active, step] = tk
+        pos[active] = p + ln
+        still = pos[active] < ends[active]
+        active = active[still]
+        step += 1
+
+    flat = toks[toks >= 0]  # row-major: chunk order then step order = input order
+    esc = flat >= 256
+    m = len(flat)
+    incl = np.cumsum(esc, dtype=np.int64)
+    starts = np.arange(m, dtype=np.int64)
+    starts += incl
+    starts -= esc
+    total = m + (int(incl[-1]) if m else 0)
+    out = np.empty(total, dtype=np.uint8)
+    keep = ~esc
+    out[starts[keep]] = flat[keep]
+    if m and incl[-1]:
+        eo = starts[esc]
+        out[eo] = ESCAPE
+        out[eo + 1] = flat[esc] - 256
+    return out.tobytes()
+
+
+def _compress_rounds(data: bytes, t: Table) -> bytes:
+    """Round-application encoder (the trainer's own transform) — kept as the
+    reference implementation for differential tests."""
     codes = np.frombuffer(data, dtype=np.uint8).astype(np.uint32)
     for lut in t.rounds:
         codes = _apply_round(codes, lut)
@@ -212,7 +324,25 @@ _HDR = struct.Struct("<B")
 
 def encode(data: bytes) -> bytes:
     t = train(data)
-    stream = compress(data, t)
+    # Two encoders produce the same payload format with different stream
+    # regularity: chunked longest-match (`compress`) is faster and smaller
+    # post-zstd on ordinary text; round-application (`_compress_rounds`)
+    # tokenizes content-deterministically, which preserves zstd's long-range
+    # matches on corpora with large repeated spans (chunk seams shift the
+    # greedy phase).  A two-window sampled post-zstd trial picks per block.
+    enc = compress
+    if len(data) >= (1 << 19):  # trial only where its ~35 ms can pay
+        from rugo_spark.codecs import general as _g
+
+        # contiguous 256 KiB so repeat periods up to that size are visible
+        # to the trial (a stitched two-window sample can be accidentally
+        # chunk-grid-aligned and hide the seam effect)
+        sample = data[: 1 << 18]
+        fz = len(_g.wrap(compress(sample, t), _g.ZSTD))
+        rz = len(_g.wrap(_compress_rounds(sample, t), _g.ZSTD))
+        if rz < fz * 0.97:
+            enc = _compress_rounds
+    stream = enc(data, t)
     parts = [struct.pack("<B", len(t.out_expansions))]
     for e in t.out_expansions:
         parts.append(struct.pack("<B", len(e)))
