@@ -446,6 +446,20 @@ def q_pipeline_docs_to_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("doc_id", F.size("tokens").cast("long").alias("n_tok"))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → tokenize → fixed-length training-sequence packing (the
+    LLM data-loader shape); the oracle recomputes the tokenizer, the
+    deterministic size-balanced partitioner AND the packer sequentially."""
+    from rugo_spark.ops.packing import pack_sequences
+    from rugo_spark.ops.tokenize import tokenize
+
+    tok = tokenize(_t(spark, sf_dir, "documents"))
+    packed = pack_sequences(tok, seq_len=256, num_partitions=8)
+    return packed.select(
+        "partition_id", "seq_idx", "n_real", "tok_sum", "first_tok", "last_tok"
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction plumbing (deterministic fake decode).
 
@@ -510,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "pipeline_docs_to_encoded": q_pipeline_docs_to_encoded,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -550,6 +565,11 @@ def _recompute_oracles() -> dict[str, str]:
         out["dedup_clusters"] = orc.values_sql(
             orc.dedup_cluster_rows(docs, n_hashes=16, n_bands=4),
             [("doc_id", "BIGINT"), ("cluster_id", "BIGINT"), ("is_kept", "BOOLEAN")],
+        )
+        out["pack_sequences"] = orc.values_sql(
+            orc.pack_rows(docs, seq_len=256, num_partitions=8),
+            [("partition_id", "INTEGER"), ("seq_idx", "BIGINT"), ("n_real", "BIGINT"),
+             ("tok_sum", "BIGINT"), ("first_tok", "INTEGER"), ("last_tok", "INTEGER")],
         )
         out["dedup_lsh_verified"] = orc.values_sql(
             orc.lsh_verified_pairs(docs, n_hashes=16, n_bands=4, threshold=0.5),

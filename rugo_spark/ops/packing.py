@@ -1,0 +1,122 @@
+"""Sequence packing: tokenized documents → fixed-length training rows.
+
+The step between tokenization and the trainer: concatenate documents into
+``seq_len``-token rows (the shape an LLM data loader consumes), padding only
+the final row of each partition.  Packing is PER PARTITION of the engine's
+deterministic size-balanced partitioner, so the operation is one
+``applyInArrow`` over the same single shuffle the encode job already does —
+at 10^12 tokens the pack plan is the encode plan.
+
+Determinism contract: partition assignment (cumulative-mass + key hash) and
+intra-partition order (sort by key) are pure functions of the data, so a
+sequential recomputation reproduces every packed row exactly — the driver
+oracle relies on this.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from rugo_spark.partitioning import release_after_plan, with_partition_id
+
+PACK_DDL = (
+    "partition_id int, seq_idx long, n_real long, tok_sum long, "
+    "first_tok int, last_tok int, tokens array<int>"
+)
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 512,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    size_col: str = "n_tok",
+    num_partitions: int | None = None,
+    pad_id: int = 0,
+) -> DataFrame:
+    """Pack token arrays into ``seq_len``-token rows.
+
+    Output per packed row: its partition, index within the partition, the
+    count of real (non-pad) tokens, an integrity checksum (int64 token sum,
+    first/last token — computed vectorized via ``add.reduceat``), and the
+    packed ``tokens`` array itself (last row of a partition is padded with
+    ``pad_id``).
+    """
+    planned, n_parts, _total = with_partition_id(
+        df.select(id_col, tokens_col, size_col),
+        num_partitions,
+        size_col=size_col,
+        key_col=id_col,
+    )
+
+    def packer(key: tuple, table: pa.Table) -> pa.Table:
+        pid = int(key[0].as_py())
+        tbl = table.sort_by(id_col)
+        col = tbl.column(tokens_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int32)
+        n_real_total = len(flat)
+        if n_real_total == 0:
+            return pa.table({f.name: pa.array([], type=f.type) for f in _PACK_ARROW})
+        n_seq = (n_real_total + seq_len - 1) // seq_len
+        padded = np.full(n_seq * seq_len, pad_id, dtype=np.int32)
+        padded[:n_real_total] = flat
+        mat = padded.reshape(n_seq, seq_len)
+        starts = np.arange(0, n_seq * seq_len, seq_len)
+        tok_sum = np.add.reduceat(padded.astype(np.int64), starts)
+        n_real = np.full(n_seq, seq_len, dtype=np.int64)
+        n_real[-1] = n_real_total - (n_seq - 1) * seq_len
+        toks = pa.FixedSizeListArray.from_arrays(
+            pa.array(padded, type=pa.int32()), seq_len
+        ).cast(pa.list_(pa.int32()))
+        return pa.table(
+            {
+                "partition_id": pa.array(np.full(n_seq, pid, dtype=np.int32)),
+                "seq_idx": pa.array(np.arange(n_seq, dtype=np.int64)),
+                "n_real": pa.array(n_real),
+                "tok_sum": pa.array(tok_sum),
+                "first_tok": pa.array(mat[:, 0]),
+                "last_tok": pa.array(mat[:, -1]),
+                "tokens": toks,
+            }
+        )
+
+    spark = df.sparkSession
+    conf = spark.conf
+    prev = conf.get("spark.sql.shuffle.partitions")
+    prev_coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try:
+        conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        out = planned.groupBy("__rugo_pid").applyInArrow(packer, PACK_DDL)
+        # materialization happens at the caller's action; conf must be
+        # restored only after the plan is resolved — localCheckpoint the
+        # small path: packing output is consumed immediately by encode or
+        # the trainer, so keep it lazy and restore conf right away (the
+        # shuffle partitioning is captured at plan time)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev)
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
+        release_after_plan(planned)
+    return out
+
+
+_PACK_ARROW = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("seq_idx", pa.int64()),
+        ("n_real", pa.int64()),
+        ("tok_sum", pa.int64()),
+        ("first_tok", pa.int32()),
+        ("last_tok", pa.int32()),
+        ("tokens", pa.list_(pa.int32())),
+    ]
+)

@@ -253,6 +253,78 @@ def lsh_verified_pairs(
     return sorted(out)
 
 
+_PIECES = re.compile(r"[a-z0-9]+|[^a-z0-9\s]", re.ASCII)
+
+
+def tokenize_row(text: str, vocab: int = 50257) -> list[int]:
+    """Sequential recompute of ops/tokenize.tokenize for one document."""
+    out = []
+    for p in _PIECES.findall(text.lower()):
+        h = spark_xxhash64(p)
+        out.append(((h % vocab) + vocab) % vocab)  # Spark pmod
+    return out
+
+
+def partition_id_rows(
+    items: list[tuple[int, int]], num_partitions: int, clip: int = 1 << 20, res: int = 1 << 20
+) -> dict[int, int]:
+    """Sequential recompute of partitioning.with_partition_id (size-balanced
+    cumulative-mass mapping): {key → partition_id}.  Mirrors the Spark float
+    op order exactly (int sums → one division; frac·u then +cum)."""
+    hist: dict[int, int] = {}
+    for key, size in items:
+        sz = min(size or 0, clip)
+        hist[sz] = hist.get(sz, 0) + (size or 0)
+    total = float(sum(hist.values())) or 1.0
+    cum_at: dict[int, float] = {}
+    frac_at: dict[int, float] = {}
+    running = 0
+    for sz in sorted(hist):
+        cum_at[sz] = running / total
+        frac_at[sz] = hist[sz] / total
+        running += hist[sz]
+    out: dict[int, int] = {}
+    import math
+
+    for key, size in items:
+        sz = min(size or 0, clip)
+        h = spark_xxhash64(key)
+        u = float(((h % res) + res) % res) / float(res)
+        pos = cum_at[sz] + frac_at[sz] * u
+        out[key] = min(num_partitions - 1, int(math.floor(float(num_partitions) * pos)))
+    return out
+
+
+def pack_rows(
+    docs: list[tuple[int, str]],
+    seq_len: int,
+    num_partitions: int,
+    vocab: int = 50257,
+    pad_id: int = 0,
+) -> list[tuple[int, int, int, int, int, int]]:
+    """Sequential recompute of tokenize → ops/packing.pack_sequences:
+    (partition_id, seq_idx, n_real, tok_sum, first_tok, last_tok)."""
+    toks = {d: tokenize_row(t, vocab) for d, t in docs}
+    pids = partition_id_rows([(d, len(v)) for d, v in toks.items()], num_partitions)
+    by_pid: dict[int, list[int]] = {}
+    for d, _t in sorted(docs):
+        by_pid.setdefault(pids[d], []).append(d)
+    out = []
+    for pid, ids in by_pid.items():
+        flat: list[int] = []
+        for d in ids:  # ids already ascending (sorted docs)
+            flat.extend(toks[d])
+        if not flat:
+            continue
+        n_seq = (len(flat) + seq_len - 1) // seq_len
+        padded = flat + [pad_id] * (n_seq * seq_len - len(flat))
+        for s in range(n_seq):
+            row = padded[s * seq_len : (s + 1) * seq_len]
+            n_real = seq_len if s < n_seq - 1 else len(flat) - (n_seq - 1) * seq_len
+            out.append((pid, s, n_real, sum(row), row[0], row[-1]))
+    return sorted(out)
+
+
 def multimodal_features_rows(n: int = 256, dim: int = 64) -> list[tuple[str, int, int]]:
     """Per-row recompute of q_multimodal_features: (asset_id, feat_dim,
     feat_byte_sum).  Each feature is byte/255 in float32, so round(x*255)

@@ -338,3 +338,39 @@ def test_decode_on_corrupt_skip_quarantines_block(spark, tmp_out):
 
     n = decode_table(spark, tmp_out, verify_checksums=True, on_corrupt="skip").count()
     assert 0 < n < 400  # rest of the dataset still decodes
+
+
+# ------------------------------------------------------------ packing
+
+def test_pack_sequences_conservation_and_shape(spark):
+    """Packing must conserve every real token, emit fixed-length rows, and
+    pad only the last row of each partition; the whole pipeline must match
+    the sequential recompute (tokenizer + partitioner + packer)."""
+    from rugo_spark import oracle_recompute as orc
+    from rugo_spark.ops.packing import pack_sequences
+    from rugo_spark.ops.tokenize import tokenize
+
+    docs_df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tok = tokenize(docs_df)
+    total_real = tok.agg(F.sum("n_tok")).first()[0]
+    packed = pack_sequences(tok, seq_len=128, num_partitions=4)
+    rows = packed.collect()
+    assert all(len(r["tokens"]) == 128 for r in rows)  # fixed-length rows
+    assert sum(r["n_real"] for r in rows) == total_real  # conservation
+    # padding only on the last row per partition
+    by_pid = {}
+    for r in rows:
+        by_pid.setdefault(r["partition_id"], []).append(r)
+    for pid, rs in by_pid.items():
+        rs.sort(key=lambda r: r["seq_idx"])
+        assert all(r["n_real"] == 128 for r in rs[:-1]), pid
+
+    got = sorted(
+        (r["partition_id"], r["seq_idx"], r["n_real"], r["tok_sum"], r["first_tok"], r["last_tok"])
+        for r in rows
+    )
+    pdocs = docs_df.select("doc_id", "text").toPandas()
+    want = orc.pack_rows(
+        [(int(r.doc_id), r.text) for r in pdocs.itertuples()], seq_len=128, num_partitions=4
+    )
+    assert got == want
