@@ -460,6 +460,38 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_packed_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete north-star chain: tokenize → pack → ENCODE → DECODE,
+    with every checksum recomputed FROM THE DECODED token arrays (not
+    carried through) — a value match against the same sequential oracle as
+    ``pack_sequences`` proves the packed sequences survive the engine
+    bit-exactly."""
+    from rugo_spark.engine import decode_table, encode_table
+    from rugo_spark.ops.packing import pack_sequences
+    from rugo_spark.ops.tokenize import tokenize
+
+    tok = tokenize(_t(spark, sf_dir, "documents"))
+    packed = pack_sequences(tok, seq_len=256, num_partitions=8)
+    out = _fresh("packed_enc", sf_dir)
+    encode_table(
+        packed.withColumn("pack_key", F.col("partition_id") * 100000 + F.col("seq_idx")),
+        out,
+        key_col="pack_key",
+        num_partitions=4,
+    )
+    back = decode_table(spark, out)
+    return back.select(
+        "partition_id",
+        "seq_idx",
+        "n_real",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("tok_sum"),
+        F.element_at("tokens", 1).alias("first_tok"),
+        F.element_at("tokens", -1).alias("last_tok"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction plumbing (deterministic fake decode).
 
@@ -525,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "pipeline_docs_to_encoded": q_pipeline_docs_to_encoded,
         "pack_sequences": q_pack_sequences,
+        "packed_encode_roundtrip": q_packed_encode_roundtrip,
     }
 
 
@@ -566,11 +599,13 @@ def _recompute_oracles() -> dict[str, str]:
             orc.dedup_cluster_rows(docs, n_hashes=16, n_bands=4),
             [("doc_id", "BIGINT"), ("cluster_id", "BIGINT"), ("is_kept", "BOOLEAN")],
         )
-        out["pack_sequences"] = orc.values_sql(
+        pack_sql = orc.values_sql(
             orc.pack_rows(docs, seq_len=256, num_partitions=8),
             [("partition_id", "INTEGER"), ("seq_idx", "BIGINT"), ("n_real", "BIGINT"),
              ("tok_sum", "BIGINT"), ("first_tok", "INTEGER"), ("last_tok", "INTEGER")],
         )
+        out["pack_sequences"] = pack_sql
+        out["packed_encode_roundtrip"] = pack_sql  # same expected table, post-engine
         out["dedup_lsh_verified"] = orc.values_sql(
             orc.lsh_verified_pairs(docs, n_hashes=16, n_bands=4, threshold=0.5),
             [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("jaccard", "DOUBLE")],
