@@ -152,6 +152,16 @@ def main() -> None:
         assert got_tokens == total_tokens, f"decode token count {got_tokens} != {total_tokens}"
     extra["decode_tokens_per_sec"] = round(total_tokens / timings["decode"])
 
+    # ---------------- sequence packing (docs → fixed-length training rows)
+    from rugo_spark.ops.packing import pack_sequences
+
+    t0 = time.perf_counter()
+    packed = pack_sequences(tok_df, seq_len=2048, num_partitions=CPUS * 4, eos_id=50256)
+    n_seq = packed.count()
+    timings["pack_sequences"] = time.perf_counter() - t0
+    extra["pack_tokens_per_sec"] = round(total_tokens / timings["pack_sequences"])
+    extra["packed_rows"] = int(n_seq)
+
     # ---------------- relational/pipeline headline queries at SF_DIR
     import __spark_entry__ as entrymod
 

@@ -37,6 +37,7 @@ def pack_sequences(
     size_col: str = "n_tok",
     num_partitions: int | None = None,
     pad_id: int = 0,
+    eos_id: int | None = None,
 ) -> DataFrame:
     """Pack token arrays into ``seq_len``-token rows.
 
@@ -44,7 +45,8 @@ def pack_sequences(
     count of real (non-pad) tokens, an integrity checksum (int64 token sum,
     first/last token — computed vectorized via ``add.reduceat``), and the
     packed ``tokens`` array itself (last row of a partition is padded with
-    ``pad_id``).
+    ``pad_id``).  ``eos_id`` appends a separator token after EVERY document
+    before chunking (the usual trainer contract for attention resets).
     """
     planned, n_parts, _total = with_partition_id(
         df.select(id_col, tokens_col, size_col),
@@ -61,7 +63,23 @@ def pack_sequences(
             col = col.combine_chunks()
         import pyarrow.compute as pc
 
-        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int32)
+        if eos_id is not None:
+            # vectorized EOS insertion: scatter doc tokens around per-doc
+            # slots widened by one (no per-row Python)
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            body = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int32)
+            out_len = lens + 1
+            offs = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(out_len, out=offs[1:])
+            flat = np.full(int(offs[-1]), eos_id, dtype=np.int32)
+            # positions of body bytes: each doc's tokens start at offs[i]
+            idx = np.arange(len(body), dtype=np.int64)
+            doc_of = np.repeat(np.arange(len(lens)), lens)
+            src_start = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=src_start[1:])
+            flat[idx - src_start[doc_of] + offs[:-1][doc_of]] = body
+        else:
+            flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int32)
         n_real_total = len(flat)
         if n_real_total == 0:
             return pa.table({f.name: pa.array([], type=f.type) for f in _PACK_ARROW})

@@ -301,6 +301,7 @@ def pack_rows(
     num_partitions: int,
     vocab: int = 50257,
     pad_id: int = 0,
+    eos_id: int | None = None,
 ) -> list[tuple[int, int, int, int, int, int]]:
     """Sequential recompute of tokenize → ops/packing.pack_sequences:
     (partition_id, seq_idx, n_real, tok_sum, first_tok, last_tok)."""
@@ -314,6 +315,8 @@ def pack_rows(
         flat: list[int] = []
         for d in ids:  # ids already ascending (sorted docs)
             flat.extend(toks[d])
+            if eos_id is not None:
+                flat.append(eos_id)
         if not flat:
             continue
         n_seq = (len(flat) + seq_len - 1) // seq_len

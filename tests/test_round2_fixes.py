@@ -10,6 +10,7 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
+import numpy as np
 import pyspark.sql.functions as F
 
 
@@ -374,3 +375,45 @@ def test_pack_sequences_conservation_and_shape(spark):
         [(int(r.doc_id), r.text) for r in pdocs.itertuples()], seq_len=128, num_partitions=4
     )
     assert got == want
+
+
+def test_pack_sequences_with_eos_matches_recompute(spark):
+    from rugo_spark import oracle_recompute as orc
+    from rugo_spark.ops.packing import pack_sequences
+    from rugo_spark.ops.tokenize import tokenize
+
+    docs_df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packed = pack_sequences(tokenize(docs_df), seq_len=200, num_partitions=4, eos_id=50256)
+    rows = packed.collect()
+    got = sorted(
+        (r["partition_id"], r["seq_idx"], r["n_real"], r["tok_sum"], r["first_tok"], r["last_tok"])
+        for r in rows
+    )
+    pdocs = docs_df.select("doc_id", "text").toPandas()
+    want = orc.pack_rows(
+        [(int(r.doc_id), r.text) for r in pdocs.itertuples()],
+        seq_len=200, num_partitions=4, eos_id=50256,
+    )
+    assert got == want
+    # exactly one EOS per document across the corpus
+    n_docs = docs_df.count()
+    eos_total = sum(sum(1 for t in r["tokens"][: r["n_real"]] if t == 50256) for r in rows)
+    assert eos_total >= n_docs  # >= : hash tokens can collide with eos id
+
+
+def test_partitioner_matches_recompute(spark):
+    """The cumulative-mass partitioner and its sequential recompute must
+    agree on every key (bit-identical float op order) — the packing and
+    resume guarantees hang on this."""
+    from rugo_spark import oracle_recompute as orc
+    from rugo_spark.partitioning import with_partition_id
+
+    rng = np.random.default_rng(5)
+    sizes = np.clip(rng.zipf(1.4, 3000), 1, 5000).astype("int64")
+    pdf = pd.DataFrame({"doc_id": np.arange(3000, dtype="int64"), "n_tok": sizes})
+    df = spark.createDataFrame(pdf)
+    planned, n_parts, total = with_partition_id(df, 16, size_col="n_tok", key_col="doc_id")
+    got = {r["doc_id"]: r["__rugo_pid"] for r in planned.select("doc_id", "__rugo_pid").collect()}
+    want = orc.partition_id_rows(list(zip(pdf.doc_id.tolist(), pdf.n_tok.tolist())), 16)
+    assert got == want
+    assert total == int(sizes.sum())
