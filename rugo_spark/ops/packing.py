@@ -106,24 +106,14 @@ def pack_sequences(
             }
         )
 
-    spark = df.sparkSession
-    conf = spark.conf
-    prev = conf.get("spark.sql.shuffle.partitions")
-    prev_coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled")
-    try:
-        conf.set("spark.sql.shuffle.partitions", str(n_parts))
-        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-        out = planned.groupBy("__rugo_pid").applyInArrow(packer, PACK_DDL)
-        # materialization happens at the caller's action; conf must be
-        # restored only after the plan is resolved — localCheckpoint the
-        # small path: packing output is consumed immediately by encode or
-        # the trainer, so keep it lazy and restore conf right away (the
-        # shuffle partitioning is captured at plan time)
-        out = out.localCheckpoint(eager=True)
-    finally:
-        conf.set("spark.sql.shuffle.partitions", prev)
-        conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
-        release_after_plan(planned)
+    # explicit keyed repartition pins the shuffle-task count to the group
+    # count WITHOUT touching session conf (a user repartition is not
+    # AQE-coalesced, and groupBy on the same key reuses its partitioning —
+    # exactly one Exchange); the result stays LAZY, so packing 10^9 tokens
+    # doesn't materialize into storage memory
+    shaped = planned.repartition(n_parts, F.col("__rugo_pid"))
+    out = shaped.groupBy("__rugo_pid").applyInArrow(packer, PACK_DDL)
+    release_after_plan(planned)
     return out
 
 

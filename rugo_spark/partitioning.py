@@ -65,27 +65,30 @@ def with_partition_id(
     # one scan: exact histogram of size values (bounded key space);
     # null sizes count as 0 so the broadcast join never drops rows.
     # The cumulative-mass map is computed DISTRIBUTED (running integer sum
-    # over the histogram via a window) and broadcast back — the driver only
-    # sees the single-row total, never the histogram (≤2^20 rows, but at
-    # extreme scale even that collect is driver memory for no reason).
+    # over the histogram via a window) and checkpointed — histogram-sized,
+    # so the checkpoint is tiny, the lineage is cut (the planned DataFrame
+    # can stay lazy indefinitely without re-scanning the input), and the
+    # driver only ever sees the single-row total.
     from pyspark.sql.window import Window
 
     size_key = F.least(F.coalesce(F.col(size_col).cast("long"), F.lit(0)), F.lit(_SIZE_CLIP))
     hist_df = df.groupBy(size_key.alias("__rugo_sz")).agg(
         F.sum(F.coalesce(F.col(size_col).cast("long"), F.lit(0))).alias("__rugo_mass")
     )
-    # the histogram is reused twice (total + map); cache avoids a second scan
-    hist_df = hist_df.persist()
-    total = float(hist_df.agg(F.sum("__rugo_mass")).first()[0] or 0) or 1.0
-    if num_partitions is None:
-        num_partitions = max(1, int(-(-total // (target_mass or total))))
-
     # exclusive running sum in exact int64, one division at the end — the
     # single-task window is over ≤2^20 histogram rows, executor-side
     w = Window.orderBy("__rugo_sz").rowsBetween(Window.unboundedPreceding, -1)
-    map_df = hist_df.select(
+    base = hist_df.select(
         "__rugo_sz",
-        (F.coalesce(F.sum("__rugo_mass").over(w), F.lit(0)) / F.lit(total)).alias("__rugo_cum"),
+        "__rugo_mass",
+        F.coalesce(F.sum("__rugo_mass").over(w), F.lit(0)).alias("__rugo_cum_int"),
+    ).localCheckpoint(eager=True)
+    total = float(base.agg(F.sum("__rugo_mass")).first()[0] or 0) or 1.0
+    if num_partitions is None:
+        num_partitions = max(1, int(-(-total // (target_mass or total))))
+    map_df = base.select(
+        "__rugo_sz",
+        (F.col("__rugo_cum_int") / F.lit(total)).alias("__rugo_cum"),
         (F.col("__rugo_mass") / F.lit(total)).alias("__rugo_frac"),
     )
 
@@ -98,14 +101,12 @@ def with_partition_id(
         .withColumn("__rugo_pid", pid)
         .drop("__rugo_sz", "__rugo_cum", "__rugo_frac")
     )
-    # the cached histogram feeds the broadcast map; the caller releases it
-    # after materializing the plan (release_after_plan)
-    planned._rugo_cached_hist = hist_df
     return planned, num_partitions, int(total)
 
 
 def release_after_plan(planned) -> None:
-    """Unpersist the cached histogram once the planned job has run."""
+    """Kept for call-site compatibility: the cumulative map is now a tiny
+    localCheckpoint with no persist lifecycle to release."""
     hist = getattr(planned, "_rugo_cached_hist", None)
-    if hist is not None:
+    if hist is not None:  # pragma: no cover - legacy handle
         hist.unpersist()
