@@ -279,6 +279,20 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, [float(x) for x in q], k=20, n_clusters=16, n_probe=4).select("vec_id")
 
 
+def q_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF as a PERSISTED index through the engine: cluster-keyed encoded
+    dataset + stored centroids; the probe is n_probe pruned decodes (block
+    min/max + bloom skipping on the cluster column).  Same expected ids as
+    the inline ivf_topk — one oracle covers both paths."""
+    from rugo_spark.ops.similarity import build_ivf_index, ivf_search
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = _fresh("ivf_index", sf_dir)
+    build_ivf_index(e, out, n_clusters=16)
+    return ivf_search(spark, out, [float(x) for x in q], k=20, n_probe=4).select("vec_id")
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (rows-only: hash family not in SQL)."""
     from rugo_spark.ops.dedup import minhash_lsh_candidates
@@ -538,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": q_embedding_topk,
         "embedding_ann_topk": q_ann_topk,
         "embedding_ivf_topk": q_ivf_topk,
+        "embedding_ivf_indexed": q_ivf_indexed,
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_minhash_lsh": q_minhash_dedup,
         "dedup_clusters": q_dedup_clusters,
@@ -627,10 +642,12 @@ def _recompute_oracles() -> dict[str, str]:
             orc.embedding_near_dup_pairs(embs, threshold=0.3, bits=4),
             [("id_a", "BIGINT"), ("id_b", "BIGINT")],
         )
-        out["embedding_ivf_topk"] = orc.values_sql(
+        ivf_sql = orc.values_sql(
             [(v,) for v in orc.ivf_topk_ids(embs, query, k=20, n_clusters=16, n_probe=4)],
             [("vec_id", "BIGINT")],
         )
+        out["embedding_ivf_topk"] = ivf_sql
+        out["embedding_ivf_indexed"] = ivf_sql  # same expected ids, persisted path
         out["multimodal_resize"] = orc.values_sql(
             orc.resize_rows(256, 16, 16),
             [("asset_id", "VARCHAR"), ("width", "BIGINT"), ("height", "BIGINT"),

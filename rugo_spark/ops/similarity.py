@@ -204,6 +204,91 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    df: DataFrame, index_dir: str,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    n_clusters: int = 16, sample_n: int = 512, seed: int = 42,
+    num_partitions: int | None = None,
+) -> dict:
+    """Persist an IVF index THROUGH the engine: assign every vector to its
+    nearest centroid, encode the assigned table with ``cluster`` as the sort
+    key (so per-block min/max stats + blooms cover the cluster column), and
+    store the centroids next to the manifest.  A probe then decodes with
+    ``filters=[('cluster','=',c)]`` — block skipping turns the search into a
+    partition-pruned scan, the write-time layout the inline ``ivf_topk``
+    docstring promises."""
+    import json
+    import os
+
+    import pyarrow as _pa
+
+    sample_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).select(vec_col).collect()
+    )
+    C = kmeans_centroids(
+        np.asarray([[float(x) for x in r[0]] for r in sample_rows]), n_clusters, seed=seed
+    )
+    id_type = dict(df.dtypes)[id_col]
+
+    def assign(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            ids = batch.column(0)
+            emb = batch.column(1)
+            if isinstance(emb, _pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False).astype(np.float64)
+            X = flat.reshape(-1, C.shape[1])
+            a = ivf_assign_rows(X, C).astype(np.int32)
+            yield _pa.RecordBatch.from_arrays(
+                [ids, _pa.array(a), emb], names=[id_col, "cluster", vec_col]
+            )
+
+    assigned = df.select(id_col, vec_col).mapInArrow(
+        assign, f"{id_col} {id_type}, cluster int, {vec_col} array<float>"
+    )
+    from rugo_spark.engine import encode_table
+
+    encode_table(assigned, index_dir, key_col="cluster", num_partitions=num_partitions)
+    meta = {"n_clusters": int(n_clusters), "dim": int(C.shape[1]), "seed": seed,
+            "centroids": C.tolist()}
+    with open(os.path.join(index_dir, "_ivf_centroids.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_search(
+    spark, index_dir: str, query: list[float], k: int = 10,
+    n_probe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted IVF index: nearest ``n_probe`` centroids → pruned
+    decodes (per-block min/max + bloom skip on the cluster column) → exact
+    cosine top-k within the candidates."""
+    import json
+    import os
+    from functools import reduce
+
+    from rugo_spark.engine import decode_table
+
+    with open(os.path.join(index_dir, "_ivf_centroids.json")) as f:
+        meta = json.load(f)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    qv = np.asarray(query, dtype=np.float64)
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    probe = np.argsort(-(C @ qn), kind="stable")[:n_probe]
+    parts = [
+        decode_table(spark, index_dir, filters=[("cluster", "=", int(c))])
+        for c in probe
+    ]
+    cands = reduce(lambda a, b: a.unionAll(b), parts)
+    return (
+        cands.select(F.col(id_col), cosine_similarity(F.col(vec_col), query).alias("cos"))
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )
+
+
 def ann_topk(
     df: DataFrame, query: list[float], k: int = 10,
     vec_col: str = "embedding", id_col: str = "vec_id",

@@ -417,3 +417,36 @@ def test_partitioner_matches_recompute(spark):
     want = orc.partition_id_rows(list(zip(pdf.doc_id.tolist(), pdf.n_tok.tolist())), 16)
     assert got == want
     assert total == int(sizes.sum())
+
+
+# ------------------------------------------------------------ IVF index
+
+def test_ivf_index_persisted_matches_inline_and_prunes(spark, tmp_out):
+    """The persisted IVF path (cluster-keyed encoded dataset + stored
+    centroids, probe = pruned decodes) must return the same ids as the
+    inline ivf_topk, and the probe must actually skip blocks."""
+    import json
+    import os
+
+    from rugo_spark import manifest as mf
+    from rugo_spark.ops.similarity import build_ivf_index, ivf_search, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    meta = build_ivf_index(e, tmp_out, n_clusters=16, num_partitions=8)
+    assert meta["n_clusters"] == 16 and os.path.exists(tmp_out + "/_ivf_centroids.json")
+
+    got = [r["vec_id"] for r in ivf_search(spark, tmp_out, q, k=20, n_probe=4).collect()]
+    want = [r["vec_id"] for r in ivf_topk(e, q, k=20, n_clusters=16, n_probe=4).collect()]
+    assert got == want
+
+    # pruning: a single-cluster probe must skip blocks whose min/max range
+    # excludes it (clusters hash-group into partitions → disjoint ranges)
+    rows = mf.completed_partitions(tmp_out)
+    assert len(rows) > 1
+    c0 = 0
+    kept = [
+        r for r in rows
+        if json.loads(r["codecs"])["cluster"]["min"] <= c0 <= json.loads(r["codecs"])["cluster"]["max"]
+    ]
+    assert len(kept) < len(rows)  # stats-based skipping has teeth
