@@ -470,7 +470,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = tokenize(_t(spark, sf_dir, "documents"))
     packed = pack_sequences(tok, seq_len=256, num_partitions=8)
     return packed.select(
-        "partition_id", "seq_idx", "n_real", "tok_sum", "first_tok", "last_tok"
+        "partition_id", "seq_idx", "n_real", "tok_sum", "first_tok", "last_tok",
+        F.size("doc_starts").alias("n_docs"),
     )
 
 
@@ -503,6 +504,7 @@ def q_packed_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok_sum"),
         F.element_at("tokens", 1).alias("first_tok"),
         F.element_at("tokens", -1).alias("last_tok"),
+        F.size("doc_starts").alias("n_docs"),  # boundaries survive the engine
     )
 
 
@@ -617,7 +619,8 @@ def _recompute_oracles() -> dict[str, str]:
         pack_sql = orc.values_sql(
             orc.pack_rows(docs, seq_len=256, num_partitions=8),
             [("partition_id", "INTEGER"), ("seq_idx", "BIGINT"), ("n_real", "BIGINT"),
-             ("tok_sum", "BIGINT"), ("first_tok", "INTEGER"), ("last_tok", "INTEGER")],
+             ("tok_sum", "BIGINT"), ("first_tok", "INTEGER"), ("last_tok", "INTEGER"),
+             ("n_docs", "INTEGER")],
         )
         out["pack_sequences"] = pack_sql
         out["packed_encode_roundtrip"] = pack_sql  # same expected table, post-engine

@@ -25,7 +25,7 @@ from rugo_spark.partitioning import release_after_plan, with_partition_id
 
 PACK_DDL = (
     "partition_id int, seq_idx long, n_real long, tok_sum long, "
-    "first_tok int, last_tok int, tokens array<int>"
+    "first_tok int, last_tok int, tokens array<int>, doc_starts array<int>"
 )
 
 
@@ -63,10 +63,10 @@ def pack_sequences(
             col = col.combine_chunks()
         import pyarrow.compute as pc
 
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
         if eos_id is not None:
             # vectorized EOS insertion: scatter doc tokens around per-doc
             # slots widened by one (no per-row Python)
-            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
             body = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int32)
             out_len = lens + 1
             offs = np.zeros(len(lens) + 1, dtype=np.int64)
@@ -78,8 +78,13 @@ def pack_sequences(
             src_start = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=src_start[1:])
             flat[idx - src_start[doc_of] + offs[:-1][doc_of]] = body
+            ds_global = offs[:-1]  # each doc's first token position
         else:
             flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int32)
+            ds_global = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=ds_global[1:])
+        # drop zero-length docs' phantom starts (they contribute no tokens)
+        ds_global = ds_global[(lens > 0) | (eos_id is not None)]
         n_real_total = len(flat)
         if n_real_total == 0:
             return pa.table({f.name: pa.array([], type=f.type) for f in _PACK_ARROW})
@@ -94,6 +99,16 @@ def pack_sequences(
         toks = pa.FixedSizeListArray.from_arrays(
             pa.array(padded, type=pa.int32()), seq_len
         ).cast(pa.list_(pa.int32()))
+        # doc boundaries per sequence: where a new document begins (the
+        # attention-reset positions a trainer consumes)
+        seq_of = ds_global // seq_len
+        within = (ds_global % seq_len).astype(np.int32)
+        per_seq = np.bincount(seq_of, minlength=n_seq)
+        d_offs = np.zeros(n_seq + 1, dtype=np.int32)
+        np.cumsum(per_seq, out=d_offs[1:])
+        doc_starts = pa.ListArray.from_arrays(
+            pa.array(d_offs), pa.array(within, type=pa.int32())
+        )
         return pa.table(
             {
                 "partition_id": pa.array(np.full(n_seq, pid, dtype=np.int32)),
@@ -103,6 +118,7 @@ def pack_sequences(
                 "first_tok": pa.array(mat[:, 0]),
                 "last_tok": pa.array(mat[:, -1]),
                 "tokens": toks,
+                "doc_starts": doc_starts,
             }
         )
 
@@ -126,5 +142,6 @@ _PACK_ARROW = pa.schema(
         ("first_tok", pa.int32()),
         ("last_tok", pa.int32()),
         ("tokens", pa.list_(pa.int32())),
+        ("doc_starts", pa.list_(pa.int32())),
     ]
 )

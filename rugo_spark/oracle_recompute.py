@@ -302,9 +302,10 @@ def pack_rows(
     vocab: int = 50257,
     pad_id: int = 0,
     eos_id: int | None = None,
-) -> list[tuple[int, int, int, int, int, int]]:
+) -> list[tuple[int, int, int, int, int, int, int]]:
     """Sequential recompute of tokenize → ops/packing.pack_sequences:
-    (partition_id, seq_idx, n_real, tok_sum, first_tok, last_tok)."""
+    (partition_id, seq_idx, n_real, tok_sum, first_tok, last_tok, n_docs) —
+    n_docs = documents STARTING inside the sequence (boundary count)."""
     toks = {d: tokenize_row(t, vocab) for d, t in docs}
     pids = partition_id_rows([(d, len(v)) for d, v in toks.items()], num_partitions)
     by_pid: dict[int, list[int]] = {}
@@ -313,7 +314,10 @@ def pack_rows(
     out = []
     for pid, ids in by_pid.items():
         flat: list[int] = []
+        starts: list[int] = []
         for d in ids:  # ids already ascending (sorted docs)
+            if toks[d] or eos_id is not None:
+                starts.append(len(flat))
             flat.extend(toks[d])
             if eos_id is not None:
                 flat.append(eos_id)
@@ -321,10 +325,13 @@ def pack_rows(
             continue
         n_seq = (len(flat) + seq_len - 1) // seq_len
         padded = flat + [pad_id] * (n_seq * seq_len - len(flat))
+        docs_in = [0] * n_seq
+        for st in starts:
+            docs_in[st // seq_len] += 1
         for s in range(n_seq):
             row = padded[s * seq_len : (s + 1) * seq_len]
             n_real = seq_len if s < n_seq - 1 else len(flat) - (n_seq - 1) * seq_len
-            out.append((pid, s, n_real, sum(row), row[0], row[-1]))
+            out.append((pid, s, n_real, sum(row), row[0], row[-1], docs_in[s]))
     return sorted(out)
 
 

@@ -367,7 +367,8 @@ def test_pack_sequences_conservation_and_shape(spark):
         assert all(r["n_real"] == 128 for r in rs[:-1]), pid
 
     got = sorted(
-        (r["partition_id"], r["seq_idx"], r["n_real"], r["tok_sum"], r["first_tok"], r["last_tok"])
+        (r["partition_id"], r["seq_idx"], r["n_real"], r["tok_sum"], r["first_tok"],
+         r["last_tok"], len(r["doc_starts"]))
         for r in rows
     )
     pdocs = docs_df.select("doc_id", "text").toPandas()
@@ -375,6 +376,8 @@ def test_pack_sequences_conservation_and_shape(spark):
         [(int(r.doc_id), r.text) for r in pdocs.itertuples()], seq_len=128, num_partitions=4
     )
     assert got == want
+    # total boundary count == total docs
+    assert sum(len(r["doc_starts"]) for r in rows) == docs_df.count()
 
 
 def test_pack_sequences_with_eos_matches_recompute(spark):
@@ -386,7 +389,8 @@ def test_pack_sequences_with_eos_matches_recompute(spark):
     packed = pack_sequences(tokenize(docs_df), seq_len=200, num_partitions=4, eos_id=50256)
     rows = packed.collect()
     got = sorted(
-        (r["partition_id"], r["seq_idx"], r["n_real"], r["tok_sum"], r["first_tok"], r["last_tok"])
+        (r["partition_id"], r["seq_idx"], r["n_real"], r["tok_sum"], r["first_tok"],
+         r["last_tok"], len(r["doc_starts"]))
         for r in rows
     )
     pdocs = docs_df.select("doc_id", "text").toPandas()
