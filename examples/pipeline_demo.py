@@ -53,9 +53,16 @@ def main() -> None:
     back = decode_table(spark, out, columns=["doc_id", "n_tok"], filters=[("n_tok", ">", 64)])
     n_long = back.count()
 
+    # 5. trainer shape: fixed-length sequences with EOS + doc boundaries
+    from rugo_spark.ops.packing import pack_sequences
+
+    packed = pack_sequences(tok, seq_len=512, num_partitions=4, eos_id=50256)
+    n_seq = packed.count()
+
     print(f"documents: {n0} → quality+lang {n1} → deduped {n2}")
     print(f"encoded {total_tokens} tokens into {manifest.count()} partitions")
     print(f"decoded (pruned to n_tok>64, 2 columns): {n_long} rows")
+    print(f"packed into {n_seq} training sequences of 512 tokens")
     spark.stop()
 
 
