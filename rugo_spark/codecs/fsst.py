@@ -86,6 +86,10 @@ def train(sample: bytes, max_merges: int = _MAX_MERGES, rounds: int = 4) -> Tabl
     pair space is 512² bins — no sort), selects the highest-count pairs, and
     applies them all in one vectorized pass (same batch application at
     encode time)."""
+    if max_merges > 255:
+        # the dense pair LUT is sized _CODE_SPACE=512 and encode() writes the
+        # symbol count in one byte — more than 255 merges would overflow both
+        raise ValueError(f"max_merges must be <= 255, got {max_merges}")
     t = Table()
     codes = np.frombuffer(sample[:_SAMPLE_LIMIT], dtype=np.uint8).astype(np.uint32)
     expansions: dict[int, bytes] = {}

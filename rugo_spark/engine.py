@@ -562,6 +562,16 @@ def _block_may_match(codecs: dict, col: str, op: str, value) -> bool:
     if not meta or meta.get("min") is None or meta.get("max") is None:
         return True
     lo, hi = meta["min"], meta["max"]
+    if isinstance(lo, str) and not isinstance(value, str):
+        # decimal128 min/max serialize as strings in the JSON sidecar
+        # (json.dumps(default=str)); compare numerically via Decimal so
+        # decimal stats actually prune instead of TypeError-ing to a scan
+        try:
+            from decimal import Decimal
+
+            lo, hi, value = Decimal(lo), Decimal(hi), Decimal(str(value))
+        except ArithmeticError:
+            return True
     try:
         if op == "=":
             return lo <= value <= hi

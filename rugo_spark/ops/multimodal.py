@@ -128,7 +128,15 @@ def resize_media(
             k = np.arange(n_out, dtype=np.int64)
             L = np.maximum(lens, 1)
             idx = offs[:-1, None] + (k[None, :] * L[:, None]) // n_out
-            out = data[idx] if n else np.zeros((0, n_out), dtype=np.uint8)
+            # empty payloads make idx land one past the data buffer (offs[i]
+            # == len(data) for a trailing empty row); clamp before the gather
+            # — the out[lens == 0] = 0 masking below overwrites those lanes
+            idx = np.minimum(idx, max(len(data) - 1, 0))
+            out = (
+                data[idx]
+                if n and len(data)
+                else np.zeros((n, n_out), dtype=np.uint8)
+            )
             if n:
                 out[lens == 0] = 0
             flat = pa.py_buffer(out.tobytes())

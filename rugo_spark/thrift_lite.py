@@ -52,6 +52,10 @@ def _skip(buf: memoryview, pos: int, t: int) -> int:
         et = head & 0xF
         if size == 15:
             size, pos = _uvarint(buf, pos)
+        if et in (_TRUE, _FALSE):
+            # list<bool> elements are one byte each on the wire (unlike the
+            # zero-byte struct-field bool encoding _skip(_TRUE/_FALSE) models)
+            return pos + size
         for _ in range(size):
             pos = _skip(buf, pos, et)
         return pos
