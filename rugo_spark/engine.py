@@ -35,6 +35,10 @@ _U64 = struct.Struct("<Q")
 
 DEFAULT_TARGET_TOKENS = 4_000_000  # per-partition token budget (sandbox scale)
 
+# session-level partition-plan cache: input fingerprint → realized plan map
+# (ANALYZE-once semantics — the fingerprint guards staleness)
+_PLAN_CACHE: dict[tuple, dict] = {}
+
 
 # ------------------------------------------------------------- block files
 
@@ -258,9 +262,43 @@ def encode_table(
     Returns the manifest DataFrame (one lineage row per partition).
     """
     spark = df.sparkSession
-    planned, num_partitions, total_mass = with_partition_id(
-        df, num_partitions, size_col=size_col, key_col=key_col, target_mass=target_tokens
+    # planning reuse, cheapest source first:
+    #   1. the plan persisted beside an in-progress manifest (resume: zero
+    #      planning scan, partition ids stable by construction, not by
+    #      re-derivation)
+    #   2. a session-level cache keyed by the input fingerprint (ANALYZE-once
+    #      semantics: re-encoding the same table re-uses its size stats)
+    #   3. a fresh bounded planning scan, persisted before any data moves so
+    #      a crash at any point resumes consistently
+    resumed_plan = mf.read_plan(out_dir) if mf.completed_partitions(out_dir) else None
+    cache_key = None
+    prev_plan = resumed_plan
+    if resumed_plan is not None:
+        if num_partitions is not None and num_partitions != resumed_plan.get("num_partitions"):
+            raise ValueError(
+                f"refusing to resume {out_dir} with num_partitions={num_partitions}: "
+                f"the dataset was planned with {resumed_plan.get('num_partitions')} "
+                "(mixing layouts would duplicate or drop rows)"
+            )
+        num_partitions = None  # persisted plan wins on resume
+    elif size_col is not None:
+        cache_key = (_input_fingerprint(df), size_col, key_col)
+        prev_plan = _PLAN_CACHE.get(cache_key)
+    planned, num_partitions, total_mass, plan_map = with_partition_id(
+        df,
+        num_partitions,
+        size_col=size_col,
+        key_col=key_col,
+        target_mass=target_tokens,
+        plan_map=prev_plan,
     )
+    if plan_map is not None:
+        if resumed_plan is None:
+            mf.write_plan(out_dir, plan_map)
+        if cache_key is not None:
+            if len(_PLAN_CACHE) > 8:
+                _PLAN_CACHE.clear()
+            _PLAN_CACHE[cache_key] = plan_map
     plan_handle = planned  # carries the cached-histogram handle for release
     if precombine == "auto":
         # big jobs (≥ ~500M tokens through the shuffle) flip to map-side
@@ -294,58 +332,68 @@ def encode_table(
         finally:
             release_after_plan(plan_handle)
 
-    def encoder(key: tuple, table: pa.Table) -> pa.Table:
-        pid = int(key[0].as_py())
-        tbl = table.drop_columns("__rugo_pid")
-        if sort_key is not None:
-            tbl = tbl.sort_by(sort_key)
-        path = os.path.join(blocks_dir, f"part-{pid:06d}.rgb")
-        crc, metas = write_block_file(path, tbl, plans)
-        out_bytes = os.path.getsize(path)
-        n_tokens = 0
-        if size_col is not None:
-            import pyarrow.compute as pc
+    def encoder(batches):
+        import numpy as np
+        import pyarrow.compute as pc
 
-            n_tokens = int(pc.sum(tbl.column(size_col)).as_py() or 0)
-        row = {
-            "partition_id": pid,
-            "n_rows": tbl.num_rows,
-            "n_tokens": n_tokens,
-            "input_bytes": int(tbl.nbytes),
-            "output_bytes": int(out_bytes),
-            "block_path": path,
-            "checksum": int(crc),
-            "codecs": json.dumps(metas, default=str),
-        }
-        if sort_key is not None:
-            from rugo_spark import bloom as _bloom
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
+        if tbl.num_rows == 0:
+            return
+        keys = [("__rugo_pid", "ascending")] + ([(sort_key, "ascending")] if sort_key else [])
+        tbl = tbl.sort_by(keys)
+        pids = tbl.column("__rugo_pid").to_numpy()
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(pids)) + 1, [len(pids)]))
+        out_rows = []
+        for s, e in zip(bounds[:-1], bounds[1:]):  # per block, not per row
+            pid = int(pids[s])
+            sub = tbl.slice(s, e - s).drop_columns("__rugo_pid")
+            path = os.path.join(blocks_dir, f"part-{pid:06d}.rgb")
+            crc, metas = write_block_file(path, sub, plans)
+            n_tokens = int(pc.sum(sub.column(size_col)).as_py() or 0) if size_col else 0
+            row = {
+                "partition_id": pid,
+                "n_rows": sub.num_rows,
+                "n_tokens": n_tokens,
+                "input_bytes": int(sub.nbytes),
+                "output_bytes": int(os.path.getsize(path)),
+                "block_path": path,
+                "checksum": int(crc),
+                "codecs": json.dumps(metas, default=str),
+            }
+            if sort_key is not None:
+                from rugo_spark import bloom as _bloom
 
-            row["bloom_col"] = sort_key
-            row["bloom"] = _bloom.build(tbl.column(sort_key))
-        mf.write_sidecar(out_dir, row)
-        return pa.Table.from_pylist(
-            [{k: row[k] for k in mf.MANIFEST_ARROW.names}], schema=mf.MANIFEST_ARROW
-        )
+                row["bloom_col"] = sort_key
+                row["bloom"] = _bloom.build(sub.column(sort_key))
+            mf.write_sidecar(out_dir, row)
+            out_rows.append({k: row[k] for k in mf.MANIFEST_ARROW.names})
+        yield pa.RecordBatch.from_pylist(out_rows, schema=mf.MANIFEST_ARROW)
 
-    result = planned.groupBy("__rugo_pid").applyInArrow(encoder, mf.MANIFEST_DDL)
-    # materialize: run the job now so sidecars exist; manifest DF re-read from sidecars.
-    # Hash collisions of G groups into P shuffle tasks create stragglers when
-    # P ≈ G, so give the grouped stage ≥4× headroom (empty tasks are free).
-    # Task layout for the grouped stage: exactly one shuffle task per logical
-    # partition (empty tasks still pay the Python round-trip latency, so more
-    # is worse; fewer causes collision stragglers).  AQE's coalescer would
-    # merge groups into few giant tasks (it targets shuffle *bytes*, blind to
-    # the Python-side encode cost) — pin it off for this job only.
-    conf = spark.conf
-    prev = conf.get("spark.sql.shuffle.partitions")
-    prev_coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    # ONE shuffle on the partition id; the reduce stage may run FEWER tasks
+    # than logical partitions (each task slices its rows per pid and writes
+    # one block per pid).  Task count ≠ block count on purpose: driver task
+    # scheduling is serial (~ms/task), so at 10⁵⁻⁶ partitions a one-task-per-
+    # block layout is driver-bound (same lesson as the decode-side heuristic).
+    # BUT compressing tasks costs balance — hash collisions of pids into few
+    # buckets make 2-3× heavy tasks (measured: 64 tasks for 256 pids ran 17%
+    # slower than 256/256) — so stay one-task-per-pid until the task count
+    # itself becomes the bottleneck (≥8 waves/core), then keep ≥8 pids/task
+    # so collision variance stays ~1/√8.  repartition with an explicit count
+    # pins the exchange against AQE's byte-targeted coalescer (blind to
+    # Python-side encode cost).
+    par = spark.sparkContext.defaultParallelism
+    if num_partitions <= par * 8:
+        n_tasks = int(num_partitions)
+    else:
+        n_tasks = max(par * 8, int(num_partitions) // 8)
+    shuffled = planned.repartition(n_tasks, "__rugo_pid")
+    result = shuffled.mapInArrow(encoder, mf.MANIFEST_DDL)
     try:
-        conf.set("spark.sql.shuffle.partitions", str(num_partitions))
-        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
         result.write.mode("overwrite").format("noop").save()
     finally:
-        conf.set("spark.sql.shuffle.partitions", prev)
-        conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
         release_after_plan(plan_handle)
     return manifest_df(spark, out_dir)
 

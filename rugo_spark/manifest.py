@@ -18,6 +18,7 @@ import os
 import pyarrow as pa
 
 SCHEMA_FILE = "_schema.json"
+PLAN_FILE = "_plan.json"
 MANIFEST_DIR = "manifest"
 BLOCKS_DIR = "blocks"
 
@@ -74,6 +75,29 @@ def read_schema(out_dir: str) -> tuple[pa.Schema, dict]:
         payload = json.load(f)
     schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(payload["arrow_schema_b64"])))
     return schema, payload["spark_schema"]
+
+
+def write_plan(out_dir: str, plan: dict) -> None:
+    """Persist the realized partitioning plan (size→cumulative-mass map)
+    beside the manifest, atomically.  A resumed encode replays this map
+    instead of re-scanning the input — partition ids stay stable across
+    restarts by construction, not by re-derivation."""
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, PLAN_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(plan, f)
+    os.replace(tmp, os.path.join(out_dir, PLAN_FILE))
+
+
+def read_plan(out_dir: str) -> dict | None:
+    path = os.path.join(out_dir, PLAN_FILE)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
 
 
 def sidecar_path(out_dir: str, partition_id: int) -> str:

@@ -48,7 +48,7 @@ def pack_sequences(
     ``pad_id``).  ``eos_id`` appends a separator token after EVERY document
     before chunking (the usual trainer contract for attention resets).
     """
-    planned, n_parts, _total = with_partition_id(
+    planned, n_parts, _total, _plan = with_partition_id(
         df.select(id_col, tokens_col, size_col),
         num_partitions,
         size_col=size_col,

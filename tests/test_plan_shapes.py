@@ -59,7 +59,7 @@ def test_grouped_encode_single_data_shuffle(spark):
 
     pdf = pd.DataFrame({"doc_id": [f"d{i}" for i in range(2000)], "n_tok": [i % 97 + 1 for i in range(2000)]})
     df = spark.createDataFrame(pdf)
-    planned, n_parts, total = with_partition_id(df, 8, size_col="n_tok", key_col="doc_id")
+    planned, n_parts, total, _pm = with_partition_id(df, 8, size_col="n_tok", key_col="doc_id")
     grouped = planned.groupBy("__rugo_pid").agg(F.count(F.lit(1)).alias("n"))
     plan = _plan(grouped)
     # the size-histogram map arrives via broadcast join (histogram-sized

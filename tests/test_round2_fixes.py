@@ -416,7 +416,7 @@ def test_partitioner_matches_recompute(spark):
     sizes = np.clip(rng.zipf(1.4, 3000), 1, 5000).astype("int64")
     pdf = pd.DataFrame({"doc_id": np.arange(3000, dtype="int64"), "n_tok": sizes})
     df = spark.createDataFrame(pdf)
-    planned, n_parts, total = with_partition_id(df, 16, size_col="n_tok", key_col="doc_id")
+    planned, n_parts, total, _pm = with_partition_id(df, 16, size_col="n_tok", key_col="doc_id")
     got = {r["doc_id"]: r["__rugo_pid"] for r in planned.select("doc_id", "__rugo_pid").collect()}
     want = orc.partition_id_rows(list(zip(pdf.doc_id.tolist(), pdf.n_tok.tolist())), 16)
     assert got == want

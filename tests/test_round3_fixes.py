@@ -107,3 +107,159 @@ def test_decimal_filter_prunes_blocks_end_to_end(spark, tmp_out):
     assert 0 < len(kept) < len(rows), "decimal stats must prune some blocks"
     got = decode_table(spark, tmp_out, filters=filt).collect()
     assert len(got) == 1 and got[0]["k"] == 7
+
+
+def test_plan_persisted_and_resume_replays_it(spark, tmp_out):
+    import glob
+    import os
+
+    import pandas as pd
+
+    from rugo_spark import manifest as mf
+    from rugo_spark.engine import decode_table, encode_table
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:04d}" for i in range(800)],
+            "n_tok": [(i * 37) % 500 + 1 for i in range(800)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    encode_table(df, tmp_out, key_col="doc_id", size_col="n_tok", num_partitions=6)
+    plan = mf.read_plan(tmp_out)
+    assert plan is not None and plan["num_partitions"] == 6
+    rows_before = {r["partition_id"]: r["checksum"] for r in mf.completed_partitions(tmp_out)}
+
+    # crash-heal: drop one sidecar + its block, resume must regenerate the
+    # identical block using the PERSISTED plan (not a re-derived one)
+    victim = mf.completed_partitions(tmp_out)[2]
+    os.remove(mf.sidecar_path(tmp_out, victim["partition_id"]))
+    os.remove(victim["block_path"])
+    encode_table(df, tmp_out, key_col="doc_id", size_col="n_tok", num_partitions=6)
+    rows_after = {r["partition_id"]: r["checksum"] for r in mf.completed_partitions(tmp_out)}
+    assert rows_after == rows_before
+    assert decode_table(spark, tmp_out).count() == 800
+
+    # resuming with a conflicting partition count must refuse, not mix layouts
+    with pytest.raises(ValueError, match="num_partitions"):
+        encode_table(df, tmp_out, key_col="doc_id", size_col="n_tok", num_partitions=12)
+
+
+def test_unseen_sizes_fall_back_to_hash_not_dropped(spark):
+    # a sampled histogram may miss sizes; the left-join fallback must keep
+    # every row (uniform hash placement), never drop
+    import pandas as pd
+
+    from rugo_spark.partitioning import with_partition_id
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(300)],
+            "n_tok": [(i % 7) * 100 + 1 for i in range(300)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    # plan built from a different size universe: only size 1 appears
+    stale_plan = {
+        "sz": [1],
+        "cum": [0.0],
+        "frac": [1.0],
+        "total_mass": 300,
+        "num_partitions": 4,
+    }
+    planned, n_parts, _total, _pm = with_partition_id(
+        df, size_col="n_tok", key_col="doc_id", plan_map=stale_plan
+    )
+    rows = planned.collect()
+    assert len(rows) == 300
+    pids = {r["__rugo_pid"] for r in rows}
+    assert pids <= set(range(4)) and len(pids) > 1
+
+
+@pytest.mark.parametrize(
+    "mk",
+    [
+        lambda pa: pa.array([{"a": i, "b": f"s{i%5}"} for i in range(1000)] + [None, {"a": None, "b": "x"}]),
+        lambda pa: pa.array([{"o": {"x": i % 3, "y": float(i) + 0.25}, "t": f"v{i%7}"} for i in range(500)]),
+        lambda pa: pa.array([{"ids": list(range(i % 4)), "n": i} for i in range(300)]),
+        lambda pa: pa.array(
+            [{"k1": 1, "k2": 2} if i % 3 else {f"k{i}": i} for i in range(400)],
+            type=pa.map_(pa.string(), pa.int64()),
+        ),
+        lambda pa: pa.array(
+            [{"a": 1.5}, None, {}, {"b": 2.5, "c": 3.5}], type=pa.map_(pa.string(), pa.float64())
+        ),
+    ],
+    ids=["struct", "struct_nested", "struct_list", "map", "map_nulls"],
+)
+def test_nested_block_roundtrip(mk):
+    import pyarrow as pa
+
+    from rugo_spark.block import encode_array, decode_array
+
+    arr = mk(pa)
+    blob, meta = encode_array(arr)
+    out = decode_array(blob, arr.type)
+    assert out.to_pylist() == arr.to_pylist()
+    assert "arrow-ipc" not in str(meta.get("codec")), meta
+
+
+def test_nested_block_roundtrip_sliced():
+    # the precombine path slices tables: nested encode must respect offsets
+    import pyarrow as pa
+
+    from rugo_spark.block import encode_array, decode_array
+
+    m = pa.array(
+        [{"k1": 1, "k2": 2} if i % 3 else {f"k{i}": i} for i in range(400)],
+        type=pa.map_(pa.string(), pa.int64()),
+    )
+    s = pa.array([{"a": i, "b": f"s{i%5}"} for i in range(400)])
+    for arr, lo, ln in [(m, 100, 50), (s, 250, 100)]:
+        sl = pa.table({"c": arr}).slice(lo, ln).column("c").combine_chunks()
+        blob, _ = encode_array(sl)
+        assert decode_array(blob, sl.type).to_pylist() == sl.to_pylist()
+
+
+def test_decimal256_block_roundtrip():
+    import decimal
+
+    import pyarrow as pa
+
+    from rugo_spark.block import encode_array, decode_array
+
+    d = pa.array(
+        [decimal.Decimal(f"{i}.12345") for i in range(800)] + [None],
+        type=pa.decimal256(60, 5),
+    )
+    blob, meta = encode_array(d)
+    out = decode_array(blob, d.type)
+    assert out.to_pylist() == d.to_pylist()
+    assert meta["codec"].startswith("dec256(")
+    # four nearly-constant int64 lanes must beat raw 32-byte values hard
+    assert meta["enc_bytes"] < meta["raw_bytes"] // 10
+
+
+def test_struct_column_through_engine_stats(spark, tmp_out):
+    # VERDICT r2 "done" criterion: stats_df shows a non-arrow-ipc codec for
+    # a struct column after an engine round trip
+    import pyspark.sql.functions as F
+
+    from rugo_spark.engine import decode_table, encode_table, stats_df
+
+    df = spark.range(500).select(
+        F.col("id"),
+        F.struct(
+            (F.col("id") % 7).alias("g"), F.concat(F.lit("n"), F.col("id")).alias("nm")
+        ).alias("info"),
+        F.create_map(F.lit("v"), F.col("id") * 2).alias("attrs"),
+    )
+    encode_table(df, tmp_out, key_col="id", num_partitions=3)
+    dec = decode_table(spark, tmp_out)
+    got = {r["id"]: r for r in dec.collect()}
+    assert len(got) == 500
+    assert got[13]["info"]["g"] == 13 % 7 and got[13]["info"]["nm"] == "n13"
+    assert got[13]["attrs"] == {"v": 26}
+    codecs = {r["column"]: r["codec"] for r in stats_df(spark, tmp_out).collect()}
+    assert "arrow-ipc" not in codecs["info"] and codecs["info"].startswith("struct(")
+    assert "arrow-ipc" not in codecs["attrs"] and codecs["attrs"].startswith("map(")
