@@ -530,6 +530,40 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type round trip: struct / struct-in-struct / map columns are
+    shredded to leaf columns through the codec selector (no Arrow-IPC
+    fallback — the reference resolves nested schemas to typed leaves, rugo
+    metadata.cpp:668-724).  The query re-flattens after decode so the oracle
+    is a plain scalar SELECT on orders."""
+    from rugo_spark.engine import decode_table, encode_table
+
+    o = _t(spark, sf_dir, "orders")
+    df = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_totalprice").alias("price"),
+            F.struct(F.col("o_orderdate").alias("d")).alias("when"),
+        ).alias("info"),
+        F.create_map(
+            F.lit("status"), F.col("o_orderstatus"),
+            F.lit("prio"), F.col("o_orderpriority"),
+        ).alias("attrs"),
+    )
+    out = _fresh("rt_nested", sf_dir)
+    encode_table(df, out, key_col="o_orderkey", num_partitions=8)
+    dec = decode_table(spark, out)
+    return dec.select(
+        "o_orderkey",
+        F.col("info.cust").alias("cust"),
+        F.col("info.price").alias("price"),
+        F.col("info.when.d").alias("order_date"),
+        F.col("attrs")["status"].alias("status"),
+        F.col("attrs")["prio"].alias("prio"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_documents": _roundtrip("documents", "doc_id", "n_chars"),
@@ -537,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_events": _roundtrip("events", "event_id", None),
         "roundtrip_part": _roundtrip("part", "p_partkey", None),
         "roundtrip_orders": _roundtrip("orders", "o_orderkey", None),
+        "roundtrip_nested": q_roundtrip_nested,
         "manifest_lineage": q_manifest,
         "agg_pricing_summary": q_agg_pricing,
         "join_top_revenue": q_join_revenue,
@@ -673,6 +708,11 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_events": "SELECT * FROM events",
         "roundtrip_part": "SELECT * FROM part",
         "roundtrip_orders": "SELECT * FROM orders",
+        "roundtrip_nested": (
+            "SELECT o_orderkey, o_custkey AS cust, o_totalprice AS price, "
+            "o_orderdate AS order_date, o_orderstatus AS status, "
+            "o_orderpriority AS prio FROM orders"
+        ),
         # invariant oracle: lineage accounting must conserve source rows/mass
         "manifest_lineage": """
             SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,

@@ -39,6 +39,7 @@ from rugo_spark.selector import select_bytes_codec, select_int_codec
 
 MAGIC = b"RGC1"
 KIND_INT, KIND_FLOAT, KIND_STR, KIND_LIST, KIND_BOOL, KIND_IPC, KIND_DEC128 = 0, 1, 2, 3, 4, 5, 6
+KIND_STRUCT, KIND_MAP, KIND_DEC256 = 7, 8, 9
 
 _HDR = struct.Struct("<4sBBQ")
 _U64 = struct.Struct("<Q")
@@ -74,9 +75,17 @@ def _kind_of(t: pa.DataType) -> int:
         # two int64 lanes through the integer codecs (FOR/bss) — DECIMAL is
         # first-class in the reference's vocabulary (rugo metadata.cpp:184-201)
         return KIND_DEC128
-    # universal fallback: decimal256, structs, maps, nested exotica — Arrow IPC
-    # stream + outer zstd (correct for every type; lightweight codecs apply
-    # to the kinds above, which cover the hot token-table path)
+    if pa.types.is_decimal256(t):
+        return KIND_DEC256
+    if pa.types.is_struct(t):
+        # shredded to leaf columns, like the reference resolves nested schemas
+        # to typed leaves (rugo metadata.cpp:668-724)
+        return KIND_STRUCT
+    if pa.types.is_map(t):
+        return KIND_MAP
+    # universal fallback: unions, nested exotica — Arrow IPC stream + outer
+    # zstd (correct for every type; lightweight codecs apply to the kinds
+    # above, which cover the hot token-table path)
     return KIND_IPC
 
 
@@ -336,6 +345,58 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, plan: dict | None = None) -> t
         parts.append(_frame(lo_body))
         parts.append(_frame(hi_body))
         meta["codec"] = f"dec128({lo_codec}+{hi_codec})"
+    elif kind == KIND_DEC256:
+        # 32-byte LE two's-complement values → four int64 lanes (same trick
+        # as dec128: realistic decimals leave the top lanes constant)
+        buf = dense.buffers()[1]
+        lanes = np.frombuffer(buf, dtype=np.int64, count=len(dense) * 4, offset=dense.offset * 32)
+        codec_names = []
+        for lane in range(4):
+            v = np.ascontiguousarray(lanes[lane::4])
+            body, c = _encode_int_values(v, plan.get("values"))
+            parts.append(_frame(body))
+            codec_names.append(c)
+        meta["codec"] = f"dec256({'+'.join(codec_names)})"
+    elif kind == KIND_STRUCT:
+        # shred to leaf columns: each child rides its own container through
+        # the codec selector.  flatten() resolves the parent offset and masks
+        # child slots under a null parent (their values are undefined per the
+        # Arrow spec, so masking is the canonical form).
+        children = arr.flatten()
+        child_metas = {}
+        parts.append(struct.pack("<I", len(children)))
+        for field, child in zip(t, children):
+            blob, cmeta = encode_array(child, plan.get(field.name))
+            parts.append(_frame(blob))
+            child_metas[field.name] = cmeta
+        meta["codec"] = "struct(" + "+".join(
+            str(m.get("codec")) for m in child_metas.values()
+        ) + ")"
+        meta["children"] = child_metas
+        # parent validity already captured in the header; children were
+        # encoded full-length, so drop the dense-side bookkeeping
+        meta["null_count"] = null_count
+    elif kind == KIND_MAP:
+        # map<k,v> is physically list<struct<key,value>>: lengths sub-block +
+        # one container per flattened keys/items column.  Offsets come from
+        # the raw buffer (no map kernel for list_value_length), sliced to the
+        # array's own window; entries.flatten() yields offset-correct
+        # keys/items children.
+        offs = np.frombuffer(
+            dense.buffers()[1], dtype=np.int32, count=len(dense) + 1, offset=dense.offset * 4
+        ).astype(np.int64)
+        lengths = np.diff(offs)
+        entries = dense.values.slice(int(offs[0]), int(offs[-1] - offs[0]))
+        keys, items = entries.flatten()
+        lbody, lcodec = _encode_int_values(lengths, plan.get("lengths"))
+        kblob, kmeta = encode_array(keys, plan.get("keys"))
+        iblob, imeta = encode_array(items, plan.get("items"))
+        parts.append(_frame(lbody))
+        parts.append(_frame(kblob))
+        parts.append(_frame(iblob))
+        meta["codec"] = f"map({kmeta.get('codec')}+{imeta.get('codec')})"
+        meta["lengths_codec"] = lcodec
+        meta["children"] = {"key": kmeta, "value": imeta}
     elif kind == KIND_IPC:
         sink = pa.BufferOutputStream()
         tbl = pa.table({"c": arr})  # keep original validity — no re-expansion needed
@@ -482,6 +543,44 @@ def decode_array(buf: bytes | memoryview, typ: pa.DataType) -> pa.Array:
             full[np.repeat(valid, 2)] = lanes
             lanes = full
         return pa.Array.from_buffers(typ, n, [vbuf, pa.py_buffer(lanes.tobytes())])
+    if kind == KIND_DEC256:
+        lanes_dec = [None] * 4
+        for lane in range(4):
+            body, off = _read_frame(mv, off)
+            lanes_dec[lane] = _decode_int_body(body)
+        n_dense = len(lanes_dec[0])
+        lanes = np.empty(n_dense * 4, dtype=np.int64)
+        for lane in range(4):
+            lanes[lane::4] = lanes_dec[lane]
+        if valid is not None:
+            full = np.zeros(n * 4, dtype=np.int64)
+            full[np.repeat(valid, 4)] = lanes
+            lanes = full
+        return pa.Array.from_buffers(typ, n, [vbuf, pa.py_buffer(lanes.tobytes())])
+    if kind == KIND_STRUCT:
+        (n_children,) = struct.unpack_from("<I", mv, off)
+        off += 4
+        children = []
+        for i in range(n_children):
+            blob, off = _read_frame(mv, off)
+            children.append(decode_array(blob, typ.field(i).type))
+        return pa.Array.from_buffers(typ, n, [vbuf], children=children)
+    if kind == KIND_MAP:
+        lbody, off = _read_frame(mv, off)
+        kblob, off = _read_frame(mv, off)
+        iblob, off = _read_frame(mv, off)
+        lengths = _decode_int_body(lbody)
+        keys = decode_array(kblob, typ.key_type)
+        items = decode_array(iblob, typ.item_type)
+        full_len = _expand(lengths, valid)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(full_len, out=offsets[1:])
+        entries = pa.StructArray.from_arrays(
+            [keys, items], fields=[typ.key_field, typ.item_field]
+        )
+        return pa.Array.from_buffers(
+            typ, n, [vbuf, pa.py_buffer(offsets.tobytes())], children=[entries]
+        )
     if kind == KIND_IPC:
         body, off = _read_frame(mv, off)
         with pa.ipc.open_stream(pa.py_buffer(general.unwrap(body))) as r:
