@@ -30,6 +30,7 @@ from rugo_spark.partitioning import release_after_plan, with_partition_id
 
 FILE_MAGIC = b"RGF1"
 STRIPED_MAGIC = b"RGS1"
+STRIPED_MAGIC2 = b"RGS2"  # RGS1 + stripe directory (per-stripe min/max)
 _FHDR = struct.Struct("<4sI")
 _U64 = struct.Struct("<Q")
 
@@ -112,21 +113,47 @@ def _decode_flat_block(buf: memoryview, schema: pa.Schema, columns: list[str] | 
     return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
-def read_block_file(path: str, schema: pa.Schema, columns: list[str] | None = None):
+def _stripe_keep(dir_entry: dict, filters: list[tuple] | None) -> bool:
+    """Conservative per-stripe skip test against the stripe directory's
+    min/max — the intra-block analog of manifest block skipping (rugo
+    surfaces per-row-group, not just per-file, stats: metadata.cpp:618-646)."""
+    if not filters or not dir_entry:
+        return True
+    codecs = {c: {"min": mm[0], "max": mm[1]} for c, mm in dir_entry.items()}
+    return all(_block_may_match(codecs, c, op, v) for c, op, v in filters)
+
+
+def read_block_file(
+    path: str,
+    schema: pa.Schema,
+    columns: list[str] | None = None,
+    filters: list[tuple] | None = None,
+):
     """Decode a block file → RecordBatch generator (column-pruned if asked).
 
-    Two layouts: flat ('RGF1', one stripe) and striped ('RGS1', map-side
-    pre-encoded stripes concatenated by the reduce task — one batch each)."""
+    Three layouts: flat ('RGF1', one stripe), striped ('RGS1', map-side
+    pre-encoded stripes concatenated by the reduce task — one batch each),
+    and directory-striped ('RGS2' = RGS1 + a per-stripe min/max directory).
+    ``filters`` skip whole stripes via the RGS2 directory — a point lookup
+    inside a multi-stripe block decodes only the matching stripes (the
+    caller still re-applies filters exactly on the decoded rows)."""
     with open(path, "rb") as f:
         buf = memoryview(f.read())
     magic = bytes(buf[:4])
-    if magic == STRIPED_MAGIC:
+    if magic in (STRIPED_MAGIC, STRIPED_MAGIC2):
         (n_stripes,) = struct.unpack_from("<I", buf, 4)
         off = 8
-        for _ in range(n_stripes):
+        stripe_dir: list[dict] = []
+        if magic == STRIPED_MAGIC2:
+            (dlen,) = _U64.unpack_from(buf, off)
+            off += 8
+            stripe_dir = json.loads(bytes(buf[off : off + dlen]))
+            off += dlen
+        for i in range(n_stripes):
             (ln,) = _U64.unpack_from(buf, off)
             off += 8
-            yield _decode_flat_block(buf[off : off + ln], schema, columns)
+            if not stripe_dir or _stripe_keep(stripe_dir[i], filters):
+                yield _decode_flat_block(buf[off : off + ln], schema, columns)
             off += ln
     else:
         yield _decode_flat_block(buf, schema, columns)
@@ -471,7 +498,21 @@ def _encode_precombine(
         )
         table = table.take(order)
         stripe_col = table.column("stripe")
-        parts = [b"RGS1", struct.pack("<I", table.num_rows)]
+        metas_list = [json.loads(m) for m in table.column("meta").to_pylist()]
+        # stripe directory: per-stripe per-column min/max, so point lookups
+        # can skip stripes INSIDE a block (rugo's per-row-group stats analog)
+        stripe_dir = [
+            {
+                col: [m["min"], m["max"]]
+                for col, m in metas.items()
+                if m.get("min") is not None and m.get("max") is not None
+            }
+            for metas in metas_list
+        ]
+        dir_blob = json.dumps(stripe_dir, default=str).encode()
+        parts = [b"RGS2", struct.pack("<I", table.num_rows)]
+        parts.append(struct.pack("<Q", len(dir_blob)))
+        parts.append(dir_blob)
         for i in range(table.num_rows):  # per stripe, not per row
             blob = stripe_col[i].as_py()
             parts.append(struct.pack("<Q", len(blob)))
@@ -479,7 +520,6 @@ def _encode_precombine(
         payload = b"".join(parts)
         path = os.path.join(blocks_dir, f"part-{pid:06d}.rgb")
         crc = _atomic_write(path, payload)
-        metas_list = [json.loads(m) for m in table.column("meta").to_pylist()]
         merged = merge_column_metas(metas_list)
         row = {
             "partition_id": pid,
@@ -782,7 +822,7 @@ def decode_table(
                             print(f"rugo_spark: QUARANTINED {msg}", file=_sys.stderr)
                             continue
                         raise IOError(msg)
-                yield from read_block_file(path, arrow_schema, columns)
+                yield from read_block_file(path, arrow_schema, columns, filters)
 
     out = man.mapInArrow(decoder, out_schema)
     if filters:

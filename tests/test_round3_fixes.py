@@ -263,3 +263,40 @@ def test_struct_column_through_engine_stats(spark, tmp_out):
     codecs = {r["column"]: r["codec"] for r in stats_df(spark, tmp_out).collect()}
     assert "arrow-ipc" not in codecs["info"] and codecs["info"].startswith("struct(")
     assert "arrow-ipc" not in codecs["attrs"] and codecs["attrs"].startswith("map(")
+
+
+def test_stripe_pruning_in_rgs2_blocks(spark, tmp_out):
+    # VERDICT r3 #3: point lookups must skip stripes INSIDE a precombine
+    # block via the RGS2 stripe directory, not just whole blocks
+    import pandas as pd
+
+    from rugo_spark import manifest as mf
+    from rugo_spark.engine import decode_table, encode_table, read_block_file
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:05d}" for i in range(2000)],
+            "val": list(range(2000)),
+            "n_tok": [50] * 2000,
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    encode_table(
+        df, tmp_out, key_col="doc_id", size_col="n_tok", num_partitions=2, precombine=True
+    )
+    rows = mf.completed_partitions(tmp_out)
+    assert len(rows) == 2
+    schema, _ = mf.read_schema(tmp_out)
+    path = rows[0]["block_path"]
+    all_stripes = list(read_block_file(path, schema))
+    assert len(all_stripes) > 1, "precombine from 8 splits must yield multiple stripes"
+    # a point lookup on the sort key hits at most a few stripes
+    probe = all_stripes[0].column(0)[0].as_py()
+    pruned = list(read_block_file(path, schema, None, [("doc_id", "=", probe)]))
+    assert 0 < len(pruned) < len(all_stripes)
+    assert any(probe in b.column(0).to_pylist() for b in pruned)
+    # end-to-end: decode with the filter still returns exactly the right row
+    got = decode_table(spark, tmp_out, filters=[("doc_id", "=", probe)]).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == probe
+    # full decode unchanged
+    assert decode_table(spark, tmp_out).count() == 2000
