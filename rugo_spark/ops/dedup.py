@@ -329,11 +329,13 @@ def _string_parts(arr):
 
 
 def _fnv1a(data, lens):
-    """Vectorized FNV-1a-style hash per variable-length byte string.
+    """Vectorized FNV-1a hash per variable-length byte string — FULL length
+    (no prefix cap: tokens identical in a long prefix still hash apart).
 
-    Folds byte-position matrices (up to the first 24 bytes, plus the length)
-    — fully vectorized, deterministic, good bit dispersion for simhash use.
-    """
+    Vectorization: rows sorted by length descending so byte position k
+    touches a contiguous PREFIX of the sorted batch (the same trick as the
+    fingerprint op) — total work is O(total_bytes) numpy gathers, and each
+    token's hash depends only on its own bytes (batch-independent)."""
     import numpy as np
 
     n = len(lens)
@@ -341,16 +343,18 @@ def _fnv1a(data, lens):
         return np.empty(0, np.uint64)
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    h = np.full(n, np.uint64(0xCBF29CE484222325))
+    order = np.argsort(-lens, kind="stable")
+    sl = lens[order]
+    ss = starts[order]
+    maxlen = int(sl[0]) if n else 0
+    h_s = np.full(n, np.uint64(0xCBF29CE484222325))
     prime = np.uint64(0x100000001B3)
-    cap = 24
+    # remaining[k] = rows with len > k = the sorted prefix active at byte k
+    remaining = n - np.cumsum(np.bincount(sl, minlength=maxlen + 1))
     with np.errstate(over="ignore"):
-        for k in range(cap):
-            m = lens > k
-            if not m.any():
-                break
-            byte = data[starts[m] + k].astype(np.uint64)
-            # masked update: a token's hash must not depend on the longest
-            # token in the batch (batch-independence → stable simhash)
-            h[m] = (h[m] ^ byte) * prime
+        for k in range(maxlen):
+            p = int(remaining[k])
+            h_s[:p] = (h_s[:p] ^ data[ss[:p] + k]) * prime
+        h = np.empty(n, dtype=np.uint64)
+        h[order] = h_s
         return h ^ (lens.astype(np.uint64) * prime)

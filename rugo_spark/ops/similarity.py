@@ -144,6 +144,27 @@ def ivf_assign_rows(X: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     return np.argmax(scores, axis=1)
 
 
+def _train_sample(
+    df: DataFrame, id_col: str, vec_col: str, sample_n: int, seed: int
+) -> tuple[np.ndarray, list]:
+    """Deterministic seeded distributed training sample: the ``sample_n``
+    rows with the smallest ``xxhash64(seed, id)`` — an unbiased uniform draw
+    over the whole table (unlike a sorted id prefix, which over-weights
+    whatever the id encodes).  ``orderBy(...).limit(n)`` compiles to a
+    distributed top-k (TakeOrderedAndProject): no full sort shuffle, and only
+    ``sample_n`` rows ever reach the driver.  Returns (matrix, sampled ids);
+    the ids persist beside the centroids so the draw is auditable."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.lit(int(seed)).cast("long"), F.col(id_col)), F.col(id_col))
+        .limit(sample_n)
+        .collect()
+    )
+    ids = [r[0] for r in rows]
+    X = np.asarray([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    return X, ids
+
+
 def ivf_topk(
     df: DataFrame, query: list[float], k: int = 10,
     vec_col: str = "embedding", id_col: str = "vec_id",
@@ -158,17 +179,11 @@ def ivf_topk(
     so the probe becomes a partition-pruned scan of n_probe/n_clusters of
     the data.  Here it is computed inline: one vectorized ``mapInArrow``
     pass (numpy gemv per centroid, no per-row Python), filter, exact cosine.
-    The training sample is the first ``sample_n`` rows by id — deterministic
-    and resume-stable (at real scale: a seeded ``df.sample`` with the sample
-    persisted next to the index)."""
+    Training uses the seeded distributed sample (``_train_sample``)."""
     import pyarrow as _pa
 
-    sample_rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).select(vec_col).collect()
-    )
-    C = kmeans_centroids(
-        np.asarray([[float(x) for x in r[0]] for r in sample_rows]), n_clusters, seed=seed
-    )
+    X, _ids = _train_sample(df, id_col, vec_col, sample_n, seed)
+    C = kmeans_centroids(X, n_clusters, seed=seed)
     qv = np.asarray(query, dtype=np.float64)
     qn = qv / (np.linalg.norm(qv) or 1.0)
     probe = np.argsort(-(C @ qn), kind="stable")[:n_probe]
@@ -209,6 +224,7 @@ def build_ivf_index(
     vec_col: str = "embedding", id_col: str = "vec_id",
     n_clusters: int = 16, sample_n: int = 512, seed: int = 42,
     num_partitions: int | None = None,
+    reuse_centroids: bool = True,
 ) -> dict:
     """Persist an IVF index THROUGH the engine: assign every vector to its
     nearest centroid, encode the assigned table with ``cluster`` as the sort
@@ -216,18 +232,26 @@ def build_ivf_index(
     store the centroids next to the manifest.  A probe then decodes with
     ``filters=[('cluster','=',c)]`` — block skipping turns the search into a
     partition-pruned scan, the write-time layout the inline ``ivf_topk``
-    docstring promises."""
+    docstring promises.  Training uses the seeded distributed sample
+    (``_train_sample``); the sampled ids persist in the index metadata.  A
+    rebuild into an existing index dir reuses the stored centroids
+    (``reuse_centroids``) so assignments stay stable across resumes."""
     import json
     import os
 
     import pyarrow as _pa
 
-    sample_rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).select(vec_col).collect()
-    )
-    C = kmeans_centroids(
-        np.asarray([[float(x) for x in r[0]] for r in sample_rows]), n_clusters, seed=seed
-    )
+    meta_path = os.path.join(index_dir, "_ivf_centroids.json")
+    prev = None
+    if reuse_centroids and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)
+    if prev is not None and prev.get("n_clusters") == int(n_clusters):
+        C = np.asarray(prev["centroids"], dtype=np.float64)
+        sample_ids = prev.get("sample_ids", [])
+    else:
+        X, sample_ids = _train_sample(df, id_col, vec_col, sample_n, seed)
+        C = kmeans_centroids(X, n_clusters, seed=seed)
     id_type = dict(df.dtypes)[id_col]
 
     def assign(batches):
@@ -252,8 +276,8 @@ def build_ivf_index(
 
     encode_table(assigned, index_dir, key_col="cluster", num_partitions=num_partitions)
     meta = {"n_clusters": int(n_clusters), "dim": int(C.shape[1]), "seed": seed,
-            "centroids": C.tolist()}
-    with open(os.path.join(index_dir, "_ivf_centroids.json"), "w") as f:
+            "centroids": C.tolist(), "sample_ids": list(sample_ids)}
+    with open(meta_path, "w") as f:
         json.dump(meta, f)
     return meta
 

@@ -138,9 +138,9 @@ _FNV_PRIME = 0x100000001B3
 
 
 def _fnv_word(w: bytes) -> int:
-    """Mirror of ops/dedup._fnv1a: first 24 bytes folded, then length mix."""
+    """Mirror of ops/dedup._fnv1a: ALL bytes folded, then length mix."""
     h = _FNV_OFFSET
-    for b in w[:24]:
+    for b in w:
         h = ((h ^ b) * _FNV_PRIME) & _M64
     return (h ^ ((len(w) * _FNV_PRIME) & _M64)) & _M64
 
@@ -540,7 +540,9 @@ def ivf_topk_ids(
 
     from rugo_spark.ops.similarity import ivf_assign_rows, kmeans_centroids
 
-    ordered = sorted(embs)
+    # mirror ops/similarity._train_sample: rows ordered by
+    # (xxhash64(seed, id), id), first sample_n — the seeded distributed draw
+    ordered = sorted(embs, key=lambda t: (spark_xxhash64(int(seed), int(t[0])), t[0]))
     sample = np.asarray([v for _, v in ordered[:sample_n]], dtype=np.float64)
     C = kmeans_centroids(sample, n_clusters, seed=seed)
     qv = np.asarray(query, dtype=np.float64)
