@@ -480,6 +480,56 @@ def ann_topk_ids(
     return [vid for _, vid in scored[:k]]
 
 
+def hybrid_topk_ids(
+    embs: list[tuple[int, list[float]]],
+    query: list[float],
+    k: int,
+    n_clusters: int = 32,
+    n_probe: int = 2,
+    bits: int = 8,
+    n_tables: int = 4,
+    sample_n: int = 512,
+    seed: int = 42,
+) -> list[int]:
+    """Sequential recompute of ops/similarity.hybrid_ann_topk (ids only):
+    IVF candidates (seeded sample → kmeans → probe clusters) UNION multi-
+    table Hamming≤1 LSH candidates, exact cosine re-rank."""
+    import math
+
+    import numpy as np
+
+    from rugo_spark.ops.similarity import ivf_assign_rows, kmeans_centroids
+
+    ordered = sorted(embs, key=lambda t: (spark_xxhash64(int(seed), int(t[0])), t[0]))
+    sample = np.asarray([v for _, v in ordered[:sample_n]], dtype=np.float64)
+    C = kmeans_centroids(sample, n_clusters, seed=seed)
+    qv = np.asarray(query, dtype=np.float64)
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    probe_clusters = {int(x) for x in np.argsort(-(C @ qn), kind="stable")[:n_probe]}
+    X = np.asarray([v for _, v in embs], dtype=np.float64)
+    assign = ivf_assign_rows(X, C)
+    cand = {vid for (vid, _v), cl in zip(embs, assign) if int(cl) in probe_clusters}
+    for t in range(n_tables):
+        planes = _hyperplanes(len(query), bits, seed + 1000 * t)
+        qkey = 0
+        for b in range(bits):
+            if float(planes[b] @ qv) > 0:
+                qkey |= 1 << b
+        probe = {qkey} | {qkey ^ (1 << b) for b in range(bits)}
+        for vid, v in embs:
+            if _bucket_row(v, planes) in probe:
+                cand.add(vid)
+    qnorm = float(np.sqrt(np.dot(query, query))) or 1.0
+    by_id = dict(embs)
+    scored = []
+    for vid in cand:
+        v = by_id[vid]
+        cos = _seq_dot(v, query) / (math.sqrt(_seq_dot(v, v)) * qnorm)
+        scored.append((-cos, vid))
+    scored.sort()
+    return [vid for _, vid in scored[:k]]
+
+
 def resize_rows(
     n: int = 256, target_w: int = 16, target_h: int = 16
 ) -> list[tuple[str, int, int, int, int]]:
