@@ -98,6 +98,21 @@ def q_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only statistics: encode ``documents`` then answer
+    COUNT/MIN/MAX/null-count purely from the manifest sidecars — zero data
+    blocks opened.  The reference's whole value proposition (statistics from
+    footer metadata instead of data reads, rugo README.md:11,
+    metadata.cpp:618-646) at dataset level; the oracle recomputes the same
+    aggregates the slow way, over the raw table."""
+    from rugo_spark.engine import encode_table, metadata_agg
+
+    df = _t(spark, sf_dir, "documents")
+    out = _fresh("meta_documents", sf_dir)
+    encode_table(df, out, key_col="doc_id", size_col="n_chars", num_partitions=8)
+    return metadata_agg(spark, out, ["doc_id", "n_chars", "lang"])
+
+
 def _money_cents(col: str):
     """Exact integer cents from a 2-decimal double (NOTES.md #6: never cast a
     double product to DECIMAL per row — Spark HALF_UP vs DuckDB half-even
@@ -614,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_orders": _roundtrip("orders", "o_orderkey", None),
         "roundtrip_nested": q_roundtrip_nested,
         "manifest_lineage": q_manifest,
+        "metadata_agg_stats": q_metadata_agg,
         "agg_pricing_summary": q_agg_pricing,
         "join_top_revenue": q_join_revenue,
         "window_latest_order": q_window_latest_order,
@@ -769,6 +785,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS total_size_mass,
                    TRUE AS all_blocks_nonempty,
                    TRUE AS block_paths_unique
+            FROM documents
+        """,
+        "metadata_agg_stats": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+                   MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+                   CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_doc_id,
+                   MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars,
+                   CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_n_chars,
+                   MIN(lang) AS min_lang, MAX(lang) AS max_lang,
+                   CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_lang
             FROM documents
         """,
         # money math: exact integer cents summed as BIGINT, ONE division at

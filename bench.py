@@ -166,6 +166,30 @@ def main() -> None:
     timings["decode_point_lookup"] = time.perf_counter() - t0
     assert n_hit == 1, f"point lookup returned {n_hit} rows"
 
+    # ---------------- metadata-only stats vs full-scan aggregate (the
+    # reference's headline claim — stats from metadata 10-50x faster than
+    # reading data, rugo README.md:11 — measured at dataset level)
+    from rugo_spark.engine import metadata_agg
+
+    t0 = time.perf_counter()
+    meta_row = metadata_agg(spark, out_hi, ["doc_id", "n_tok"]).first()
+    timings["metadata_agg"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    scan_row = (
+        decode_table(spark, out_hi, columns=["doc_id", "n_tok"])
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("mn"),
+            F.max("doc_id").alias("mx"), F.min("n_tok"), F.max("n_tok"),
+        )
+        .first()
+    )
+    timings["fullscan_agg"] = time.perf_counter() - t0
+    assert meta_row["n_rows"] == scan_row["n"]
+    assert meta_row["min_doc_id"] == scan_row["mn"] and meta_row["max_doc_id"] == scan_row["mx"]
+    extra["metadata_agg_speedup_vs_scan"] = round(
+        timings["fullscan_agg"] / max(timings["metadata_agg"], 1e-9), 1
+    )
+
     # ---------------- relational/pipeline headline queries at SF_DIR
     import __spark_entry__ as entrymod
 
