@@ -98,6 +98,24 @@ def q_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'rugo' Spark DataSource surface end to end: write ``documents``
+    with ``df.write.format('rugo')`` (map-only encode through the V2 write
+    path, sidecars committed on job success), read it back with
+    ``spark.read.format('rugo')`` (Catalyst BatchScan with pushFilters
+    block/stripe pruning).  Oracle = identity SELECT: the value hash matches
+    iff the format round-trip is bit-exact."""
+    from rugo_spark.datasource import register
+
+    register(spark)
+    df = _t(spark, sf_dir, "documents")
+    out = _fresh("ds_documents", sf_dir)
+    df.repartition(8).write.format("rugo").option("sortkey", "doc_id").option(
+        "sizecol", "n_chars"
+    ).mode("overwrite").save(out)
+    return spark.read.format("rugo").load(out)
+
+
 def q_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only statistics: encode ``documents`` then answer
     COUNT/MIN/MAX/null-count purely from the manifest sidecars — zero data
@@ -630,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_nested": q_roundtrip_nested,
         "manifest_lineage": q_manifest,
         "metadata_agg_stats": q_metadata_agg,
+        "datasource_roundtrip": q_datasource_roundtrip,
         "agg_pricing_summary": q_agg_pricing,
         "join_top_revenue": q_join_revenue,
         "window_latest_order": q_window_latest_order,
@@ -787,6 +806,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS block_paths_unique
             FROM documents
         """,
+        "datasource_roundtrip": "SELECT * FROM documents",
         "metadata_agg_stats": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(n_chars) AS BIGINT) AS n_tokens,

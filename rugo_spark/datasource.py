@@ -1,0 +1,258 @@
+"""Spark Python DataSource: the encoded block format as a first-class format.
+
+    spark.dataSource.register(RugoDataSource)
+    df = spark.read.format("rugo").load("/data/encoded")          # scan
+    df.write.format("rugo").mode("overwrite").save("/data/enc2")  # encode
+
+Catalyst plans the scan as a PythonScan whose ``pushFilters`` prunes blocks
+through the manifest (min/max + bloom) and stripes (RGS2 directory) before a
+single data byte is opened — the same pruning surface ``decode_table`` uses,
+now reachable from ``spark.read``/``spark.sql`` over a registered format.
+Pruning is conservative: every pushed filter is also RETURNED to Spark
+("partially pushed" per the API contract), so correctness never depends on
+the skip tests.  Writes are the shuffle-free map-only encode (one block per
+input split, sidecars committed only on job success); a dataset written here
+is byte-compatible with ``encode_table``/``decode_table`` and vice versa.
+
+Functional parity note: the reference exposes its reader as a *library*
+(``rugo.parquet.read_metadata``); this module is the Spark-native equivalent
+surface (register once, query anywhere — including SQL via
+``CREATE TABLE ... USING rugo``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+_PUSHABLE = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+def _dataset_dir(options) -> str:
+    path = options.get("path")
+    if not path:
+        raise ValueError("rugo datasource needs a path: .load('/dataset/dir')")
+    return path
+
+
+@dataclass
+class RugoInputPartition(InputPartition):
+    block_path: str
+    checksum: int
+
+
+class RugoReader(DataSourceReader):
+    """One input partition per surviving block; stripe pruning inside."""
+
+    def __init__(self, options, schema: StructType) -> None:
+        self.out_dir = _dataset_dir(options)
+        self.verify = str(options.get("verifychecksums", "false")).lower() == "true"
+        from rugo_spark import manifest as mf
+
+        arrow_schema, _ = mf.read_schema(self.out_dir)
+        # ship the schema as IPC bytes (picklable) — workers rebuild it
+        self._schema_bytes = arrow_schema.serialize().to_pybytes()
+        self.columns: list[str] | None = None
+        full = set(arrow_schema.names)
+        wanted = [f.name for f in schema.fields]
+        if set(wanted) != full:
+            self.columns = wanted
+        self.filters: list[tuple] = []
+
+    def pushFilters(self, filters: Sequence[Filter]):  # noqa: N802 (API name)
+        """Record prunable predicates; return EVERY filter so Spark still
+        evaluates them exactly (pruning is a skip-test, not a guarantee)."""
+        for f in filters:
+            op = _PUSHABLE.get(type(f))
+            if (
+                op is not None
+                and len(f.attribute) == 1
+                and isinstance(f.value, (int, float, str, bool))
+            ):
+                self.filters.append((f.attribute[0], op, f.value))
+            yield f
+
+    def partitions(self):
+        from rugo_spark import manifest as mf
+        from rugo_spark.engine import _sidecar_keep
+
+        parts = [
+            RugoInputPartition(row["block_path"], int(row["checksum"]))
+            for row in mf.completed_partitions(self.out_dir)
+            if _sidecar_keep(row, self.filters or None)
+        ]
+        # Spark requires ≥1 partition; an empty/full-pruned dataset reads as
+        # a no-op partition (read() yields nothing for a missing path)
+        return parts or [RugoInputPartition("", 0)]
+
+    def read(self, partition: RugoInputPartition) -> Iterator:
+        if not partition.block_path:
+            return
+        import pyarrow as pa
+        import zlib
+
+        from rugo_spark.engine import read_block_file
+
+        if self.verify:
+            with open(partition.block_path, "rb") as f:
+                payload = f.read()
+            if zlib.crc32(payload) != partition.checksum:
+                raise IOError(f"checksum mismatch for {partition.block_path}")
+        schema = pa.ipc.read_schema(pa.py_buffer(self._schema_bytes))
+        order = self.columns if self.columns is not None else list(schema.names)
+        for batch in read_block_file(
+            partition.block_path, schema, columns=self.columns, filters=self.filters or None
+        ):
+            yield batch.select(order)
+
+
+@dataclass
+class RugoCommit(WriterCommitMessage):
+    sidecar: str  # JSON sidecar row (None-rows partitions send "")
+
+
+class RugoWriter(DataSourceArrowWriter):
+    """Map-only encode as a Spark write: blocks stream out of tasks (atomic
+    temp+rename), sidecars + schema land in ``commit()`` — a failed or
+    speculative job never publishes a partial manifest."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool) -> None:
+        from rugo_spark import manifest as mf
+
+        self.out_dir = _dataset_dir(options)
+        self.sort_key = options.get("sortkey")
+        self.size_col = options.get("sizecol")
+        self._schema_json = schema.json()
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._arrow_schema_bytes = to_arrow_schema(schema).serialize().to_pybytes()
+        self.pid_offset = 0
+        if overwrite:
+            import shutil
+
+            shutil.rmtree(os.path.join(self.out_dir, mf.MANIFEST_DIR), ignore_errors=True)
+            shutil.rmtree(os.path.join(self.out_dir, mf.BLOCKS_DIR), ignore_errors=True)
+        else:  # append: new blocks number after the existing ones
+            done = mf.completed_partitions(self.out_dir)
+            if done:
+                self.pid_offset = 1 + max(int(r["partition_id"]) for r in done)
+
+    def write(self, iterator) -> RugoCommit:
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        from rugo_spark import manifest as mf
+        from rugo_spark.engine import write_block_file
+
+        pid = self.pid_offset + TaskContext.get().partitionId()
+        batch_list = list(iterator)
+        if not batch_list:
+            return RugoCommit("")
+        tbl = pa.Table.from_batches(batch_list)
+        if tbl.num_rows == 0:
+            return RugoCommit("")
+        if self.sort_key:
+            tbl = tbl.sort_by(self.sort_key)
+        path = os.path.join(self.out_dir, mf.BLOCKS_DIR, f"part-{pid:06d}.rgb")
+        crc, metas = write_block_file(path, tbl)
+        n_tokens = 0
+        if self.size_col:
+            import pyarrow.compute as pc
+
+            n_tokens = int(pc.sum(tbl.column(self.size_col)).as_py() or 0)
+        row = {
+            "partition_id": pid,
+            "n_rows": tbl.num_rows,
+            "n_tokens": n_tokens,
+            "input_bytes": int(tbl.nbytes),
+            "output_bytes": int(os.path.getsize(path)),
+            "block_path": path,
+            "checksum": int(crc),
+            "codecs": json.dumps(metas, default=str),
+        }
+        if self.sort_key:
+            from rugo_spark import bloom as _bloom
+
+            row["bloom_col"] = self.sort_key
+            row["bloom"] = _bloom.build(tbl.column(self.sort_key))
+        return RugoCommit(json.dumps(row, default=str))
+
+    def commit(self, messages) -> None:
+        import pyarrow as pa
+
+        from rugo_spark import manifest as mf
+
+        arrow_schema = pa.ipc.read_schema(pa.py_buffer(self._arrow_schema_bytes))
+        mf.write_schema(self.out_dir, arrow_schema, self._schema_json)
+        for m in messages:
+            if m is not None and m.sidecar:
+                mf.write_sidecar(self.out_dir, json.loads(m.sidecar))
+
+    def abort(self, messages) -> None:
+        # no sidecars were published; stray block files are unreachable
+        # (decode plans from the manifest only) and get cleared by the next
+        # overwrite — matching encode_table's crash semantics
+        return
+
+
+class RugoDataSource(DataSource):
+    """``spark.dataSource.register(RugoDataSource)`` → format name 'rugo'."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rugo"
+
+    def schema(self):
+        from rugo_spark import manifest as mf
+
+        _, spark_schema = mf.read_schema(_dataset_dir(self.options))
+        st = StructType.fromJson(spark_schema)
+        cols = self.options.get("columns")
+        if cols:
+            want = [c.strip() for c in cols.split(",")]
+            by_name = {f.name: f for f in st.fields}
+            missing = [c for c in want if c not in by_name]
+            if missing:
+                raise KeyError(f"unknown columns {missing}; dataset has {list(by_name)}")
+            st = StructType([by_name[c] for c in want])
+        return st
+
+    def reader(self, schema: StructType) -> RugoReader:
+        return RugoReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> RugoWriter:
+        return RugoWriter(self.options, schema, overwrite)
+
+
+def register(spark) -> None:
+    """Idempotent convenience: make ``format('rugo')`` available."""
+    try:
+        # runtime SQL conf; without it Spark refuses a reader implementing
+        # pushFilters (sessions built by rugo_spark.session set it already)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # locked-down conf: reads still work if the session enabled it
+    spark.dataSource.register(RugoDataSource)
