@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -218,6 +219,94 @@ class RugoWriter(DataSourceArrowWriter):
         return
 
 
+class RugoStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format('rugo')``: micro-batch ``n`` lands in
+    ``<path>/batch=<n>/`` — the exact layout ``encode_stream``'s foreachBatch
+    sink produces, so ``decode_batches`` reads either.  Tasks encode to a
+    staging file (the batch id is only known at commit time); ``commit``
+    publishes blocks + sidecars into the epoch namespace atomically, so a
+    replayed epoch overwrites itself idempotently (deterministic encode) and
+    a failed batch never surfaces in any manifest."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool) -> None:
+        self.out_dir = _dataset_dir(options)
+        self.sort_key = options.get("sortkey")
+        self.size_col = options.get("sizecol")
+        self._schema_json = schema.json()
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._arrow_schema_bytes = to_arrow_schema(schema).serialize().to_pybytes()
+        self.staging = os.path.join(self.out_dir, ".staging")
+
+    def write(self, iterator) -> RugoCommit:
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        from rugo_spark.engine import write_block_file
+
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
+        batch_list = list(iterator)
+        if not batch_list:
+            return RugoCommit("")
+        tbl = pa.Table.from_batches(batch_list)
+        if tbl.num_rows == 0:
+            return RugoCommit("")
+        if self.sort_key:
+            tbl = tbl.sort_by(self.sort_key)
+        path = os.path.join(self.staging, f"a{attempt}-p{pid}.rgb")
+        crc, metas = write_block_file(path, tbl)
+        n_tokens = 0
+        if self.size_col:
+            import pyarrow.compute as pc
+
+            n_tokens = int(pc.sum(tbl.column(self.size_col)).as_py() or 0)
+        row = {
+            "partition_id": pid,
+            "n_rows": tbl.num_rows,
+            "n_tokens": n_tokens,
+            "input_bytes": int(tbl.nbytes),
+            "output_bytes": int(os.path.getsize(path)),
+            "block_path": path,
+            "checksum": int(crc),
+            "codecs": json.dumps(metas, default=str),
+        }
+        if self.sort_key:
+            from rugo_spark import bloom as _bloom
+
+            row["bloom_col"] = self.sort_key
+            row["bloom"] = _bloom.build(tbl.column(self.sort_key))
+        return RugoCommit(json.dumps(row, default=str))
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        import pyarrow as pa
+
+        from rugo_spark import manifest as mf
+
+        epoch_dir = os.path.join(self.out_dir, f"batch={batchId}")
+        arrow_schema = pa.ipc.read_schema(pa.py_buffer(self._arrow_schema_bytes))
+        mf.write_schema(epoch_dir, arrow_schema, self._schema_json)
+        for m in messages:
+            if m is None or not m.sidecar:
+                continue
+            row = json.loads(m.sidecar)
+            dst = os.path.join(
+                epoch_dir, mf.BLOCKS_DIR, f"part-{int(row['partition_id']):06d}.rgb"
+            )
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(row["block_path"], dst)
+            row["block_path"] = dst
+            mf.write_sidecar(epoch_dir, row)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        for m in messages:
+            if m is not None and m.sidecar:
+                try:
+                    os.remove(json.loads(m.sidecar)["block_path"])
+                except OSError:
+                    pass
+
+
 class RugoDataSource(DataSource):
     """``spark.dataSource.register(RugoDataSource)`` → format name 'rugo'."""
 
@@ -245,6 +334,9 @@ class RugoDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> RugoWriter:
         return RugoWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):  # noqa: N802
+        return RugoStreamWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:

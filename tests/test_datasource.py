@@ -118,6 +118,31 @@ def test_pushdown_actually_prunes_blocks(spark, doc_pdf, tmp_out):
     assert pruned < total, f"no pruning: {pruned} of {total} blocks survive a point lookup"
 
 
+def test_stream_writer_batches_decode(spark, doc_pdf, tmp_out, tmp_path):
+    """writeStream.format('rugo') → batch=N namespaces that decode_batches
+    reads (same layout as the foreachBatch encode_stream sink)."""
+    from rugo_spark.streaming import decode_batches
+
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(doc_pdf).repartition(3).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string, n_chars long").parquet(src)
+    q = (
+        stream.writeStream.format("rugo")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("sortkey", "doc_id")
+        .option("sizecol", "n_chars")
+        .trigger(availableNow=True)
+        .start(tmp_out)
+    )
+    q.awaitTermination(120)
+    back = decode_batches(spark, tmp_out)
+    assert back.count() == 2000
+    assert back.select("doc_id").distinct().count() == 2000
+    got = back.orderBy("doc_id").select("doc_id", "n_chars").toPandas()
+    want = doc_pdf.sort_values("doc_id")[["doc_id", "n_chars"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_sql_over_registered_table(spark, doc_pdf, tmp_out):
     df = spark.createDataFrame(doc_pdf)
     encode_table(df, tmp_out, key_col="doc_id", size_col="n_chars", num_partitions=4)
