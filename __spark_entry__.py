@@ -131,6 +131,31 @@ def q_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metadata_agg(spark, out, ["doc_id", "n_chars", "lang"])
 
 
+def _contamination_needle(texts_min_doc: str) -> list[int]:
+    """Deterministic needle shared by the Spark query and the oracle: tokens
+    [1:5) of the lowest-doc_id document (re-derivable from raw text on both
+    sides — no side channel)."""
+    from rugo_spark.oracle_recompute import tokenize_row
+
+    toks = tokenize_row(texts_min_doc)
+    return toks[1:5] if len(toks) >= 5 else toks[:1]
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: exact token-subsequence search over
+    the tokenized corpus (vectorized sliding-window compare, shuffle-free;
+    ops/contamination.py).  The needle is a phrase from the corpus itself so
+    the result is non-trivial; the oracle recomputes tokenizer + naive scan
+    sequentially."""
+    from rugo_spark.ops.contamination import find_needle
+    from rugo_spark.ops.tokenize import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    first_text = docs.orderBy("doc_id").select("text").first()[0]
+    needle = _contamination_needle(first_text)
+    return find_needle(tokenize(docs, source_col=None), needle)
+
+
 def _money_cents(col: str):
     """Exact integer cents from a 2-decimal double (NOTES.md #6: never cast a
     double product to DECIMAL per row — Spark HALF_UP vs DuckDB half-even
@@ -649,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_lineage": q_manifest,
         "metadata_agg_stats": q_metadata_agg,
         "datasource_roundtrip": q_datasource_roundtrip,
+        "contamination_screen": q_contamination,
         "agg_pricing_summary": q_agg_pricing,
         "join_top_revenue": q_join_revenue,
         "window_latest_order": q_window_latest_order,
@@ -719,6 +745,11 @@ def _recompute_oracles() -> dict[str, str]:
         out["doc_fingerprint"] = orc.values_sql(
             [(d, orc.fingerprint_row(t)) for d, t in docs],
             [("doc_id", "BIGINT"), ("fingerprint", "BIGINT")],
+        )
+        min_doc_text = min(docs)[1]
+        out["contamination_screen"] = orc.values_sql(
+            orc.contamination_rows(docs, _contamination_needle(min_doc_text)),
+            [("doc_id", "BIGINT"), ("n_matches", "INTEGER"), ("first_pos", "INTEGER")],
         )
         pairs = orc.minhash_pairs(docs, n_hashes=16, n_bands=4)
         out["dedup_minhash_lsh"] = orc.values_sql(

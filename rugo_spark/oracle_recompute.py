@@ -265,6 +265,27 @@ def tokenize_row(text: str, vocab: int = 50257) -> list[int]:
     return out
 
 
+def contamination_rows(
+    docs: list[tuple[int, str]], needle: list[int], vocab: int = 50257
+) -> list[tuple[int, int, int]]:
+    """Sequential recompute of ops/contamination.find_needle: naive O(n·k)
+    subsequence scan over the sequentially re-tokenized docs —
+    (doc_id, n_matches, first_pos) for docs containing the needle."""
+    k = len(needle)
+    out = []
+    for doc_id, text in docs:
+        toks = tokenize_row(text, vocab)
+        cnt, first = 0, -1
+        for p in range(len(toks) - k + 1):
+            if toks[p : p + k] == list(needle):
+                cnt += 1
+                if first < 0:
+                    first = p
+        if cnt:
+            out.append((doc_id, cnt, first))
+    return out
+
+
 def partition_id_rows(
     items: list[tuple[int, int]], num_partitions: int, clip: int = 1 << 20, res: int = 1 << 20
 ) -> dict[int, int]:
