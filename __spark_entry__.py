@@ -116,6 +116,22 @@ def q_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format("rugo").load(out)
 
 
+def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset lifecycle: encode ``documents`` into many small blocks, then
+    compact (OPTIMIZE analog: zero-shuffle merge into target-size blocks,
+    codecs re-selected, blooms rebuilt) and decode the compacted dataset.
+    Oracle = identity SELECT — the hash matches iff compaction preserves
+    content exactly."""
+    from rugo_spark.engine import compact_dataset, decode_table, encode_table
+
+    df = _t(spark, sf_dir, "documents")
+    src = _fresh("cmp_src_documents", sf_dir)
+    dst = _fresh("cmp_dst_documents", sf_dir)
+    encode_table(df, src, key_col="doc_id", size_col="n_chars", num_partitions=12)
+    compact_dataset(spark, src, dst, target_bytes=64 << 20, sort_key="doc_id")
+    return decode_table(spark, dst)
+
+
 def q_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only statistics: encode ``documents`` then answer
     COUNT/MIN/MAX/null-count purely from the manifest sidecars — zero data
@@ -675,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_agg_stats": q_metadata_agg,
         "datasource_roundtrip": q_datasource_roundtrip,
         "contamination_screen": q_contamination,
+        "compact_roundtrip": q_compact_roundtrip,
         "agg_pricing_summary": q_agg_pricing,
         "join_top_revenue": q_join_revenue,
         "window_latest_order": q_window_latest_order,
@@ -838,6 +855,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "datasource_roundtrip": "SELECT * FROM documents",
+        "compact_roundtrip": "SELECT * FROM documents",
         "metadata_agg_stats": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(n_chars) AS BIGINT) AS n_tokens,

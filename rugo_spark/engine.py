@@ -753,6 +753,100 @@ def metadata_agg(
     return spark.createDataFrame(tbl.to_pandas())
 
 
+def compact_dataset(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = 128 << 20,
+    sort_key: str | None = None,
+) -> DataFrame:
+    """Small-block compaction (the OPTIMIZE / rewrite-data-files analog).
+
+    Streaming epochs and fine-grained encodes accumulate small blocks; at
+    10⁵–10⁶ blocks the manifest read and task scheduling, not the data,
+    become the decode cost.  This rewrites N blocks into ⌈Σbytes/target⌉
+    blocks with ZERO shuffle: adjacent blocks (by partition id) are greedily
+    packed into ~``target_bytes`` groups, one task per group decodes its
+    members, concatenates, optionally re-sorts on ``sort_key``, and encodes
+    one new block — codecs re-selected on the merged data, blooms rebuilt,
+    lineage re-established in ``dst_dir``'s own manifest.  Row content is
+    exactly preserved (pytest: decode equality + conserved n_rows/n_tokens).
+    """
+    rows = sorted(mf.completed_partitions(src_dir), key=lambda r: int(r["partition_id"]))
+    if not rows:
+        raise ValueError(f"nothing to compact: {src_dir} has no completed partitions")
+    arrow_schema, spark_schema = mf.read_schema(src_dir)
+    groups: list[list[dict]] = [[]]
+    acc = 0
+    for r in rows:
+        b = int(r["output_bytes"] or 0)
+        if groups[-1] and acc + b > target_bytes:
+            groups.append([])
+            acc = 0
+        groups[-1].append(r)
+        acc += b
+    schema_bytes = arrow_schema.serialize().to_pybytes()
+    bloom_col = sort_key or next(
+        (r.get("bloom_col") for r in rows if r.get("bloom_col")), None
+    )
+    specs = [
+        {
+            "gid": gid,
+            "paths": [g["block_path"] for g in grp],
+            "n_tokens": sum(int(g.get("n_tokens") or 0) for g in grp),
+        }
+        for gid, grp in enumerate(groups)
+    ]
+    mf.write_schema(dst_dir, arrow_schema, json.dumps(spark_schema))
+    blocks_dir = os.path.join(dst_dir, mf.BLOCKS_DIR)
+
+    import pandas as pd
+
+    src = spark.createDataFrame(
+        pd.DataFrame({"spec": [json.dumps(s) for s in specs]})
+    ).repartition(len(specs))
+
+    def compactor(batches):
+        schema = pa.ipc.read_schema(pa.py_buffer(schema_bytes))
+        for batch in batches:
+            for spec_json in batch.column(0).to_pylist():
+                spec = json.loads(spec_json)
+                gid = int(spec["gid"])
+                parts = [
+                    b
+                    for p in spec["paths"]
+                    for b in read_block_file(p, schema)
+                ]
+                tbl = pa.Table.from_batches(parts)
+                if sort_key is not None:
+                    tbl = tbl.sort_by(sort_key)
+                path = os.path.join(blocks_dir, f"part-{gid:06d}.rgb")
+                crc, metas = write_block_file(path, tbl)
+                row = {
+                    "partition_id": gid,
+                    "n_rows": tbl.num_rows,
+                    "n_tokens": int(spec["n_tokens"]),
+                    "input_bytes": int(tbl.nbytes),
+                    "output_bytes": int(os.path.getsize(path)),
+                    "block_path": path,
+                    "checksum": int(crc),
+                    "codecs": json.dumps(metas, default=str),
+                }
+                if bloom_col is not None and bloom_col in tbl.column_names:
+                    from rugo_spark import bloom as _bloom
+
+                    row["bloom_col"] = bloom_col
+                    row["bloom"] = _bloom.build(tbl.column(bloom_col))
+                mf.write_sidecar(dst_dir, row)
+                yield pa.RecordBatch.from_pylist(
+                    [{k: row[k] for k in mf.MANIFEST_ARROW.names}],
+                    schema=mf.MANIFEST_ARROW,
+                )
+
+    src.mapInArrow(compactor, mf.MANIFEST_DDL).write.mode("overwrite").format("noop").save()
+    return manifest_df(spark, dst_dir)
+
+
 def encode_epoch(
     df: DataFrame,
     dataset_dir: str,
