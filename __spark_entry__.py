@@ -172,6 +172,22 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return find_needle(tokenize(docs, source_col=None), needle)
 
 
+_MIX_FRACTIONS = {"en": 0.5, "fr": 0.25, "de": 0.125}
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture sampling: a deterministic per-language hash-gated
+    sample (membership is a pure function of doc_id + seed — stable across
+    re-runs, retries and cluster sizes, unlike df.sample).  Oracle recomputes
+    the same xxhash64 gate sequentially."""
+    from rugo_spark.ops.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(
+        docs, fractions=_MIX_FRACTIONS, key_col="doc_id", stratum_col="lang"
+    ).select("doc_id", "lang")
+
+
 def _money_cents(col: str):
     """Exact integer cents from a 2-decimal double (NOTES.md #6: never cast a
     double product to DECIMAL per row — Spark HALF_UP vs DuckDB half-even
@@ -692,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datasource_roundtrip": q_datasource_roundtrip,
         "contamination_screen": q_contamination,
         "compact_roundtrip": q_compact_roundtrip,
+        "hash_sample_mixture": q_hash_sample,
         "agg_pricing_summary": q_agg_pricing,
         "join_top_revenue": q_join_revenue,
         "window_latest_order": q_window_latest_order,
@@ -762,6 +779,16 @@ def _recompute_oracles() -> dict[str, str]:
         out["doc_fingerprint"] = orc.values_sql(
             [(d, orc.fingerprint_row(t)) for d, t in docs],
             [("doc_id", "BIGINT"), ("fingerprint", "BIGINT")],
+        )
+        ltbl = pq.read_table(
+            os.path.join(_ORACLE_SF_DIR, "documents.parquet"), columns=["doc_id", "lang"]
+        )
+        out["hash_sample_mixture"] = orc.values_sql(
+            orc.hash_sample_rows(
+                list(zip(ltbl.column("doc_id").to_pylist(), ltbl.column("lang").to_pylist())),
+                _MIX_FRACTIONS,
+            ),
+            [("doc_id", "BIGINT"), ("lang", "VARCHAR")],
         )
         min_doc_text = min(docs)[1]
         out["contamination_screen"] = orc.values_sql(

@@ -94,7 +94,11 @@ def main() -> None:
     out_hi = os.path.join(SCRATCH, f"enc_c{CPUS}")
     timings["reference_parquet_write"] = float("inf")
     timings["encode"] = float("inf")
-    for _ in range(3):
+    # 4 alternating rounds: encode round 1 pays the one-time planning scan
+    # (ANALYZE-once; later rounds replay the session plan cache), so the min
+    # needs ≥2 post-plan samples to estimate steady state on a box with 2-3×
+    # load swings
+    for _ in range(4):
         shutil.rmtree(ref_dir, ignore_errors=True)
         t0 = time.perf_counter()
         tok_df.write.mode("overwrite").parquet(ref_dir, compression="zstd")
@@ -189,6 +193,28 @@ def main() -> None:
     extra["metadata_agg_speedup_vs_scan"] = round(
         timings["fullscan_agg"] / max(timings["metadata_agg"], 1e-9), 1
     )
+
+    # ---------------- datasource point lookup (Catalyst BatchScan + pushFilters)
+    from rugo_spark.datasource import register as ds_register
+
+    ds_register(spark)
+    t0 = time.perf_counter()
+    n_hit = (
+        spark.read.format("rugo").load(out_hi).filter(F.col("doc_id") == probe_id).count()
+    )
+    timings["datasource_point_lookup"] = time.perf_counter() - t0
+    assert n_hit == 1
+
+    # ---------------- contamination screen (tokenless: bench table already
+    # tokenized — exact subsequence scan over 240M tokens, shuffle-free)
+    from rugo_spark.ops.contamination import find_needle
+
+    needle_row = tok_df.orderBy("doc_id").select("tokens").first()[0][:6]
+    t0 = time.perf_counter()
+    n_cont = find_needle(tok_df, list(needle_row)).count()
+    timings["contamination_screen"] = time.perf_counter() - t0
+    assert n_cont >= 1
+    extra["contamination_tokens_per_sec"] = round(total_tokens / timings["contamination_screen"])
 
     # ---------------- relational/pipeline headline queries at SF_DIR
     import __spark_entry__ as entrymod

@@ -265,6 +265,24 @@ def tokenize_row(text: str, vocab: int = 50257) -> list[int]:
     return out
 
 
+def hash_sample_rows(
+    rows: list[tuple[int, str]],
+    fractions: dict[str, float],
+    seed: int = 42,
+    res: int = 1 << 20,
+) -> list[tuple[int, str]]:
+    """Sequential recompute of ops/sampling.hash_sample (stratified form):
+    keep (key, stratum) where pmod(xxhash64(seed_i32, key), res) is under
+    the stratum's threshold."""
+    out = []
+    for key, stratum in rows:
+        h = spark_xxhash64(("i", seed), key)
+        gate = ((h % res) + res) % res
+        if gate < int(round(fractions.get(stratum, 0.0) * res)):
+            out.append((key, stratum))
+    return out
+
+
 def contamination_rows(
     docs: list[tuple[int, str]], needle: list[int], vocab: int = 50257
 ) -> list[tuple[int, int, int]]:
