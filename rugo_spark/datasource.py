@@ -86,6 +86,7 @@ class RugoReader(DataSourceReader):
     def pushFilters(self, filters: Sequence[Filter]):  # noqa: N802 (API name)
         """Record prunable predicates; return EVERY filter so Spark still
         evaluates them exactly (pruning is a skip-test, not a guarantee)."""
+        self.filters = []  # fresh per planning pass (reader may be reused)
         for f in filters:
             op = _PUSHABLE.get(type(f))
             if (

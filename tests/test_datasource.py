@@ -118,6 +118,20 @@ def test_pushdown_actually_prunes_blocks(spark, doc_pdf, tmp_out):
     assert pruned < total, f"no pruning: {pruned} of {total} blocks survive a point lookup"
 
 
+def test_verifychecksums_catches_corruption(spark, doc_pdf, tmp_out):
+    df = spark.createDataFrame(doc_pdf)
+    encode_table(df, tmp_out, key_col="doc_id", num_partitions=3)
+    block = sorted(os.listdir(os.path.join(tmp_out, "blocks")))[0]
+    p = os.path.join(tmp_out, "blocks", block)
+    payload = bytearray(open(p, "rb").read())
+    payload[len(payload) // 2] ^= 0xFF
+    open(p, "wb").write(bytes(payload))
+    ok = spark.read.format("rugo").load(tmp_out)
+    with pytest.raises(Exception, match="checksum|Checksum|CRC|crc"):
+        spark.read.format("rugo").option("verifychecksums", "true").load(tmp_out).count()
+    del ok
+
+
 def test_stream_writer_batches_decode(spark, doc_pdf, tmp_out, tmp_path):
     """writeStream.format('rugo') → batch=N namespaces that decode_batches
     reads (same layout as the foreachBatch encode_stream sink)."""
