@@ -59,10 +59,34 @@ def main() -> None:
     packed = pack_sequences(tok, seq_len=512, num_partitions=4, eos_id=50256)
     n_seq = packed.count()
 
+    # 6. contamination screen: does the corpus contain this "benchmark
+    #    prompt" (a phrase from its own first doc) verbatim?
+    from rugo_spark.ops.contamination import find_needle
+
+    needle = list(tok.orderBy("doc_id").select("tokens").first()[0][:5])
+    n_cont = find_needle(tok, needle).count()
+
+    # 7. corpus mixture: deterministic per-language sampling (re-run-stable)
+    from rugo_spark.ops.sampling import hash_sample
+
+    n_mix = hash_sample(
+        deduped, fractions={"en": 0.5, "fr": 0.25}, stratum_col="lang"
+    ).count()
+
+    # 8. lifecycle: compact small blocks, stats from metadata alone
+    from rugo_spark.engine import compact_dataset, metadata_agg
+
+    compact_dataset(spark, out, out + "_opt", target_bytes=64 << 20, sort_key="doc_id")
+    meta = metadata_agg(spark, out + "_opt", ["doc_id", "n_tok"]).first()
+
     print(f"documents: {n0} → quality+lang {n1} → deduped {n2}")
     print(f"encoded {total_tokens} tokens into {manifest.count()} partitions")
     print(f"decoded (pruned to n_tok>64, 2 columns): {n_long} rows")
     print(f"packed into {n_seq} training sequences of 512 tokens")
+    print(f"contamination screen: {n_cont} docs contain the probe phrase")
+    print(f"mixture sample (en 50% / fr 25%): {n_mix} docs")
+    print(f"compacted stats from metadata alone: rows={meta['n_rows']} "
+          f"tok_mass={meta['n_tokens']} doc_id∈[{meta['min_doc_id']},{meta['max_doc_id']}]")
     spark.stop()
 
 
