@@ -266,6 +266,30 @@ def encode_table_maponly(
     return manifest_df(spark, out_dir)
 
 
+def encode_table_sorted(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    num_partitions: int | None = None,
+    size_col: str | None = None,
+    plans: dict | None = None,
+) -> DataFrame:
+    """Range-partitioned, key-sorted encode: blocks carry DISJOINT key
+    ranges, so manifest min/max prunes range predicates (``<``/``>=``/
+    BETWEEN), not just the bloom's equality probes.  The clustered-layout
+    option a scan-heavy workload wants (the analog of writing a table
+    ordered by its query key so row-group stats actually bite — rugo
+    surfaces exactly those per-row-group min/max for external engines,
+    ``metadata.cpp:618-646``).  One range-exchange shuffle; each output
+    partition becomes one block via the map-only path."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    arranged = df.repartitionByRange(n, key_col).sortWithinPartitions(key_col)
+    return encode_table_maponly(
+        arranged, out_dir, sort_key=key_col, size_col=size_col, plans=plans
+    )
+
+
 def encode_table(
     df: DataFrame,
     out_dir: str,
