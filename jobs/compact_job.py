@@ -25,6 +25,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True, help="compacted dataset directory")
     p.add_argument("--target-bytes", type=int, default=128 << 20)
     p.add_argument("--sort-key", default=None)
+    p.add_argument("--mode", default="auto", choices=["auto", "concat", "rewrite"],
+                   help="concat: members become stripes at disk-copy speed; rewrite: decode+re-encode")
     p.add_argument("--verify", action="store_true",
                    help="assert conserved totals via metadata_agg (no data read)")
     p.add_argument("--master", default=None, help="override master (local testing)")
@@ -39,7 +41,7 @@ def main(argv: list[str] | None = None) -> int:
     try:
         man = compact_dataset(
             spark, args.input, args.output,
-            target_bytes=args.target_bytes, sort_key=args.sort_key,
+            target_bytes=args.target_bytes, sort_key=args.sort_key, mode=args.mode,
         )
     except (FileNotFoundError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)

