@@ -194,6 +194,19 @@ def main() -> None:
         timings["fullscan_agg"] / max(timings["metadata_agg"], 1e-9), 1
     )
 
+    # ---------------- concat compaction (members → stripes, no re-encode)
+    from rugo_spark import manifest as _mf
+    from rugo_spark.engine import compact_dataset
+
+    cmp_dir = os.path.join(SCRATCH, "enc_compact")
+    shutil.rmtree(cmp_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    compact_dataset(spark, out_hi, cmp_dir, target_bytes=128 << 20, mode="concat")
+    timings["compact_concat"] = time.perf_counter() - t0
+    extra["compact_blocks"] = (
+        f"{len(_mf.completed_partitions(out_hi))}->{len(_mf.completed_partitions(cmp_dir))}"
+    )
+
     # ---------------- datasource point lookup (Catalyst BatchScan + pushFilters)
     from rugo_spark.datasource import register as ds_register
 

@@ -59,6 +59,23 @@ def _dataset_dir(options) -> str:
     return path
 
 
+def _dataset_roots(path: str) -> list[str]:
+    """A plain dataset is its own root; a streaming/epoch dataset (no root
+    ``_schema.json``, ``batch=N``/``epoch=N`` children) unions its epochs —
+    so ``format('rugo').load()`` works directly on a stream sink's output."""
+    if os.path.exists(os.path.join(path, "_schema.json")):
+        return [path]
+    subs = sorted(
+        os.path.join(path, d)
+        for d in (os.listdir(path) if os.path.isdir(path) else [])
+        if (d.startswith("batch=") or d.startswith("epoch="))
+        and os.path.exists(os.path.join(path, d, "_schema.json"))
+    )
+    if not subs:
+        raise FileNotFoundError(f"not an encoded dataset (missing _schema.json): {path}")
+    return subs
+
+
 @dataclass
 class RugoInputPartition(InputPartition):
     block_path: str
@@ -69,11 +86,11 @@ class RugoReader(DataSourceReader):
     """One input partition per surviving block; stripe pruning inside."""
 
     def __init__(self, options, schema: StructType) -> None:
-        self.out_dir = _dataset_dir(options)
+        self.roots = _dataset_roots(_dataset_dir(options))
         self.verify = str(options.get("verifychecksums", "false")).lower() == "true"
         from rugo_spark import manifest as mf
 
-        arrow_schema, _ = mf.read_schema(self.out_dir)
+        arrow_schema, _ = mf.read_schema(self.roots[0])
         # ship the schema as IPC bytes (picklable) — workers rebuild it
         self._schema_bytes = arrow_schema.serialize().to_pybytes()
         self.columns: list[str] | None = None
@@ -103,7 +120,8 @@ class RugoReader(DataSourceReader):
 
         parts = [
             RugoInputPartition(row["block_path"], int(row["checksum"]))
-            for row in mf.completed_partitions(self.out_dir)
+            for root in self.roots
+            for row in mf.completed_partitions(root)
             if _sidecar_keep(row, self.filters or None)
         ]
         # Spark requires ≥1 partition; an empty/full-pruned dataset reads as
@@ -318,7 +336,7 @@ class RugoDataSource(DataSource):
     def schema(self):
         from rugo_spark import manifest as mf
 
-        _, spark_schema = mf.read_schema(_dataset_dir(self.options))
+        _, spark_schema = mf.read_schema(_dataset_roots(_dataset_dir(self.options))[0])
         st = StructType.fromJson(spark_schema)
         cols = self.options.get("columns")
         if cols:

@@ -157,6 +157,23 @@ def test_stream_writer_batches_decode(spark, doc_pdf, tmp_out, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_read_streaming_epochs_via_format(spark, doc_pdf, tmp_out, tmp_path):
+    """format('rugo').load() on a stream sink's output unions batch=N epochs."""
+    src = str(tmp_path / "ep_src")
+    spark.createDataFrame(doc_pdf).repartition(2).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string, n_chars long").parquet(src)
+    q = (
+        stream.writeStream.format("rugo")
+        .option("checkpointLocation", str(tmp_path / "ep_ckpt"))
+        .trigger(availableNow=True)
+        .start(tmp_out)
+    )
+    q.awaitTermination(120)
+    got = spark.read.format("rugo").load(tmp_out)
+    assert got.count() == 2000
+    assert got.select("doc_id").distinct().count() == 2000
+
+
 def test_sql_over_registered_table(spark, doc_pdf, tmp_out):
     df = spark.createDataFrame(doc_pdf)
     encode_table(df, tmp_out, key_col="doc_id", size_col="n_chars", num_partitions=4)
