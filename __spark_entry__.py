@@ -116,6 +116,19 @@ def q_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format("rugo").load(out)
 
 
+def q_sorted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned key-sorted layout (engine.encode_table_sorted):
+    blocks carry disjoint doc_id ranges so min/max prunes range predicates.
+    Decode filters to a range; oracle runs the same WHERE on the raw table —
+    hash match proves pruned decode ≡ full-scan filter."""
+    from rugo_spark.engine import decode_table, encode_table_sorted
+
+    df = _t(spark, sf_dir, "documents")
+    out = _fresh("srt_documents", sf_dir)
+    encode_table_sorted(df, out, key_col="doc_id", num_partitions=8, size_col="n_chars")
+    return decode_table(spark, out, filters=[("doc_id", "<", 200)])
+
+
 def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset lifecycle: encode ``documents`` into many small blocks, then
     compact (OPTIMIZE analog: zero-shuffle merge into target-size blocks,
@@ -708,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datasource_roundtrip": q_datasource_roundtrip,
         "contamination_screen": q_contamination,
         "compact_roundtrip": q_compact_roundtrip,
+        "sorted_range_roundtrip": q_sorted_roundtrip,
         "hash_sample_mixture": q_hash_sample,
         "agg_pricing_summary": q_agg_pricing,
         "join_top_revenue": q_join_revenue,
@@ -883,6 +897,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "datasource_roundtrip": "SELECT * FROM documents",
         "compact_roundtrip": "SELECT * FROM documents",
+        "sorted_range_roundtrip": "SELECT * FROM documents WHERE doc_id < 200",
         "metadata_agg_stats": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
