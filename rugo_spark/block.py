@@ -240,7 +240,7 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, plan: dict | None = None) -> t
     # per-block min/max — the stats the reference surfaces per column chunk
     # for external pruning (rugo metadata.cpp:430-463); used by decode-side
     # block skipping (decode_table filters)
-    if kind in (KIND_INT, KIND_FLOAT, KIND_STR, KIND_DEC128) and len(dense) > 0:
+    if kind in (KIND_INT, KIND_FLOAT, KIND_STR, KIND_DEC128, KIND_BOOL) and len(dense) > 0:
         try:
             mm = pc.min_max(dense)
             meta["min"], meta["max"] = mm["min"].as_py(), mm["max"].as_py()

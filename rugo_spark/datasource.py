@@ -94,9 +94,10 @@ class RugoReader(DataSourceReader):
         # ship the schema as IPC bytes (picklable) — workers rebuild it
         self._schema_bytes = arrow_schema.serialize().to_pybytes()
         self.columns: list[str] | None = None
-        full = set(arrow_schema.names)
         wanted = [f.name for f in schema.fields]
-        if set(wanted) != full:
+        # ordered compare: block decode is positional, so a reordered full
+        # projection still needs an explicit column list
+        if wanted != list(arrow_schema.names):
             self.columns = wanted
         self.filters: list[tuple] = []
 
@@ -134,18 +135,26 @@ class RugoReader(DataSourceReader):
         import pyarrow as pa
         import zlib
 
-        from rugo_spark.engine import read_block_file
+        from rugo_spark.engine import decode_block_payload, read_block_file
 
+        schema = pa.ipc.read_schema(pa.py_buffer(self._schema_bytes))
+        order = self.columns if self.columns is not None else list(schema.names)
         if self.verify:
+            # decode straight from the verified payload — no second file read
             with open(partition.block_path, "rb") as f:
                 payload = f.read()
             if zlib.crc32(payload) != partition.checksum:
                 raise IOError(f"checksum mismatch for {partition.block_path}")
-        schema = pa.ipc.read_schema(pa.py_buffer(self._schema_bytes))
-        order = self.columns if self.columns is not None else list(schema.names)
-        for batch in read_block_file(
-            partition.block_path, schema, columns=self.columns, filters=self.filters or None
-        ):
+            batches = decode_block_payload(
+                memoryview(payload), schema, columns=self.columns,
+                filters=self.filters or None,
+            )
+        else:
+            batches = read_block_file(
+                partition.block_path, schema, columns=self.columns,
+                filters=self.filters or None,
+            )
+        for batch in batches:
             yield batch.select(order)
 
 
@@ -155,87 +164,100 @@ class RugoCommit(WriterCommitMessage):
 
 
 class RugoWriter(DataSourceArrowWriter):
-    """Map-only encode as a Spark write: blocks stream out of tasks (atomic
-    temp+rename), sidecars + schema land in ``commit()`` — a failed or
-    speculative job never publishes a partial manifest."""
+    """Map-only encode under the V2 commit protocol.  Tasks encode to
+    attempt-unique STAGING files (concurrent speculative attempts cannot
+    collide on a temp name); ``commit()`` publishes blocks + sidecars +
+    schema in one pass, so a failed job leaves the previous dataset fully
+    intact — overwrite clears the old manifest only at commit time.  Append
+    validates the incoming schema against the stored one during planning
+    (block decode is positional: a reordered/re-typed append would corrupt
+    every existing block) and numbers new blocks after the existing ones."""
 
     def __init__(self, options, schema: StructType, overwrite: bool) -> None:
-        from rugo_spark import manifest as mf
-
         self.out_dir = _dataset_dir(options)
         self.sort_key = options.get("sortkey")
         self.size_col = options.get("sizecol")
+        self.overwrite = overwrite
         self._schema_json = schema.json()
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._arrow_schema_bytes = to_arrow_schema(schema).serialize().to_pybytes()
-        self.pid_offset = 0
-        if overwrite:
-            import shutil
+        self.staging = os.path.join(self.out_dir, ".staging")
+        if not overwrite:
+            from rugo_spark import manifest as mf
 
-            shutil.rmtree(os.path.join(self.out_dir, mf.MANIFEST_DIR), ignore_errors=True)
-            shutil.rmtree(os.path.join(self.out_dir, mf.BLOCKS_DIR), ignore_errors=True)
-        else:  # append: new blocks number after the existing ones
-            done = mf.completed_partitions(self.out_dir)
-            if done:
-                self.pid_offset = 1 + max(int(r["partition_id"]) for r in done)
+            try:
+                existing, _ = mf.read_schema(self.out_dir)
+            except FileNotFoundError:
+                existing = None
+            if existing is not None:
+                import pyarrow as pa
+
+                incoming = pa.ipc.read_schema(pa.py_buffer(self._arrow_schema_bytes))
+                have = [(f.name, str(f.type)) for f in existing]
+                want = [(f.name, str(f.type)) for f in incoming]
+                if have != want:
+                    raise ValueError(
+                        f"append schema mismatch for {self.out_dir}: dataset has "
+                        f"{have}, write has {want} (block decode is positional — "
+                        "use mode('overwrite') to replace the dataset)"
+                    )
 
     def write(self, iterator) -> RugoCommit:
         import pyarrow as pa
         from pyspark import TaskContext
 
-        from rugo_spark import manifest as mf
-        from rugo_spark.engine import write_block_file
+        from rugo_spark.engine import encode_block_row
 
-        pid = self.pid_offset + TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
         batch_list = list(iterator)
         if not batch_list:
             return RugoCommit("")
         tbl = pa.Table.from_batches(batch_list)
         if tbl.num_rows == 0:
             return RugoCommit("")
-        if self.sort_key:
-            tbl = tbl.sort_by(self.sort_key)
-        path = os.path.join(self.out_dir, mf.BLOCKS_DIR, f"part-{pid:06d}.rgb")
-        crc, metas = write_block_file(path, tbl)
-        n_tokens = 0
-        if self.size_col:
-            import pyarrow.compute as pc
-
-            n_tokens = int(pc.sum(tbl.column(self.size_col)).as_py() or 0)
-        row = {
-            "partition_id": pid,
-            "n_rows": tbl.num_rows,
-            "n_tokens": n_tokens,
-            "input_bytes": int(tbl.nbytes),
-            "output_bytes": int(os.path.getsize(path)),
-            "block_path": path,
-            "checksum": int(crc),
-            "codecs": json.dumps(metas, default=str),
-        }
-        if self.sort_key:
-            from rugo_spark import bloom as _bloom
-
-            row["bloom_col"] = self.sort_key
-            row["bloom"] = _bloom.build(tbl.column(self.sort_key))
+        path = os.path.join(self.staging, f"a{attempt}-p{pid}.rgb")
+        row = encode_block_row(
+            tbl, path, pid, sort_key=self.sort_key, size_col=self.size_col
+        )
         return RugoCommit(json.dumps(row, default=str))
 
     def commit(self, messages) -> None:
+        import shutil
+
         import pyarrow as pa
 
         from rugo_spark import manifest as mf
 
+        rows = [json.loads(m.sidecar) for m in messages if m is not None and m.sidecar]
+        if self.overwrite:
+            shutil.rmtree(os.path.join(self.out_dir, mf.MANIFEST_DIR), ignore_errors=True)
+            shutil.rmtree(os.path.join(self.out_dir, mf.BLOCKS_DIR), ignore_errors=True)
+            offset = 0
+        else:
+            done = mf.completed_partitions(self.out_dir)
+            offset = 1 + max((int(r["partition_id"]) for r in done), default=-1)
         arrow_schema = pa.ipc.read_schema(pa.py_buffer(self._arrow_schema_bytes))
         mf.write_schema(self.out_dir, arrow_schema, self._schema_json)
-        for m in messages:
-            if m is not None and m.sidecar:
-                mf.write_sidecar(self.out_dir, json.loads(m.sidecar))
+        for row in rows:
+            pid = offset + int(row["partition_id"])
+            dst = os.path.join(self.out_dir, mf.BLOCKS_DIR, f"part-{pid:06d}.rgb")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(row["block_path"], dst)
+            row["partition_id"], row["block_path"] = pid, dst
+            mf.write_sidecar(self.out_dir, row)
+        shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages) -> None:
-        # no sidecars were published; stray block files are unreachable
-        # (decode plans from the manifest only) and get cleared by the next
-        # overwrite — matching encode_table's crash semantics
-        return
+        # drop staged files; the previous dataset (manifest + blocks) is
+        # untouched because nothing is cleared or published before commit()
+        for m in messages:
+            if m is not None and m.sidecar:
+                try:
+                    os.remove(json.loads(m.sidecar)["block_path"])
+                except OSError:
+                    pass
 
 
 class RugoStreamWriter(DataSourceStreamArrowWriter):
@@ -261,7 +283,7 @@ class RugoStreamWriter(DataSourceStreamArrowWriter):
         import pyarrow as pa
         from pyspark import TaskContext
 
-        from rugo_spark.engine import write_block_file
+        from rugo_spark.engine import encode_block_row
 
         ctx = TaskContext.get()
         pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
@@ -271,38 +293,25 @@ class RugoStreamWriter(DataSourceStreamArrowWriter):
         tbl = pa.Table.from_batches(batch_list)
         if tbl.num_rows == 0:
             return RugoCommit("")
-        if self.sort_key:
-            tbl = tbl.sort_by(self.sort_key)
         path = os.path.join(self.staging, f"a{attempt}-p{pid}.rgb")
-        crc, metas = write_block_file(path, tbl)
-        n_tokens = 0
-        if self.size_col:
-            import pyarrow.compute as pc
-
-            n_tokens = int(pc.sum(tbl.column(self.size_col)).as_py() or 0)
-        row = {
-            "partition_id": pid,
-            "n_rows": tbl.num_rows,
-            "n_tokens": n_tokens,
-            "input_bytes": int(tbl.nbytes),
-            "output_bytes": int(os.path.getsize(path)),
-            "block_path": path,
-            "checksum": int(crc),
-            "codecs": json.dumps(metas, default=str),
-        }
-        if self.sort_key:
-            from rugo_spark import bloom as _bloom
-
-            row["bloom_col"] = self.sort_key
-            row["bloom"] = _bloom.build(tbl.column(self.sort_key))
+        row = encode_block_row(
+            tbl, path, pid, sort_key=self.sort_key, size_col=self.size_col
+        )
         return RugoCommit(json.dumps(row, default=str))
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        import shutil
+
         import pyarrow as pa
 
         from rugo_spark import manifest as mf
 
         epoch_dir = os.path.join(self.out_dir, f"batch={batchId}")
+        # a replayed epoch is a FULL replacement: clear any previous
+        # attempt's sidecars/blocks so a retry with fewer partitions can't
+        # leave stale higher-numbered blocks duplicating rows
+        shutil.rmtree(os.path.join(epoch_dir, mf.MANIFEST_DIR), ignore_errors=True)
+        shutil.rmtree(os.path.join(epoch_dir, mf.BLOCKS_DIR), ignore_errors=True)
         arrow_schema = pa.ipc.read_schema(pa.py_buffer(self._arrow_schema_bytes))
         mf.write_schema(epoch_dir, arrow_schema, self._schema_json)
         for m in messages:

@@ -72,6 +72,44 @@ def write_block_file(path: str, table: pa.Table, plans: dict | None = None) -> t
     return _atomic_write(path, payload), metas
 
 
+def encode_block_row(
+    tbl: pa.Table,
+    path: str,
+    partition_id: int,
+    sort_key: str | None = None,
+    size_col: str | None = None,
+    plans: dict | None = None,
+) -> dict:
+    """Shared kernel for every block producer (map-only encoder, the V2
+    batch/stream writers): sort, encode, write atomically, and build the
+    manifest sidecar row (incl. bloom on the sort key).  ONE definition so
+    the manifest vocabulary and bloom policy cannot drift between surfaces."""
+    if sort_key is not None:
+        tbl = tbl.sort_by(sort_key)
+    crc, metas = write_block_file(path, tbl, plans)
+    n_tokens = 0
+    if size_col is not None:
+        import pyarrow.compute as pc
+
+        n_tokens = int(pc.sum(tbl.column(size_col)).as_py() or 0)
+    row = {
+        "partition_id": int(partition_id),
+        "n_rows": tbl.num_rows,
+        "n_tokens": n_tokens,
+        "input_bytes": int(tbl.nbytes),
+        "output_bytes": int(os.path.getsize(path)),
+        "block_path": path,
+        "checksum": int(crc),
+        "codecs": json.dumps(metas, default=str),
+    }
+    if sort_key is not None:
+        from rugo_spark import bloom as _bloom
+
+        row["bloom_col"] = sort_key
+        row["bloom"] = _bloom.build(tbl.column(sort_key))
+    return row
+
+
 def merge_column_metas(metas_list: list[dict]) -> dict:
     """Merge per-stripe column metas into one manifest record per column."""
     out: dict[str, dict] = {}
@@ -139,6 +177,18 @@ def read_block_file(
     caller still re-applies filters exactly on the decoded rows)."""
     with open(path, "rb") as f:
         buf = memoryview(f.read())
+    yield from decode_block_payload(buf, schema, columns, filters)
+
+
+def decode_block_payload(
+    buf: memoryview,
+    schema: pa.Schema,
+    columns: list[str] | None = None,
+    filters: list[tuple] | None = None,
+):
+    """`read_block_file` over an in-memory payload (callers that already
+    hold the bytes — e.g. a checksum-verified read — decode without a
+    second file read)."""
     magic = bytes(buf[:4])
     if magic in (STRIPED_MAGIC, STRIPED_MAGIC2):
         (n_stripes,) = struct.unpack_from("<I", buf, 4)
@@ -233,30 +283,10 @@ def encode_table_maponly(
         if not batch_list:
             return
         tbl = pa.Table.from_batches(batch_list)
-        if sort_key is not None:
-            tbl = tbl.sort_by(sort_key)
         path = os.path.join(blocks_dir, f"part-{pid:06d}.rgb")
-        crc, metas = write_block_file(path, tbl, plans)
-        n_tokens = 0
-        if size_col is not None:
-            import pyarrow.compute as pc
-
-            n_tokens = int(pc.sum(tbl.column(size_col)).as_py() or 0)
-        row = {
-            "partition_id": pid,
-            "n_rows": tbl.num_rows,
-            "n_tokens": n_tokens,
-            "input_bytes": int(tbl.nbytes),
-            "output_bytes": int(os.path.getsize(path)),
-            "block_path": path,
-            "checksum": int(crc),
-            "codecs": json.dumps(metas, default=str),
-        }
-        if sort_key is not None:
-            from rugo_spark import bloom as _bloom
-
-            row["bloom_col"] = sort_key
-            row["bloom"] = _bloom.build(tbl.column(sort_key))
+        row = encode_block_row(
+            tbl, path, pid, sort_key=sort_key, size_col=size_col, plans=plans
+        )
         mf.write_sidecar(out_dir, row)
         yield pa.RecordBatch.from_pylist(
             [{k: row[k] for k in mf.MANIFEST_ARROW.names}], schema=mf.MANIFEST_ARROW
@@ -774,7 +804,12 @@ def metadata_agg(
         fields.append(pa.field(f"nulls_{c}", pa.int64()))
         arrays.append(pa.array([int(m.get("null_count") or 0)], pa.int64()))
     tbl = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
-    return spark.createDataFrame(tbl.to_pandas())
+    try:
+        # PySpark 4 takes pa.Table directly — keeps declared types exactly
+        # (None min/max stays NULL of the column type, not a pandas NaN double)
+        return spark.createDataFrame(tbl)
+    except TypeError:  # older API: pandas fallback
+        return spark.createDataFrame(tbl.to_pandas())
 
 
 def _member_stripes(row: dict) -> list[tuple[bytes, dict]]:
@@ -847,6 +882,15 @@ def compact_dataset(
         mode = "rewrite" if sort_key is not None else "concat"
     if mode == "concat" and sort_key is not None:
         raise ValueError("sort_key requires mode='rewrite' (concat keeps row order)")
+    if os.path.realpath(src_dir) == os.path.realpath(dst_dir):
+        raise ValueError("compact_dataset: dst_dir must differ from src_dir "
+                         "(in-place compaction would overwrite members mid-read)")
+    # destination hygiene: a previous (larger) compaction into the same dst
+    # would leave stale higher-numbered sidecars that silently duplicate rows
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.join(dst_dir, mf.MANIFEST_DIR), ignore_errors=True)
+    _shutil.rmtree(os.path.join(dst_dir, mf.BLOCKS_DIR), ignore_errors=True)
     rows = sorted(mf.completed_partitions(src_dir), key=lambda r: int(r["partition_id"]))
     if not rows:
         raise ValueError(f"nothing to compact: {src_dir} has no completed partitions")

@@ -95,6 +95,25 @@ def test_concat_of_striped_members_unwraps(spark, tmp_path):
     )
 
 
+def test_recompact_into_same_dst_clears_stale_sidecars(spark, tmp_path):
+    src, pdf = _encode_small(spark, tmp_path)
+    dst = str(tmp_path / "dst")
+    compact_dataset(spark, src, dst, target_bytes=1)  # one group per member
+    n_first = len(os.listdir(os.path.join(dst, "blocks")))
+    compact_dataset(spark, src, dst, target_bytes=10 << 20)  # few groups
+    n_second = len(os.listdir(os.path.join(dst, "blocks")))
+    assert n_second < n_first
+    assert decode_table(spark, dst).count() == len(pdf)  # no duplicated rows
+
+
+def test_compact_in_place_rejected(spark, tmp_path):
+    src, _ = _encode_small(spark, tmp_path)
+    import pytest
+
+    with pytest.raises(ValueError, match="in-place"):
+        compact_dataset(spark, src, src)
+
+
 def test_concat_rejects_sort_key(spark, tmp_path):
     src, _ = _encode_small(spark, tmp_path)
     import pytest

@@ -174,6 +174,37 @@ def test_read_streaming_epochs_via_format(spark, doc_pdf, tmp_out, tmp_path):
     assert got.select("doc_id").distinct().count() == 2000
 
 
+def test_append_schema_mismatch_rejected(spark, doc_pdf, tmp_out):
+    df = spark.createDataFrame(doc_pdf)
+    df.repartition(2).write.format("rugo").mode("overwrite").save(tmp_out)
+    reordered = df.select("text", "doc_id", "n_chars")  # decode is positional
+    with pytest.raises(Exception, match="schema mismatch"):
+        reordered.repartition(2).write.format("rugo").mode("append").save(tmp_out)
+    # original data untouched
+    assert spark.read.format("rugo").load(tmp_out).count() == 2000
+
+
+def test_failed_overwrite_preserves_old_data(spark, doc_pdf, tmp_out):
+    df = spark.createDataFrame(doc_pdf)
+    df.repartition(2).write.format("rugo").mode("overwrite").save(tmp_out)
+    bad = df.withColumn("boom", F.assert_true(F.col("doc_id") < 0))
+    with pytest.raises(Exception):
+        bad.write.format("rugo").mode("overwrite").save(tmp_out)
+    # the failed job never reached commit → previous dataset fully intact
+    back = spark.read.format("rugo").load(tmp_out)
+    assert back.count() == 2000 and sorted(back.columns) == sorted(df.columns)
+
+
+def test_reordered_full_projection(spark, doc_pdf, tmp_out):
+    df = spark.createDataFrame(doc_pdf)
+    encode_table(df, tmp_out, key_col="doc_id", num_partitions=3)
+    got = spark.read.format("rugo").option("columns", "n_chars,doc_id,text").load(tmp_out)
+    assert got.columns == ["n_chars", "doc_id", "text"]
+    row = got.filter(F.col("doc_id") == 7).first()
+    want = doc_pdf[doc_pdf.doc_id == 7].iloc[0]
+    assert row["n_chars"] == want["n_chars"] and row["text"] == want["text"]
+
+
 def test_sql_over_registered_table(spark, doc_pdf, tmp_out):
     df = spark.createDataFrame(doc_pdf)
     encode_table(df, tmp_out, key_col="doc_id", size_col="n_chars", num_partitions=4)

@@ -70,6 +70,14 @@ def test_default_columns_are_all_primitives(spark, doc_df, tmp_out):
         assert f"min_{c}" in row.asDict() and f"nulls_{c}" in row.asDict()
 
 
+def test_bool_column_minmax(spark, tmp_out):
+    pdf = pd.DataFrame({"doc_id": range(100), "flag": [i % 3 == 0 for i in range(100)]})
+    encode_table_maponly(spark.createDataFrame(pdf), tmp_out)
+    row = metadata_agg(spark, tmp_out, ["flag"]).first()
+    assert row["min_flag"] is False and row["max_flag"] is True
+    assert row["nulls_flag"] == 0
+
+
 def test_rejects_unknown_and_unsupported_columns(spark, tmp_out):
     from rugo_spark.tokengen import token_batch
 
