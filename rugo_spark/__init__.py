@@ -16,3 +16,19 @@ The encoding vocabulary mirrors the reference's enum surface
 __version__ = "0.1.0"
 
 from rugo_spark.session import get_spark  # noqa: F401
+
+
+def __getattr__(name: str):
+    """Lazy top-level conveniences (keeps import light — no pyarrow/numpy
+    until an engine surface is actually touched)."""
+    if name in ("encode_table", "encode_table_maponly", "encode_table_sorted",
+                "decode_table", "metadata_agg", "compact_dataset", "stats_df",
+                "manifest_df"):
+        from rugo_spark import engine
+
+        return getattr(engine, name)
+    if name == "register":
+        from rugo_spark.datasource import register
+
+        return register
+    raise AttributeError(f"module 'rugo_spark' has no attribute {name!r}")
