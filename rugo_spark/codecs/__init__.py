@@ -30,6 +30,14 @@ BYTES_CODECS: dict[str, tuple[Callable[[bytes], bytes], Callable[[bytes], bytes]
     "raw": (lambda b: bytes(b), lambda b: bytes(b)),
 }
 
-INT_CODEC_IDS = {name: i for i, name in enumerate(sorted(INT_CODECS))}
-BYTES_CODEC_IDS = {name: i + 64 for i, name in enumerate(sorted(BYTES_CODECS))}
+# PINNED on-disk codec ids — these bytes live inside every written block
+# (block.py packs them into the column header), so they are part of the file
+# format: NEVER renumber, only append.  (Deriving them from sorted(dict)
+# would silently renumber every existing dataset the day a codec is added.)
+INT_CODEC_IDS = {"bss": 0, "delta": 1, "dict": 2, "for": 3, "plain": 4, "rle": 5}
+BYTES_CODEC_IDS = {"fsst": 64, "raw": 65}
 CODEC_BY_ID = {v: k for k, v in {**INT_CODEC_IDS, **BYTES_CODEC_IDS}.items()}
+
+assert set(INT_CODEC_IDS) == set(INT_CODECS), "every int codec needs a pinned id"
+assert set(BYTES_CODEC_IDS) == set(BYTES_CODECS), "every bytes codec needs a pinned id"
+assert len(CODEC_BY_ID) == len(INT_CODEC_IDS) + len(BYTES_CODEC_IDS), "duplicate codec id"

@@ -196,11 +196,15 @@ def compress_native(data: bytes, lut1, lut_a, lut_b, symkey, symlen) -> bytes | 
     m = min(len(symlen), 256)
     sl[:m] = symlen[:m]
     sk[:m] = symkey[:m]
+    # bind contiguous copies to locals for the duration of the C call — a
+    # bare `ascontiguousarray(x).ctypes.data` may free the temporary before
+    # fn() runs when a copy was actually made (use-after-free)
+    l1 = np.ascontiguousarray(lut1, dtype=np.int16)
+    la = np.ascontiguousarray(lut_a, dtype=np.int16)
+    lb = np.ascontiguousarray(lut_b, dtype=np.int16)
     o = fn(
         data, n,
-        np.ascontiguousarray(lut1, dtype=np.int16).ctypes.data,
-        np.ascontiguousarray(lut_a, dtype=np.int16).ctypes.data,
-        np.ascontiguousarray(lut_b, dtype=np.int16).ctypes.data,
+        l1.ctypes.data, la.ctypes.data, lb.ctypes.data,
         sl.ctypes.data, sk.ctypes.data, out.ctypes.data,
     )
     return out[:o].tobytes()

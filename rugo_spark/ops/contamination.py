@@ -69,7 +69,7 @@ def find_needle(
                     pa.array(counts[hit], type=pa.int32()),
                     pa.array(first[hit], type=pa.int32()),
                 ],
-                names=["doc_id", "n_matches", "first_pos"],
+                names=[id_col, "n_matches", "first_pos"],
             )
 
-    return src.mapInArrow(scan, f"doc_id {id_field}, n_matches int, first_pos int")
+    return src.mapInArrow(scan, f"{id_col} {id_field}, n_matches int, first_pos int")

@@ -86,9 +86,18 @@ def minhash_lsh_candidates(
     # re-evaluate the whole shingle transform once PER HASH FUNCTION (no CSE
     # across the n_hashes array_min branches) — measured 34.6s → 5.2s at
     # sf0.1 with 16 hashes
-    sig = df.select(F.col(id_col), char_shingles(text_col, shingle).alias("_sh")).select(
-        F.col(id_col),
-        minhash_signature(F.col("_sh"), n_hashes).alias("sig"),
+    # docs shorter than the shingle length have NO shingles → no bands.
+    # Without this filter, array_min(empty)=null makes every short doc share
+    # the all-null signature and ONE band bucket — unrelated two-char docs
+    # would "cluster" and all but one be dropped (the sequential oracle,
+    # oracle_recompute.minhash_pairs, skips them for the same reason).
+    sig = (
+        df.select(F.col(id_col), char_shingles(text_col, shingle).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .select(
+            F.col(id_col),
+            minhash_signature(F.col("_sh"), n_hashes).alias("sig"),
+        )
     )
     bands = sig.select(
         id_col,
@@ -161,9 +170,13 @@ def ngram_jaccard_pairs(
             .select(
                 "id_a",
                 "id_b",
-                (
+                # zero-union guard: two sub-shingle-length docs in a caller's
+                # candidate list define jaccard 0.0, not a DIVIDE_BY_ZERO
+                # (ANSI mode) — mirrored in oracle_recompute.lsh_verified_pairs
+                F.coalesce(
                     F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
-                    / F.size(F.array_union("a.sh", "b.sh"))
+                    / F.nullif(F.size(F.array_union("a.sh", "b.sh")), F.lit(0)),
+                    F.lit(0.0),
                 ).alias("jaccard"),
             )
         )
@@ -225,6 +238,10 @@ def connected_components(
         stage1 = labels.join(nbr, labels.v == nbr.src, "left").select(
             "v", F.least("lbl", F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl")
         )
+        # materialize BEFORE the self-join: aliasing an un-checkpointed
+        # stage1 as x and y executes the expensive sym-join + neighbor
+        # aggregation twice per round (once per alias)
+        stage1 = stage1.localCheckpoint(eager=True)
         # pointer jump: follow one hop through the label mapping
         x, y = stage1.alias("x"), stage1.alias("y")
         stage2 = x.join(y, F.col("x.lbl") == F.col("y.v"), "left").select(
@@ -296,7 +313,14 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
                 w = w.combine_chunks()
             import pyarrow.compute as pc
 
-            lengths = pc.list_value_length(w).to_numpy(zero_copy_only=False).astype(np.int64)
+            # null text → null token list: treat as empty (simhash 0), like
+            # contamination.find_needle (NaN→astype would yield INT64_MIN
+            # garbage reduceat offsets)
+            lengths = (
+                pc.fill_null(pc.list_value_length(w), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
             flat = pc.list_flatten(w)
             # FNV-1a over utf8 bytes, vectorized via cumulative per-char fold
             # on fixed-width prefix (first 16 bytes) — deterministic + fast

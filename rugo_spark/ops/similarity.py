@@ -30,7 +30,9 @@ def cosine_similarity(vec_col, query: list[float]):
     qnorm = float(np.sqrt(np.dot(query, query))) or 1.0
     dot = _dot(vec_col, q)
     vnorm = F.sqrt(_dot(vec_col, vec_col))
-    return dot / (vnorm * F.lit(qnorm))
+    # zero-norm guard: an all-zero row vector gets similarity 0.0 instead of
+    # an ANSI-mode DIVIDE_BY_ZERO that kills the whole query
+    return F.coalesce(dot / F.nullif(vnorm * F.lit(qnorm), F.lit(0.0)), F.lit(0.0))
 
 
 def cosine_topk(
@@ -102,7 +104,8 @@ def embedding_near_dups(
         pairs.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            (dot / (na * nb)).alias("cos"),
+            # zero-norm guard mirrors cosine_similarity (ANSI divide-by-zero)
+            F.coalesce(dot / F.nullif(na * nb, F.lit(0.0)), F.lit(0.0)).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -155,7 +158,8 @@ def _train_sample(
     ``sample_n`` rows ever reach the driver.  Returns (matrix, sampled ids);
     the ids persist beside the centroids so the draw is auditable."""
     rows = (
-        df.select(id_col, vec_col)
+        df.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
         .orderBy(F.xxhash64(F.lit(int(seed)).cast("long"), F.col(id_col)), F.col(id_col))
         .limit(sample_n)
         .collect()
@@ -209,7 +213,7 @@ def ivf_topk(
                 names=[id_col, vec_col],
             )
 
-    cands = df.select(id_col, vec_col).mapInArrow(
+    cands = df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col).mapInArrow(
         assign, f"{id_col} {id_type}, {vec_col} array<float>"
     )
     return (
@@ -246,7 +250,18 @@ def build_ivf_index(
     if reuse_centroids and os.path.exists(meta_path):
         with open(meta_path) as f:
             prev = json.load(f)
-    if prev is not None and prev.get("n_clusters") == int(n_clusters):
+    dim = int(df.select(F.size(vec_col)).first()[0])
+    # reuse only when the FULL training recipe matches — same cluster count,
+    # dimension, seed, and sample size.  A dim change would scramble
+    # reshape(-1, C.shape[1]); a seed/sample change silently kept the old
+    # centroids while the metadata claimed the new provenance.
+    if (
+        prev is not None
+        and prev.get("n_clusters") == int(n_clusters)
+        and prev.get("dim") == dim
+        and prev.get("seed") == seed
+        and prev.get("sample_n", len(prev.get("sample_ids", []))) == sample_n
+    ):
         C = np.asarray(prev["centroids"], dtype=np.float64)
         sample_ids = prev.get("sample_ids", [])
     else:
@@ -269,13 +284,14 @@ def build_ivf_index(
                 [ids, _pa.array(a), emb], names=[id_col, "cluster", vec_col]
             )
 
-    assigned = df.select(id_col, vec_col).mapInArrow(
+    assigned = df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col).mapInArrow(
         assign, f"{id_col} {id_type}, cluster int, {vec_col} array<float>"
     )
     from rugo_spark.engine import encode_table
 
     encode_table(assigned, index_dir, key_col="cluster", num_partitions=num_partitions)
     meta = {"n_clusters": int(n_clusters), "dim": int(C.shape[1]), "seed": seed,
+            "sample_n": int(sample_n),
             "centroids": C.tolist(), "sample_ids": list(sample_ids)}
     with open(meta_path, "w") as f:
         json.dump(meta, f)
@@ -369,7 +385,7 @@ def hybrid_ann_topk(
                 [pc.take(ids, idx), pc.take(emb, idx)], names=[id_col, vec_col]
             )
 
-    cands = df.select(id_col, vec_col).mapInArrow(
+    cands = df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col).mapInArrow(
         kernel, f"{id_col} {id_type}, {vec_col} array<float>"
     )
     return (

@@ -246,10 +246,9 @@ def lsh_verified_pairs(
     for a, b, _eq, _j in minhash_pairs(docs, n_hashes, n_bands, shingle, bucket_cap):
         inter = len(sh[a] & sh[b])
         union = len(sh[a] | sh[b])
-        if union:
-            jac = float(inter) / union
-            if jac >= threshold:
-                out.append((a, b, jac))
+        jac = float(inter) / union if union else 0.0  # zero-union → 0.0 (both sides)
+        if jac >= threshold:
+            out.append((a, b, jac))
     return sorted(out)
 
 
@@ -474,9 +473,8 @@ def embedding_near_dup_pairs(
             cand = [(ids[0], b) for b in ids[1:]]
         for a, b in cand:
             va, vb = by_id[a], by_id[b]
-            cos = _seq_dot(va, vb) / (
-                math.sqrt(_seq_dot(va, va)) * math.sqrt(_seq_dot(vb, vb))
-            )
+            den = math.sqrt(_seq_dot(va, va)) * math.sqrt(_seq_dot(vb, vb))
+            cos = _seq_dot(va, vb) / den if den else 0.0  # zero-norm → 0.0
             if cos >= threshold:
                 out.append((a, b))
     return sorted(out)
@@ -513,7 +511,8 @@ def ann_topk_ids(
     scored = []
     for vid in cand:
         v = by_id[vid]
-        cos = _seq_dot(v, query) / (math.sqrt(_seq_dot(v, v)) * qnorm)
+        den = math.sqrt(_seq_dot(v, v)) * qnorm
+        cos = _seq_dot(v, query) / den if den else 0.0  # zero-norm → 0.0
         scored.append((-cos, vid))
     scored.sort()
     return [vid for _, vid in scored[:k]]
@@ -563,7 +562,8 @@ def hybrid_topk_ids(
     scored = []
     for vid in cand:
         v = by_id[vid]
-        cos = _seq_dot(v, query) / (math.sqrt(_seq_dot(v, v)) * qnorm)
+        den = math.sqrt(_seq_dot(v, v)) * qnorm
+        cos = _seq_dot(v, query) / den if den else 0.0  # zero-norm → 0.0
         scored.append((-cos, vid))
     scored.sort()
     return [vid for _, vid in scored[:k]]
@@ -643,7 +643,8 @@ def ivf_topk_ids(
     scored = []
     for (vid, v), cl in zip(embs, assign):
         if int(cl) in probe:
-            cos = _seq_dot(v, query) / (math.sqrt(_seq_dot(v, v)) * qnorm)
+            den = math.sqrt(_seq_dot(v, v)) * qnorm
+            cos = _seq_dot(v, query) / den if den else 0.0  # zero-norm → 0.0
             scored.append((-cos, vid))
     scored.sort()
     return [vid for _, vid in scored[:k]]
