@@ -191,9 +191,7 @@ def _select_str_codec(dense: pa.Array) -> str:
         and card <= 65536
     ):
         return "dict"
-    lengths, data = _string_parts(sample.combine_chunks() if isinstance(sample, pa.ChunkedArray) else sample)
-    from rugo_spark.selector import select_bytes_codec
-
+    _, data = _string_parts(sample)  # always a pa.Array here (chunks combined upstream)
     return select_bytes_codec(data)
 
 

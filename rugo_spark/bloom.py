@@ -84,7 +84,11 @@ def _string_bytes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def build(arr: pa.Array) -> dict:
-    """Bloom dict for a key column: {'m', 'k', 'bits_b64'} (sidecar-ready)."""
+    """Bloom dict for a key column: {'m', 'k', 'bits_b64'[, 'ts_tz']}
+    (sidecar-ready).  ``ts_tz`` records a tz-aware timestamp column so the
+    probe side knows a naive-datetime probe cannot be rendered compatibly."""
+    t = arr.type
+    ts_tz = str(t.tz) if pa.types.is_timestamp(t) and t.tz is not None else None
     lens, starts, data = _string_bytes(arr)
     bits = np.zeros(M_BITS // 8, dtype=np.uint8)
     if len(lens):
@@ -94,7 +98,10 @@ def build(arr: pa.Array) -> dict:
             np.bitwise_or.at(bits, (idx // 8).astype(np.int64), (1 << (idx % 8)).astype(np.uint8))
     import zlib
 
-    return {"m": M_BITS, "k": K, "bits_b64": base64.b64encode(zlib.compress(bits.tobytes())).decode()}
+    out = {"m": M_BITS, "k": K, "bits_b64": base64.b64encode(zlib.compress(bits.tobytes())).decode()}
+    if ts_tz is not None:
+        out["ts_tz"] = ts_tz
+    return out
 
 
 def union(blooms: list[dict]) -> dict:
@@ -102,9 +109,14 @@ def union(blooms: list[dict]) -> dict:
     import zlib
 
     acc = np.zeros(M_BITS // 8, dtype=np.uint8)
+    ts_tz = None
     for b in blooms:
         acc |= np.frombuffer(zlib.decompress(base64.b64decode(b["bits_b64"])), dtype=np.uint8)
-    return {"m": M_BITS, "k": K, "bits_b64": base64.b64encode(zlib.compress(acc.tobytes())).decode()}
+        ts_tz = ts_tz or b.get("ts_tz")
+    out = {"m": M_BITS, "k": K, "bits_b64": base64.b64encode(zlib.compress(acc.tobytes())).decode()}
+    if ts_tz:
+        out["ts_tz"] = ts_tz
+    return out
 
 
 def _render_probe(value) -> bytes:
@@ -117,8 +129,19 @@ def _render_probe(value) -> bytes:
 
 def might_contain(bloom: dict, value) -> bool:
     """Query-side membership test (single value, driver)."""
+    import datetime
     import zlib
 
+    if (
+        isinstance(value, datetime.datetime)
+        and value.tzinfo is None
+        and bloom.get("ts_tz")
+    ):
+        # tz-aware indexed column stores epoch micros; a NAIVE probe renders
+        # wall-clock-as-UTC micros — off by the session tz offset unless the
+        # session is UTC.  A skip-test must never false-negative, so a naive
+        # probe against a tz-aware column is conservatively a match.
+        return True
     raw = _render_probe(value)
     data = np.frombuffer(raw, dtype=np.uint8)
     h1, h2 = _hash_pair(

@@ -58,7 +58,12 @@ def encode_block_bytes(table: pa.Table, plans: dict | None = None) -> tuple[byte
 
 def _atomic_write(path: str, payload: bytes) -> int:
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".inprogress"
+    # attempt-unique temp name: with speculative execution two attempts of
+    # the same task may write concurrently — a SHARED temp name would have
+    # them interleave into one inode and publish a torn file
+    import uuid
+
+    tmp = f"{path}.inprogress.{uuid.uuid4().hex[:12]}"
     with open(tmp, "wb") as f:
         f.write(payload)
     os.replace(tmp, path)
@@ -79,12 +84,15 @@ def encode_block_row(
     sort_key: str | None = None,
     size_col: str | None = None,
     plans: dict | None = None,
+    presorted: bool = False,
 ) -> dict:
-    """Shared kernel for every block producer (map-only encoder, the V2
-    batch/stream writers): sort, encode, write atomically, and build the
-    manifest sidecar row (incl. bloom on the sort key).  ONE definition so
-    the manifest vocabulary and bloom policy cannot drift between surfaces."""
-    if sort_key is not None:
+    """Shared kernel for every block producer (map-only encoder, grouped
+    encoder, the V2 batch/stream writers): sort, encode, write atomically,
+    and build the manifest sidecar row (incl. bloom on the sort key).  ONE
+    definition so the manifest vocabulary and bloom policy cannot drift
+    between surfaces.  ``presorted`` skips the redundant re-sort when the
+    caller already ordered the rows by ``sort_key``."""
+    if sort_key is not None and not presorted:
         tbl = tbl.sort_by(sort_key)
     crc, metas = write_block_file(path, tbl, plans)
     n_tokens = 0
@@ -352,6 +360,18 @@ def encode_table(
     #   3. a fresh bounded planning scan, persisted before any data moves so
     #      a crash at any point resumes consistently
     resumed_plan = mf.read_plan(out_dir) if mf.completed_partitions(out_dir) else None
+    if (
+        resumed_plan is None
+        and os.path.exists(os.path.join(out_dir, mf.PLAN_FILE))
+        and mf.completed_partitions(out_dir)
+    ):
+        # _plan.json present but unreadable beside completed sidecars: a
+        # silent re-plan could assign a DIFFERENT layout and the anti-join
+        # would drop/duplicate rows — fail loudly instead
+        raise ValueError(
+            f"corrupt {mf.PLAN_FILE} beside completed partitions in {out_dir}; "
+            "restore it or clear the dataset before re-encoding"
+        )
     cache_key = None
     prev_plan = resumed_plan
     if resumed_plan is not None:
@@ -415,7 +435,6 @@ def encode_table(
 
     def encoder(batches):
         import numpy as np
-        import pyarrow.compute as pc
 
         batch_list = list(batches)
         if not batch_list:
@@ -432,23 +451,11 @@ def encode_table(
             pid = int(pids[s])
             sub = tbl.slice(s, e - s).drop_columns("__rugo_pid")
             path = os.path.join(blocks_dir, f"part-{pid:06d}.rgb")
-            crc, metas = write_block_file(path, sub, plans)
-            n_tokens = int(pc.sum(sub.column(size_col)).as_py() or 0) if size_col else 0
-            row = {
-                "partition_id": pid,
-                "n_rows": sub.num_rows,
-                "n_tokens": n_tokens,
-                "input_bytes": int(sub.nbytes),
-                "output_bytes": int(os.path.getsize(path)),
-                "block_path": path,
-                "checksum": int(crc),
-                "codecs": json.dumps(metas, default=str),
-            }
-            if sort_key is not None:
-                from rugo_spark import bloom as _bloom
-
-                row["bloom_col"] = sort_key
-                row["bloom"] = _bloom.build(sub.column(sort_key))
+            # shared kernel; the slice is already (pid, sort_key)-ordered
+            row = encode_block_row(
+                sub, path, pid, sort_key=sort_key, size_col=size_col,
+                plans=plans, presorted=True,
+            )
             mf.write_sidecar(out_dir, row)
             out_rows.append({k: row[k] for k in mf.MANIFEST_ARROW.names})
         yield pa.RecordBatch.from_pylist(out_rows, schema=mf.MANIFEST_ARROW)
@@ -547,10 +554,24 @@ def _encode_precombine(
 
     def assemble(key: tuple, table: pa.Table) -> pa.Table:
         pid = int(key[0].as_py())
-        order = pa.compute.sort_indices(
-            table, sort_keys=[("min_key", "ascending"), ("n_rows", "ascending")]
+        # deterministic TOTAL stripe order: (min_key, n_rows) can tie (two
+        # map tasks emitting equal-shaped stripes), and a stable sort would
+        # then preserve shuffle ARRIVAL order — block bytes must not depend
+        # on that (speculative attempts must publish identical bytes), so
+        # the stripe payload's crc32 breaks ties content-deterministically
+        crcs = pa.array(
+            [zlib.crc32(s.as_py()) for s in table.column("stripe")], pa.int64()
         )
-        table = table.take(order)
+        table = table.append_column("_stripe_crc", crcs)
+        order = pa.compute.sort_indices(
+            table,
+            sort_keys=[
+                ("min_key", "ascending"),
+                ("n_rows", "ascending"),
+                ("_stripe_crc", "ascending"),
+            ],
+        )
+        table = table.take(order).drop_columns("_stripe_crc")
         stripe_col = table.column("stripe")
         metas_list = [json.loads(m) for m in table.column("meta").to_pylist()]
         # stripe directory: per-stripe per-column min/max, so point lookups
@@ -1147,8 +1168,17 @@ def decode_table(
     from pyspark.sql.types import StructType
 
     full = StructType.fromJson(spark_schema_json)
+    # filters referencing non-projected columns: decode them too, filter
+    # exactly, then drop them (otherwise the exact re-apply would hit an
+    # unresolved column)
+    extra_filter_cols: list[str] = []
+    if columns and filters:
+        extra_filter_cols = [
+            c for c, _, _ in filters if c not in set(columns) and c in full.names
+        ]
     if columns:
-        out_schema = StructType([f for f in full.fields if f.name in set(columns)])
+        want = set(columns) | set(extra_filter_cols)
+        out_schema = StructType([f for f in full.fields if f.name in want])
     else:
         out_schema = full
     import pandas as pd
@@ -1189,13 +1219,17 @@ def decode_table(
             num_tasks = min(len(completed), max(par * 4, total_bytes // (32 << 20)))
         man = spark.createDataFrame(pdf).repartition(max(1, min(int(num_tasks), 4096)))
 
+    decode_cols = (list(columns) + extra_filter_cols) if columns else None
+
     def decoder(batches):
         for batch in batches:
             crcs = batch.column(1).to_pylist()
             for i, path in enumerate(batch.column(0).to_pylist()):  # per-partition only
                 if verify_checksums:
+                    # decode straight from the verified bytes — no 2nd read
                     with open(path, "rb") as f:
-                        got = zlib.crc32(f.read())
+                        payload = f.read()
+                    got = zlib.crc32(payload)
                     want = crcs[i]
                     if want is not None and got != want:
                         msg = (
@@ -1208,7 +1242,11 @@ def decode_table(
                             print(f"rugo_spark: QUARANTINED {msg}", file=_sys.stderr)
                             continue
                         raise IOError(msg)
-                yield from read_block_file(path, arrow_schema, columns, filters)
+                    yield from decode_block_payload(
+                        memoryview(payload), arrow_schema, decode_cols, filters
+                    )
+                else:
+                    yield from read_block_file(path, arrow_schema, decode_cols, filters)
 
     out = man.mapInArrow(decoder, out_schema)
     if filters:
@@ -1219,4 +1257,6 @@ def decode_table(
             out = out.filter(
                 {"=": col == v, "<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v}[op]
             )
+    if extra_filter_cols:
+        out = out.select(*columns)
     return out

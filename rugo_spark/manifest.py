@@ -105,10 +105,14 @@ def sidecar_path(out_dir: str, partition_id: int) -> str:
 
 
 def write_sidecar(out_dir: str, row: dict) -> None:
-    """Atomic (temp + rename) — a crash mid-write never yields a torn sidecar."""
+    """Atomic (temp + rename) — a crash mid-write never yields a torn
+    sidecar, and the attempt-unique temp name keeps concurrent speculative
+    attempts of one task from interleaving into a shared inode."""
+    import uuid
+
     path = sidecar_path(out_dir, row["partition_id"])
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".inprogress"
+    tmp = f"{path}.inprogress.{uuid.uuid4().hex[:12]}"
     with open(tmp, "w") as f:
         json.dump(row, f)
     os.replace(tmp, path)

@@ -107,8 +107,20 @@ def with_partition_id(
     """
     spark = df.sparkSession
     key_expr = F.xxhash64(F.col(key_col)) if key_col else F.xxhash64(*df.columns)
-    if size_col is None:
-        if num_partitions is None:
+    if size_col is None and plan_map is not None and plan_map.get("mode") != "hash":
+        raise ValueError(
+            "this dataset was planned with a size column (cumulative-mass map); "
+            "resume must pass the same size_col — omitting it would reassign "
+            "every row's partition id"
+        )
+    if size_col is None or (plan_map is not None and plan_map.get("mode") == "hash"):
+        if plan_map is not None and plan_map.get("mode") == "hash":
+            # replay: pmod(key, n) is only resume-stable if n is the SAME n —
+            # it depends on defaultParallelism and row count, both of which
+            # can change between runs, so the realized n must come from the
+            # persisted plan, never be re-derived
+            num_partitions = int(plan_map["num_partitions"])
+        elif num_partitions is None:
             # avoid 1-row blocks on tiny tables: cap by a row-count target
             n_rows = df.count()
             per_part = max(1, (target_mass or 1_000_000) // 256)  # ≈ rows/partition
@@ -120,7 +132,8 @@ def with_partition_id(
                 ),
             )
         pid = F.pmod(key_expr, F.lit(num_partitions)).cast("int")
-        return df.withColumn("__rugo_pid", pid), num_partitions, 0, None
+        plan_out = {"mode": "hash", "num_partitions": int(num_partitions), "total_mass": 0}
+        return df.withColumn("__rugo_pid", pid), num_partitions, 0, plan_out
 
     if plan_map is not None:
         total = int(plan_map["total_mass"])
