@@ -301,9 +301,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting over documents."""
     d = _t(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
     return d.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")
+        .alias("n_ws_tokens"),
         F.col("n_chars"),
     )
 
@@ -972,7 +976,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": """
             SELECT doc_id,
-                   LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS n_ws_tokens,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_ws_tokens,
                    n_chars
             FROM documents
         """,
@@ -998,7 +1003,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             u AS (
               SELECT doc_id, n, punct, upper_chars,
-                     CAST(LEN(words) AS DOUBLE) AS n_words,
+                     CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+                          ELSE CAST(LEN(words) AS DOUBLE) END AS n_words,
                      CAST(LEN(LIST_FILTER(words,
                           w -> w IN ('the','and','of','to','in','is','that','for','with','was'))) AS DOUBLE) AS stop_hits
               FROM t)

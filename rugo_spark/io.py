@@ -41,6 +41,19 @@ def write_table(df: DataFrame, uri: str, mode: str = "overwrite") -> None:
         name = uri[len("iceberg:"):]
         if not iceberg_available(df.sparkSession):
             raise RuntimeError("Iceberg runtime not on the classpath")
-        df.writeTo(name).createOrReplace() if mode == "overwrite" else df.writeTo(name).append()
+        if mode == "overwrite":
+            df.writeTo(name).createOrReplace()
+        elif mode == "append":
+            df.writeTo(name).append()
+        elif mode in ("error", "errorifexists"):
+            # mirror the parquet branch's semantics instead of appending
+            if df.sparkSession.catalog.tableExists(name):
+                raise ValueError(f"table {name} already exists (mode={mode})")
+            df.writeTo(name).create()
+        elif mode == "ignore":
+            if not df.sparkSession.catalog.tableExists(name):
+                df.writeTo(name).create()
+        else:
+            raise ValueError(f"unsupported write mode {mode!r}")
         return
     df.write.mode(mode).parquet(uri, compression="zstd")

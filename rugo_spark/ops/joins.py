@@ -101,7 +101,19 @@ def range_join(
             )
         ),
     )
-    joined = pts.join(ivs, "_bucket", how).filter(
-        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
-    )
-    return joined.drop("_bucket")
+    hit = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    inner = pts.join(ivs, "_bucket", "inner").filter(hit).drop("_bucket")
+    if how == "inner":
+        return inner
+    if how == "left":
+        # post-join residual filtering breaks outer semantics (an unmatched
+        # point's null lo/hi fails the filter and the row vanishes) — build
+        # left = inner ∪ (points with NO matching interval, right cols null)
+        unmatched = points.join(
+            inner.select(*points.columns), points.columns, "left_anti"
+        )
+        for c in inner.columns:
+            if c not in points.columns:
+                unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(inner.dtypes)[c]))
+        return inner.unionByName(unmatched)
+    raise ValueError(f"range_join supports how='inner'|'left', got {how!r}")

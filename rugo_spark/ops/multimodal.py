@@ -118,6 +118,14 @@ def resize_media(
                 media = media.combine_chunks()
             if not fake:
                 raise NotImplementedError("real media resize requires an image library")
+            if (batch.num_rows + 1) * n_out > np.iinfo(np.int32).max:
+                # pa.binary() offsets are int32: a big batch × big target
+                # would overflow and corrupt the offsets — split the batch
+                # into int32-safe halves first
+                half = max(1, batch.num_rows // 2)
+                yield from kernel([batch.slice(0, half)])
+                yield from kernel([batch.slice(half)])
+                continue
             bufs = media.buffers()
             offs = np.frombuffer(bufs[1], np.int32, count=len(media) + 1, offset=media.offset * 4).astype(np.int64)
             data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
@@ -167,6 +175,13 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
         df.filter(F.col("media_type") == "video/mp4")
         .select(
             "asset_id",
-            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))).alias("frame_idx"),
+            F.explode(
+                # zero-frame (corrupt) videos yield no rows instead of
+                # killing the job on sequence(0, -1)
+                F.when(
+                    F.coalesce(F.col("n_frames"), F.lit(0)) > 0,
+                    F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("frame_idx"),
         )
     )

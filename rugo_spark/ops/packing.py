@@ -63,7 +63,13 @@ def pack_sequences(
             col = col.combine_chunks()
         import pyarrow.compute as pc
 
-        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # null token lists behave as empty docs (NaN→astype would poison the
+        # cumsum/repeat with INT64_MIN)
+        lens = (
+            pc.fill_null(pc.list_value_length(col), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         if eos_id is not None:
             # vectorized EOS insertion: scatter doc tokens around per-doc
             # slots widened by one (no per-row Python)

@@ -42,7 +42,8 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     text = F.col(text_col)
     n = F.length(text).cast("double")
     words = F.split(F.lower(F.trim(text)), r"\s+")
-    n_words = F.size(words).cast("double")
+    # split('') yields [''] — empty docs have zero words, not one phantom
+    n_words = F.when(n == 0, F.lit(0.0)).otherwise(F.size(words).cast("double"))
     punct = (n - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))).cast("double")
     stop_hits = F.size(
         F.filter(words, lambda w: w.isin([*LANG_MARKERS["en"]]))
@@ -73,7 +74,8 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     shape of the public GPT-2 pre-tokenizer); expressed without regex
     lookarounds so an RE2-based oracle (DuckDB) can reproduce it exactly."""
     text = F.trim(F.col(text_col))
-    ws = F.size(F.split(text, r"\s+"))
+    # split('') yields [''] (size 1) — an empty doc has zero tokens
+    ws = F.when(F.length(text) == 0, F.lit(0)).otherwise(F.size(F.split(text, r"\s+")))
     alnum_runs = F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9]+"), 0))
     symbols = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
     return df.select(
@@ -151,19 +153,34 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             lens = np.diff(offs)
             n = len(lens)
             starts = offs[:-1]
-            maxlen = int(lens.max()) if n else 0
-            order = np.argsort(-lens, kind="stable")
-            sl = lens[order]
-            ss = starts[order]
-            out_s = np.zeros(n, dtype=np.uint64)
-            # remaining[k] = rows with len > k = the sorted prefix active at byte k
-            remaining = n - np.cumsum(np.bincount(sl, minlength=maxlen + 1))
+            out = np.zeros(n, dtype=np.uint64)
+            # one long outlier must not degrade the whole batch to an
+            # O(maxlen) Python loop (plus an O(maxlen) bincount): rows above
+            # LONG switch to the closed form Σ bᵢ·P^(L-1-i) — identical to
+            # the Horner fold mod 2^64 (uint64 cumprod/sum wrap IS the mod)
+            LONG = 1 << 16
             with np.errstate(over="ignore"):
-                for k in range(maxlen):
-                    p = int(remaining[k])
-                    out_s[:p] = out_s[:p] * P + data[ss[:p] + k]
-                out = np.empty(n, dtype=np.uint64)
-                out[order] = out_s
+                short = np.flatnonzero(lens <= LONG)
+                if len(short):
+                    order = np.argsort(-lens[short], kind="stable")
+                    sl = lens[short][order]
+                    ss = starts[short][order]
+                    maxlen = int(sl[0]) if len(sl) else 0
+                    acc = np.zeros(len(short), dtype=np.uint64)
+                    # remaining[k] = rows with len > k = sorted prefix at byte k
+                    remaining = len(short) - np.cumsum(np.bincount(sl, minlength=maxlen + 1))
+                    for k in range(maxlen):
+                        p = int(remaining[k])
+                        acc[:p] = acc[:p] * P + data[ss[:p] + k]
+                    tmp = np.empty(len(short), dtype=np.uint64)
+                    tmp[order] = acc
+                    out[short] = tmp
+                for i in np.flatnonzero(lens > LONG):
+                    L, s = int(lens[i]), int(starts[i])
+                    pw = np.empty(L, dtype=np.uint64)
+                    pw[0] = 1
+                    np.cumprod(np.full(L - 1, P, dtype=np.uint64), out=pw[1:])
+                    out[i] = (data[s : s + L].astype(np.uint64) * pw[::-1]).sum()
                 out ^= lens.astype(np.uint64) * P
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(out.view(np.int64), type=pa.int64())],

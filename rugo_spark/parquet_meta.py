@@ -123,7 +123,10 @@ def _from_parquet_file(pf: pq.ParquetFile, extras: list[list[dict]] | None = Non
                 extra = extras[rg_i][c_i] if extras else _no_extra
             except (IndexError, TypeError):
                 extra = _no_extra
-            kv = extra["key_value_metadata"]
+            # .get: a legal ColumnChunk may omit meta_data entirely (external
+            # or encrypted column metadata) → thrift-lite yields {} and the
+            # three extra fields degrade to None instead of a KeyError
+            kv = extra.get("key_value_metadata")
             rg_dict["columns"].append(
                 {
                     "name": _canonical_name(col.path_in_schema),
@@ -143,12 +146,12 @@ def _from_parquet_file(pf: pq.ParquetFile, extras: list[list[dict]] | None = Non
                     "total_uncompressed_size": _opt(col.total_uncompressed_size),
                     "total_compressed_size": _opt(col.total_compressed_size),
                     "data_page_offset": _opt(col.data_page_offset),
-                    "index_page_offset": _opt(extra["index_page_offset"]),
+                    "index_page_offset": _opt(extra.get("index_page_offset")),
                     "dictionary_page_offset": (
                         _opt(col.dictionary_page_offset) if col.has_dictionary_page else None
                     ),
-                    "bloom_offset": _opt(extra["bloom_offset"]),
-                    "bloom_length": _opt(extra["bloom_length"]),
+                    "bloom_offset": _opt(extra.get("bloom_offset")),
+                    "bloom_length": _opt(extra.get("bloom_length")),
                     "encodings": list(col.encodings),
                     "compression_codec": col.compression,
                     "key_value_metadata": kv,

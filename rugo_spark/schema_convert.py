@@ -87,7 +87,10 @@ def metadata_to_spark_schema(metadata: dict) -> T.StructType:
             seen_structs.add(top)
             fields.append(T.StructField(top, T.StringType(), True, {"collapsed": "json"}))
             continue
-        nullable = bool(col.get("null_count") or 0)
+        # null_count None means "no statistics recorded", NOT "no nulls" —
+        # unknown nullability must stay nullable (conservative)
+        nc = col.get("null_count")
+        nullable = nc is None or nc > 0
         fields.append(T.StructField(name, _map_type(col.get("type"), col.get("logical_type")), nullable))
     return T.StructType(fields)
 
