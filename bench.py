@@ -190,6 +190,8 @@ def main() -> None:
     timings["fullscan_agg"] = time.perf_counter() - t0
     assert meta_row["n_rows"] == scan_row["n"]
     assert meta_row["min_doc_id"] == scan_row["mn"] and meta_row["max_doc_id"] == scan_row["mx"]
+    assert meta_row["min_n_tok"] == scan_row["min(n_tok)"]
+    assert meta_row["max_n_tok"] == scan_row["max(n_tok)"]
     extra["metadata_agg_speedup_vs_scan"] = round(
         timings["fullscan_agg"] / max(timings["metadata_agg"], 1e-9), 1
     )
@@ -296,7 +298,8 @@ def main() -> None:
     for cores, best in best_t.items():
         timings[f"encode_maponly_local{cores}"] = best
         thr[cores] = total_tokens / best
-    thr[CPUS] = total_tokens / timings["encode_maponly"]
+    if CPUS not in thr:  # on a 2/8-core box the tuned level number must win
+        thr[CPUS] = total_tokens / timings["encode_maponly"]
     for c in sorted(thr):
         extra[f"encode_maponly_tokens_per_sec_local{c}"] = round(thr[c])
     extra["scaling_efficiency_Nx4"] = round(thr[8] / (4.0 * thr[2]), 4)

@@ -13,9 +13,9 @@ sample, and encoding applies the same merge sequence vectorized — every pass
 is whole-array numpy; there is no per-byte Python loop anywhere.
 
 Payload layout (little-endian):
-  u8 n_symbols | (u8 len | bytes)*n_symbols | u64 orig_len | u64 n_merges…
-  …merge list is NOT stored (decode only needs expansions) |
+  u8 n_symbols | (u8 len | bytes)*n_symbols | u64 orig_len |
   u64 stream_len | stream
+(the merge list is NOT stored — decode only needs the expansions)
 """
 
 from __future__ import annotations
@@ -214,7 +214,8 @@ def compress(data: bytes, t: Table) -> bytes:
     n_chunks = (n + C - 1) // C
     pos = np.arange(n_chunks, dtype=np.int64) * C
     ends = np.minimum(pos + C, n)
-    toks = np.full((n_chunks, C), -1, dtype=np.int32)
+    # int16 suffices (token codes < 512) — halves the walk's dominant buffer
+    toks = np.full((n_chunks, C), -1, dtype=np.int16)
     active = np.arange(n_chunks)
     step = 0
     # all matching is LAZY — evaluated only at the ~n/avg_len positions the
@@ -389,5 +390,9 @@ def decode(buf: bytes | memoryview) -> bytes:
     if native is not None:
         return native
     out = _decompress_stream(stream, out_expansions)
-    assert len(out) == orig_len, "fsst decode length mismatch"
+    if len(out) != orig_len:  # explicit: asserts vanish under python -O
+        raise ValueError(
+            f"fsst decode length mismatch: got {len(out)}, expected {orig_len} "
+            "(corrupt stream)"
+        )
     return out

@@ -73,15 +73,20 @@ long fsst_compress(const uint8_t* d, long n,
     return o;
 }
 
-/* out must have orig_len + 8 bytes of room (unconditional 8-byte stores) */
+/* out must have cap + 8 bytes of room (unconditional 8-byte stores).
+   Returns -1 when the stream would expand past cap or ends in a lone
+   escape byte — a corrupt block must become a clean Python error, not a
+   heap overflow. */
 long fsst_decompress(const uint8_t* s, long m,
                      const uint8_t* symlen, const uint8_t* symbytes,
-                     uint8_t* out)
+                     uint8_t* out, long cap)
 {
     long o = 0, i = 0;
     while (i < m) {
         uint8_t c = s[i];
+        if (o > cap) return -1;
         if (c == 255) {
+            if (i + 1 >= m) return -1; /* truncated escape */
             out[o++] = s[i + 1];
             i += 2;
         } else {
@@ -96,16 +101,28 @@ long fsst_decompress(const uint8_t* s, long m,
 
 def _so_dir() -> str:
     """Cache dir for the compiled kernel: beside the repo when the package
-    is a real directory, else (zip import via --py-files) the temp dir —
-    each machine builds its own copy once."""
+    is a real directory, else (zip import via --py-files) a PER-USER temp
+    dir (uid-suffixed, mode 0700) — a world-shared fixed /tmp path would
+    let another local user pre-plant a malicious .so that we'd dlopen."""
     pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     if os.path.isdir(pkg_root):
         return os.path.join(pkg_root, ".scratch", "native")
-    return os.path.join(tempfile.gettempdir(), "rugo_spark_native")
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return os.path.join(tempfile.gettempdir(), f"rugo_spark_native_u{uid}")
 
 
 _SO_DIR = _so_dir()
-_SO_PATH = os.path.join(_SO_DIR, "fsst_kernel_v2.so")
+_SO_PATH = os.path.join(_SO_DIR, "fsst_kernel_v3.so")
+
+
+def _owned_by_us(path: str) -> bool:
+    """Never dlopen a cached kernel some other uid wrote."""
+    if not hasattr(os, "getuid"):
+        return True
+    try:
+        return os.stat(path).st_uid == os.getuid()
+    except OSError:
+        return False
 
 _lib = None
 _tried = False
@@ -114,9 +131,9 @@ _tried = False
 def _build() -> str | None:
     """Compile the kernel once; atomic rename makes concurrent builds safe."""
     if os.path.exists(_SO_PATH):
-        return _SO_PATH
+        return _SO_PATH if _owned_by_us(_SO_PATH) else None
     try:
-        os.makedirs(_SO_DIR, exist_ok=True)
+        os.makedirs(_SO_DIR, mode=0o700, exist_ok=True)
         with tempfile.TemporaryDirectory(dir=_SO_DIR) as td:
             src = os.path.join(td, "fsst_kernel.c")
             so = os.path.join(td, "fsst_kernel.so")
@@ -154,7 +171,7 @@ def get_kernel():
         lib.fsst_decompress.restype = ctypes.c_long
         lib.fsst_decompress.argtypes = [
             ctypes.c_char_p, ctypes.c_long,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
         ]
         _lib = lib
         return lib.fsst_compress
@@ -176,9 +193,12 @@ def decompress_native(stream: bytes, orig_len: int, out_expansions: list[bytes])
         sl[i] = len(e)
         sb[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
     out = np.empty(orig_len + 8, dtype=np.uint8)  # 8-byte store slack
-    o = _lib.fsst_decompress(bytes(stream), len(stream), sl.ctypes.data, sb.ctypes.data, out.ctypes.data)
+    o = _lib.fsst_decompress(
+        bytes(stream), len(stream), sl.ctypes.data, sb.ctypes.data,
+        out.ctypes.data, orig_len,
+    )
     if o != orig_len:
-        return None  # corrupt stream: let the numpy path raise precisely
+        return None  # corrupt/overlong stream: let the numpy path raise precisely
     return out[:orig_len].tobytes()
 
 
