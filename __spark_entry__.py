@@ -713,11 +713,16 @@ def q_streaming_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order matters: the driver's correctness artifact records at most ~50
+    # entries in dict order (r3 measured exactly 50 of 52).  Surfaces that
+    # have never had a driver row come FIRST; the near-duplicate
+    # roundtrip_* probes for small dims come last — losing one of those
+    # costs no information (lineitem/orders cover the same code path).
     return {
+        "packed_encode_roundtrip": q_packed_encode_roundtrip,
+        "streaming_encode_roundtrip": q_streaming_roundtrip,
         "roundtrip_documents": _roundtrip("documents", "doc_id", "n_chars"),
         "roundtrip_lineitem": _roundtrip("lineitem", "l_orderkey", None),
-        "roundtrip_events": _roundtrip("events", "event_id", None),
-        "roundtrip_part": _roundtrip("part", "p_partkey", None),
         "roundtrip_orders": _roundtrip("orders", "o_orderkey", None),
         "roundtrip_nested": q_roundtrip_nested,
         "manifest_lineage": q_manifest,
@@ -764,8 +769,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "pipeline_docs_to_encoded": q_pipeline_docs_to_encoded,
         "pack_sequences": q_pack_sequences,
-        "packed_encode_roundtrip": q_packed_encode_roundtrip,
-        "streaming_encode_roundtrip": q_streaming_roundtrip,
+        # near-duplicates of roundtrip_lineitem/orders — sacrificial tail if
+        # the driver caps the artifact at 50 entries
+        "roundtrip_events": _roundtrip("events", "event_id", None),
+        "roundtrip_part": _roundtrip("part", "p_partkey", None),
     }
 
 
@@ -791,11 +798,13 @@ def _recompute_oracles() -> dict[str, str]:
     from rugo_spark import oracle_recompute as orc
 
     out: dict[str, str] = {}
+    degraded: dict[str, str] = {}
 
     def _add(name: str, fn) -> None:
         try:
             out[name] = fn()
         except Exception as e:  # noqa: BLE001 — per-oracle isolation
+            degraded[name] = repr(e)
             print(f"rugo_spark oracle {name!r} unavailable: {e!r}", file=sys.stderr)
 
     # ---- data-independent oracles (synthetic media fixtures) first
@@ -896,6 +905,22 @@ def _recompute_oracles() -> dict[str, str]:
         ))
         if "embedding_ivf_topk" in out:
             out["embedding_ivf_indexed"] = out["embedding_ivf_topk"]  # persisted path
+    # Degradation visibility (VERDICT r3 #8): a failed oracle silently
+    # downgrades only its query to the rows-only check — record WHICH ones
+    # in a sidecar artifact so a round's report shows "N oracles degraded"
+    # without spelunking stderr.
+    try:
+        import json as _json
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "ORACLE_DEGRADED.json"), "w") as fh:
+            _json.dump(
+                {"n_degraded": len(degraded), "degraded": degraded,
+                 "n_recompute_oracles": len(out) + len(degraded)},
+                fh, indent=2,
+            )
+    except OSError as e:
+        print(f"rugo_spark: could not write ORACLE_DEGRADED.json: {e!r}", file=sys.stderr)
     return out
 
 

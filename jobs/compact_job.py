@@ -6,10 +6,18 @@
       --input /data/encoded/tokens --output /data/encoded/tokens_opt \\
       --target-bytes 134217728 --sort-key doc_id --verify
 
-Zero-shuffle: one task per merge group decodes its member blocks,
-concatenates (optionally re-sorts), and re-encodes with fresh codec
-selection and rebuilt blooms.  ``--verify`` cross-checks conserved row and
-token-mass totals from the two manifests (metadata only — no data re-read).
+Zero-shuffle: one task per merge group.  Two kernels (``--mode``):
+
+- ``concat`` (the default when no ``--sort-key`` is given): member blocks
+  become STRIPES of one container at disk-copy speed — no decode, no
+  re-encode, member blooms OR together and min/max stats merge, so every
+  pruning surface survives unchanged.
+- ``rewrite`` (``--mode rewrite``, or automatic when ``--sort-key`` is
+  given): decodes the member blocks, concatenates (optionally re-sorts),
+  and re-encodes with fresh codec selection and rebuilt blooms.
+
+``--verify`` cross-checks conserved row and token-mass totals from the two
+manifests (metadata only — no data re-read).
 """
 
 from __future__ import annotations

@@ -33,6 +33,7 @@ from rugo_spark.codecs import (
     CODEC_BY_ID,
     INT_CODEC_IDS,
     INT_CODECS,
+    fsst,
     general,
 )
 from rugo_spark.selector import select_bytes_codec, select_int_codec
@@ -171,10 +172,42 @@ def _encode_int_values(v: np.ndarray, codec: str | None) -> tuple[bytes, str]:
     return struct.pack("<B", INT_CODEC_IDS[codec]) + general.wrap(payload), codec
 
 
-def _encode_bytes(data: bytes, codec: str | None) -> tuple[bytes, str]:
+def _plan_fsst_table(plan: dict):
+    """Lazily materialize (and memoize on the plan dict) a pinned FSST
+    table.  Accepts a live ``fsst.Table`` or ``serialize_table`` bytes /
+    base64 text (the form a JSON-persisted ``_codec_plans.json`` carries)."""
+    t = plan.get("_fsst_table_obj")
+    if t is not None:
+        return t
+    raw = plan.get("fsst_table")
+    if raw is None:
+        return None
+    if isinstance(raw, fsst.Table):
+        t = raw
+    else:
+        if isinstance(raw, str):
+            import base64
+
+            raw = base64.b64decode(raw)
+        t = fsst.deserialize_table(raw)
+    plan["_fsst_table_obj"] = t
+    return t
+
+
+def _encode_bytes(data: bytes, codec: str | None, plan: dict | None = None) -> tuple[bytes, str]:
     if codec is None:
         codec = select_bytes_codec(data)
-    payload = BYTES_CODECS[codec][0](data)
+    if codec == "fsst" and plan is not None and plan.get("fsst_table") is not None:
+        # job-level pinned symbol table (trained once from a sample at plan
+        # time): skip per-stripe training; the ratio guard inside
+        # fsst.encode falls back to a local training for drifted stripes
+        payload = fsst.encode(
+            data,
+            table=_plan_fsst_table(plan),
+            expected_ratio=plan.get("fsst_ratio"),
+        )
+    else:
+        payload = BYTES_CODECS[codec][0](data)
     return struct.pack("<B", BYTES_CODEC_IDS[codec]) + general.wrap(payload), codec
 
 
@@ -311,7 +344,9 @@ def encode_array(arr: pa.Array | pa.ChunkedArray, plan: dict | None = None) -> t
         else:
             lengths, data = _string_parts(dense)
             lbody, lcodec = _encode_int_values(lengths, plan.get("lengths"))
-            dbody, dcodec = _encode_bytes(data, str_codec if str_codec in BYTES_CODECS else None)
+            dbody, dcodec = _encode_bytes(
+                data, str_codec if str_codec in BYTES_CODECS else None, plan
+            )
             parts.append(struct.pack("<B", 0))  # str-mode: flat
             parts.append(_frame(lbody))
             parts.append(_frame(dbody))

@@ -199,7 +199,9 @@ def compress(data: bytes, t: Table) -> bytes:
     n = len(d)
     if n == 0:
         return b""
-    assert t.code_map is not None
+    # longest-match only needs the output expansions (deserialized pinned
+    # tables carry nothing else); code_map is a _compress_rounds concern
+    assert t.out_expansions is not None
     lut1, lut_a, lut_b, symkey, symlen = _match_tables(t)
 
     # native path: the same greedy walk as a tiny C loop (no chunk seams,
@@ -335,8 +337,67 @@ def _decompress_stream(stream: np.ndarray, out_expansions: list[bytes]) -> bytes
 _HDR = struct.Struct("<B")
 
 
-def encode(data: bytes) -> bytes:
-    t = train(data)
+_REUSE_GUARD = 1.25  # re-train when a shared table's ratio degrades >25%
+
+
+def serialize_table(t: Table) -> bytes:
+    """Serialize a trained table for job-level pinning (e.g. in a persisted
+    encode plan).  Only ``out_expansions`` is stored — the longest-match
+    encoder (``compress``) and the decoder both rebuild everything they need
+    from the expansions; the training-time merge LUTs are not required."""
+    parts = [struct.pack("<B", len(t.out_expansions))]
+    for e in t.out_expansions:
+        parts.append(struct.pack("<B", len(e)))
+        parts.append(e)
+    return b"".join(parts)
+
+
+def deserialize_table(buf: bytes | memoryview) -> Table:
+    mv = memoryview(buf)
+    n_sym = mv[0]
+    off = 1
+    out_expansions: list[bytes] = []
+    for _ in range(n_sym):
+        ln = mv[off]
+        out_expansions.append(bytes(mv[off + 1 : off + 1 + ln]))
+        off += 1 + ln
+    t = Table()
+    t.out_expansions = out_expansions
+    return t
+
+
+def encode(
+    data: bytes,
+    reuse: dict | None = None,
+    table: Table | None = None,
+    expected_ratio: float | None = None,
+) -> bytes:
+    """Self-describing FSST payload; two ways to amortize training.
+
+    ``table`` pins an externally trained, IMMUTABLE table (a job-level plan
+    trained once from a sample and shared by every stripe): the stripe is
+    compressed with it, and only if the achieved ratio degrades beyond
+    ``_REUSE_GUARD`` × ``expected_ratio`` does THIS stripe fall back to a
+    fresh local training — the pinned table is never replaced, so the
+    decision depends only on (data, table): bit-identical under resume and
+    re-execution in any order.
+
+    ``reuse`` is a caller-scoped mutable dict for sequential same-column
+    chains (first call trains and stashes {"table", "ratio"}; later calls
+    reuse with the same degradation guard).  Chain-order-dependent — use
+    only where the caller controls the call sequence deterministically.
+
+    Training (~20 ms) dominates small-stripe encode; compress alone runs
+    ~200 MB/s, so pinned/reused stripes drop from ~47 MB/s to compress
+    speed."""
+    if table is not None:
+        t = table
+        fresh = False
+    else:
+        t = reuse.get("table") if reuse is not None else None
+        fresh = t is None
+        if fresh:
+            t = train(data)
     # Two encoders produce the same payload format with different stream
     # regularity: chunked longest-match (`compress`) is faster and smaller
     # post-zstd on ordinary text; round-application (`_compress_rounds`)
@@ -346,7 +407,9 @@ def encode(data: bytes) -> bytes:
     enc = compress
     from rugo_spark.codecs.fsst_native import get_kernel
 
-    if get_kernel() is None and len(data) >= (1 << 19):
+    # pinned tables carry only out_expansions (no training-round LUTs), so
+    # the round-application trial can't run — longest-match always
+    if table is None and get_kernel() is None and len(data) >= (1 << 19):
         # numpy-walk fallback only: its 512-byte chunk seams shift the greedy
         # phase, which breaks zstd long-range matches on corpora with big
         # repeated spans — trial the round-application encoder per block.
@@ -363,6 +426,20 @@ def encode(data: bytes) -> bytes:
         if rz < fz * 0.97:
             enc = _compress_rounds
     stream = enc(data, t)
+    if not fresh:
+        bound = reuse["ratio"] if table is None else (
+            expected_ratio if expected_ratio is not None else 1.0
+        )
+        if len(stream) > len(data) * bound * _REUSE_GUARD:
+            # data drifted away from the shared table's distribution — pay
+            # one fresh training for THIS stripe (and, in chain mode only,
+            # make it the new stash; a pinned table is never replaced)
+            t = train(data)
+            stream = compress(data, t)
+            fresh = table is None
+    if reuse is not None and table is None and fresh:
+        reuse["table"] = t
+        reuse["ratio"] = len(stream) / max(len(data), 1)
     parts = [struct.pack("<B", len(t.out_expansions))]
     for e in t.out_expansions:
         parts.append(struct.pack("<B", len(e)))

@@ -307,24 +307,37 @@ class RugoStreamWriter(DataSourceStreamArrowWriter):
         from rugo_spark import manifest as mf
 
         epoch_dir = os.path.join(self.out_dir, f"batch={batchId}")
-        # a replayed epoch is a FULL replacement: clear any previous
-        # attempt's sidecars/blocks so a retry with fewer partitions can't
-        # leave stale higher-numbered blocks duplicating rows
-        shutil.rmtree(os.path.join(epoch_dir, mf.MANIFEST_DIR), ignore_errors=True)
-        shutil.rmtree(os.path.join(epoch_dir, mf.BLOCKS_DIR), ignore_errors=True)
+        # Publish atomically: assemble the full epoch (schema + blocks +
+        # sidecars) in a dot-prefixed staging dir that no reader's
+        # ``batch=*`` listing can match, then rename it into place as the
+        # LAST step.  A driver crash mid-commit leaves either the complete
+        # old epoch or no epoch — never a partially-populated ``batch=N``
+        # whose ``_schema.json`` makes format('rugo') silently read a subset
+        # of its rows (ADVICE r3).
+        tmp_dir = os.path.join(self.out_dir, f".batch-{batchId}.inprogress")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
         arrow_schema = pa.ipc.read_schema(pa.py_buffer(self._arrow_schema_bytes))
-        mf.write_schema(epoch_dir, arrow_schema, self._schema_json)
+        mf.write_schema(tmp_dir, arrow_schema, self._schema_json)
         for m in messages:
             if m is None or not m.sidecar:
                 continue
             row = json.loads(m.sidecar)
             dst = os.path.join(
-                epoch_dir, mf.BLOCKS_DIR, f"part-{int(row['partition_id']):06d}.rgb"
+                tmp_dir, mf.BLOCKS_DIR, f"part-{int(row['partition_id']):06d}.rgb"
             )
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(row["block_path"], dst)
-            row["block_path"] = dst
-            mf.write_sidecar(epoch_dir, row)
+            # sidecar paths are epoch-relative at read time only via this
+            # rewrite: record the FINAL path the rename will produce
+            row["block_path"] = os.path.join(
+                epoch_dir, mf.BLOCKS_DIR, os.path.basename(dst)
+            )
+            mf.write_sidecar(tmp_dir, row)
+        # a replayed epoch is a FULL replacement: drop any previous attempt
+        # (retry with fewer partitions must not leave stale blocks), then
+        # publish with one rename
+        shutil.rmtree(epoch_dir, ignore_errors=True)
+        os.rename(tmp_dir, epoch_dir)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
         for m in messages:

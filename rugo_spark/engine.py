@@ -25,7 +25,11 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
 from rugo_spark import manifest as mf
-from rugo_spark.block import decode_array, encode_array
+from rugo_spark.block import KIND_DEC128, KIND_DEC256, decode_array, encode_array
+
+# decimal stats serialize as strings in JSON sidecars; their merge must
+# compare numerically, never lexicographically (see _merge_stat)
+_DECIMAL_KINDS = frozenset((KIND_DEC128, KIND_DEC256))
 from rugo_spark.partitioning import release_after_plan, with_partition_id
 
 FILE_MAGIC = b"RGF1"
@@ -118,9 +122,39 @@ def encode_block_row(
     return row
 
 
+def _merge_stat(kind, cur, new, pick):
+    """Pick the min/max winner between two stat values, type-aware.
+
+    Decimal column stats reach a merge in two forms — ``decimal.Decimal``
+    (fresh in-memory metas) and decimal-strings (metas that round-tripped
+    through a JSON sidecar, ``json.dumps(default=str)``).  Python ``min``/
+    ``max`` on the string form is lexicographic (min('10.2','9.5')=='10.2'),
+    which INVERTS the bounds; the pruning side then compares them
+    numerically via Decimal, so a concat-compacted dataset would silently
+    skip blocks that contain matching rows.  Compare via Decimal for decimal
+    kinds and return the winner in its original representation."""
+    if kind in _DECIMAL_KINDS:
+        from decimal import Decimal
+
+        def key(v):
+            return v if isinstance(v, Decimal) else Decimal(str(v))
+
+        try:
+            return cur if pick(key(cur), key(new)) == key(cur) else new
+        except ArithmeticError:
+            raise _UnmergeableStat()
+    return pick(cur, new)
+
+
+class _UnmergeableStat(Exception):
+    """A stat pair that cannot be compared safely — drop the column's
+    min/max entirely (None = always scan, conservative)."""
+
+
 def merge_column_metas(metas_list: list[dict]) -> dict:
     """Merge per-stripe column metas into one manifest record per column."""
     out: dict[str, dict] = {}
+    poisoned: set[str] = set()
     for metas in metas_list:
         for col, m in metas.items():
             agg = out.setdefault(
@@ -128,15 +162,25 @@ def merge_column_metas(metas_list: list[dict]) -> dict:
                 {"codec": set(), "raw_bytes": 0, "enc_bytes": 0, "null_count": 0,
                  "min": None, "max": None, "n": 0},
             )
+            if m.get("kind") is not None:
+                agg["kind"] = m["kind"]
             agg["codec"].add(str(m.get("codec")))
             for k in ("raw_bytes", "enc_bytes", "null_count", "n"):
                 agg[k] += int(m.get(k) or 0)
             for k, pick in (("min", min), ("max", max)):
                 v = m.get(k)
-                if v is not None:
-                    agg[k] = v if agg[k] is None else pick(agg[k], v)
+                if v is not None and col not in poisoned:
+                    try:
+                        agg[k] = (
+                            v if agg[k] is None
+                            else _merge_stat(agg.get("kind"), agg[k], v, pick)
+                        )
+                    except _UnmergeableStat:
+                        poisoned.add(col)
             if m.get("lengths_codec"):
                 agg["lengths_codec"] = m["lengths_codec"]
+    for col in poisoned:
+        out[col]["min"] = out[col]["max"] = None
     for agg in out.values():
         agg["codec"] = "+".join(sorted(agg["codec"]))
     return out
@@ -219,6 +263,21 @@ def decode_block_payload(
 
 # ------------------------------------------------------------- encode job
 
+def _conf_get(conf, key: str, default: str = "") -> str:
+    """Read a Spark conf key without tripping Spark 4's default validation.
+
+    PySpark 4 type-checks the *default* argument of ``RuntimeConf.get``
+    against the key's conf type (e.g. ``""`` is not a valid bytes value for
+    ``spark.sql.files.maxPartitionBytes``), so ``conf.get(key, "")`` throws
+    ``INVALID_CONF_VALUE`` on any session that never set the key.  Guard the
+    read and return our own default instead."""
+    try:
+        v = conf.get(key)
+        return default if v is None else str(v)
+    except Exception:
+        return default
+
+
 def _input_fingerprint(df: DataFrame) -> str:
     """Deterministic id of the input layout a map-only encode keys its
     partition ids on: file list + split-size conf + split count.  Resuming
@@ -228,7 +287,7 @@ def _input_fingerprint(df: DataFrame) -> str:
 
     files = sorted(df.inputFiles())
     conf = df.sparkSession.conf
-    max_bytes = conf.get("spark.sql.files.maxPartitionBytes", "")
+    max_bytes = _conf_get(conf, "spark.sql.files.maxPartitionBytes", "")
     # semanticHash: canonicalized logical plan, computed WITHOUT executing the
     # query (df.rdd.getNumPartitions would finalize AQE stages) — catches
     # repartition()/plan changes on non-file inputs too
@@ -426,6 +485,11 @@ def encode_table(
     blocks_dir = os.path.join(out_dir, mf.BLOCKS_DIR)
 
     if precombine:
+        # Small-stripe path: per-stripe FSST training (~20 ms) would dominate
+        # 1-2 MB stripes, so pin job-level string codec plans (symbol table
+        # trained once from a bounded sample, persisted for resume) — stripes
+        # become compress-only at ~200 MB/s (VERDICT r3 #7)
+        plans = _auto_string_plans(df, out_dir, plans)
         try:
             return _encode_precombine(
                 spark, planned, out_dir, blocks_dir, sort_key, size_col, num_partitions, plans
@@ -484,6 +548,100 @@ def encode_table(
     finally:
         release_after_plan(plan_handle)
     return manifest_df(spark, out_dir)
+
+
+_CODEC_SAMPLE_ROWS = 512
+_CODEC_SAMPLE_BYTES = 1 << 20  # per-column training budget
+
+
+def _build_string_plans(sample: pa.Table) -> dict:
+    """Per string/binary column: decide the byte codec ONCE from a bounded
+    sample and, when FSST wins, train + serialize its symbol table.
+
+    Mirrors ``_select_str_codec``'s per-stripe logic at job level:
+    dict-worthy (low-cardinality) columns are left unpinned — the per-stripe
+    dict path is cheap and adapts; everything else gets a pinned
+    'raw'/'fsst' decision so stripes skip both the selection trial and
+    training.  Every quantity is derived from the sample bytes alone —
+    deterministic given the sample, which is persisted-by-decision via
+    ``write_codec_plans`` before any data moves."""
+    import base64
+
+    import pyarrow.compute as pc
+
+    from rugo_spark.codecs import fsst as _fsst
+    from rugo_spark.codecs import general as _g
+
+    plans: dict = {}
+    for name in sample.column_names:
+        col = sample.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
+        is_bin = pa.types.is_binary(t) or pa.types.is_large_binary(t)
+        if not (is_str or is_bin):
+            continue
+        dense = pc.drop_null(col)
+        n = len(dense)
+        if n == 0:
+            continue
+        if is_str:
+            card = len(pc.unique(dense))
+            if card <= max(n // 8, 1) and card <= 65536:
+                continue  # dict-worthy: leave to the cheap per-stripe path
+        if is_str:
+            data = b"".join(v.encode() for v in dense.to_pylist()[:_CODEC_SAMPLE_ROWS])
+        else:
+            data = b"".join(v or b"" for v in dense.to_pylist()[:_CODEC_SAMPLE_ROWS])
+        data = data[:_CODEC_SAMPLE_BYTES]
+        if len(data) < 4096:
+            continue  # too little signal to pin a job-wide decision
+        raw_z = len(_g.wrap(data, _g.ZSTD))
+        if raw_z * 6 < len(data):
+            plans[name] = {"data": "raw"}  # zstd alone crushes it
+            continue
+        table = _fsst.train(data)
+        stream = _fsst.compress(data, table)
+        fsst_payload_z = len(_g.wrap(_fsst.encode(data, table=table), _g.ZSTD))
+        if fsst_payload_z < raw_z * 0.95:
+            plans[name] = {
+                "data": "fsst",
+                "fsst_table": base64.b64encode(_fsst.serialize_table(table)).decode(),
+                "fsst_ratio": len(stream) / len(data),
+            }
+        else:
+            plans[name] = {"data": "raw"}
+    return plans
+
+
+def _auto_string_plans(df: DataFrame, out_dir: str, plans: dict | None) -> dict | None:
+    """Job-level codec-plan pinning for the small-stripe (precombine) path.
+
+    Resume replays the persisted decision exactly; datasets started before
+    this feature (sidecars but no ``_codec_plans.json``) stay unpinned so
+    their re-encoded partitions remain bit-identical to the original run.
+    User-supplied ``plans`` entries always win over pinned ones."""
+    persisted = mf.read_codec_plans(out_dir)
+    if persisted is None:
+        if mf.completed_partitions(out_dir):
+            return plans  # legacy in-progress dataset: keep r3 behavior
+        sample = (
+            df.limit(_CODEC_SAMPLE_ROWS).toArrow()
+            if hasattr(df, "toArrow")
+            else pa.Table.from_pandas(df.limit(_CODEC_SAMPLE_ROWS).toPandas())
+        )
+        persisted = _build_string_plans(sample)
+        mf.write_codec_plans(out_dir, persisted)
+    if not persisted:
+        return plans
+    merged = {k: dict(v) for k, v in persisted.items()}
+    for col, p in (plans or {}).items():
+        if isinstance(p, dict) and col in merged:
+            merged[col] = {**merged[col], **p}
+        else:
+            merged[col] = p
+    return merged
 
 
 _STRIPE_DDL = (
@@ -619,8 +777,8 @@ def _encode_precombine(
 
     result = stripes.groupBy("partition_id").applyInArrow(assemble, mf.MANIFEST_DDL)
     conf = spark.conf
-    prev = conf.get("spark.sql.shuffle.partitions")
-    prev_coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    prev = _conf_get(conf, "spark.sql.shuffle.partitions", "200")
+    prev_coalesce = _conf_get(conf, "spark.sql.adaptive.coalescePartitions.enabled", "true")
     try:
         conf.set("spark.sql.shuffle.partitions", str(num_partitions))
         conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")

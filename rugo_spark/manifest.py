@@ -19,6 +19,7 @@ import pyarrow as pa
 
 SCHEMA_FILE = "_schema.json"
 PLAN_FILE = "_plan.json"
+CODEC_PLANS_FILE = "_codec_plans.json"
 MANIFEST_DIR = "manifest"
 BLOCKS_DIR = "blocks"
 
@@ -91,6 +92,31 @@ def write_plan(out_dir: str, plan: dict) -> None:
 
 def read_plan(out_dir: str) -> dict | None:
     path = os.path.join(out_dir, PLAN_FILE)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
+def write_codec_plans(out_dir: str, plans: dict) -> None:
+    """Persist the job-level per-column codec plans (pinned codec names +
+    base64 FSST symbol tables) beside the manifest, atomically.  Written
+    BEFORE any data moves, so a resumed encode replays the exact same codec
+    decisions — the bit-identical-resume contract extends to plan-pinned
+    tables.  An empty dict is meaningful: it records that pinning was
+    decided (and declined), so resume does not re-decide differently."""
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, CODEC_PLANS_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(plans, f)
+    os.replace(tmp, os.path.join(out_dir, CODEC_PLANS_FILE))
+
+
+def read_codec_plans(out_dir: str) -> dict | None:
+    path = os.path.join(out_dir, CODEC_PLANS_FILE)
     if not os.path.exists(path):
         return None
     try:

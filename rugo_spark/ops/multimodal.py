@@ -94,6 +94,19 @@ def extract_features(
     return df.select(id_col, media_col).mapInArrow(kernel, f"{id_col} string, features array<float>")
 
 
+def _check_single_row_overflow(num_rows: int, n_out: int) -> None:
+    """Halving a 1-row batch re-enters the kernel with the same batch — if a
+    SINGLE row's target still overflows the int32 offset budget there is no
+    split that helps; fail with a clear error instead of recursing forever
+    (ADVICE r3).  A >2 GiB single output would need ``large_binary``."""
+    if num_rows == 1 and 2 * n_out > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"resize target of {n_out} bytes per row exceeds the int32 "
+            "offset budget of pa.binary() even for a single-row batch; "
+            "use a smaller target (or a large_binary variant)"
+        )
+
+
 def resize_media(
     df: DataFrame, target_w: int = 64, target_h: int = 64,
     media_col: str = "media", id_col: str = "asset_id", fake: bool = True,
@@ -122,6 +135,7 @@ def resize_media(
                 # pa.binary() offsets are int32: a big batch × big target
                 # would overflow and corrupt the offsets — split the batch
                 # into int32-safe halves first
+                _check_single_row_overflow(batch.num_rows, n_out)
                 half = max(1, batch.num_rows // 2)
                 yield from kernel([batch.slice(0, half)])
                 yield from kernel([batch.slice(half)])
