@@ -431,6 +431,17 @@ def q_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=0.2)
 
 
+def q_lsh_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-shingle MinHash-LSH candidates — the web-crawl-scale unit
+    (~6× fewer shingle hashes per doc than char-5 on ~300-char docs;
+    wall-clocked at 600k docs in bench.py).  Oracle: the sequential
+    from-spec recompute with unit='word'."""
+    from rugo_spark.ops.dedup import minhash_lsh_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, n_hashes=16, n_bands=4, shingle=3, unit="word")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup grouping end to end: LSH candidates → distributed connected
     components → per-doc cluster id + keep/drop decision.  Oracle: union-find
@@ -721,9 +732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "packed_encode_roundtrip": q_packed_encode_roundtrip,
         "streaming_encode_roundtrip": q_streaming_roundtrip,
+        "dedup_lsh_words": q_lsh_words,
         "roundtrip_documents": _roundtrip("documents", "doc_id", "n_chars"),
         "roundtrip_lineitem": _roundtrip("lineitem", "l_orderkey", None),
-        "roundtrip_orders": _roundtrip("orders", "o_orderkey", None),
         "roundtrip_nested": q_roundtrip_nested,
         "manifest_lineage": q_manifest,
         "metadata_agg_stats": q_metadata_agg,
@@ -769,8 +780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "pipeline_docs_to_encoded": q_pipeline_docs_to_encoded,
         "pack_sequences": q_pack_sequences,
-        # near-duplicates of roundtrip_lineitem/orders — sacrificial tail if
-        # the driver caps the artifact at 50 entries
+        # near-duplicates of roundtrip_lineitem — sacrificial tail if the
+        # driver caps the artifact at 50 entries (r3: exactly 50 of 52)
+        "roundtrip_orders": _roundtrip("orders", "o_orderkey", None),
         "roundtrip_events": _roundtrip("events", "event_id", None),
         "roundtrip_part": _roundtrip("part", "p_partkey", None),
     }
@@ -852,6 +864,11 @@ def _recompute_oracles() -> dict[str, str]:
         ))
         _add("dedup_minhash_lsh", lambda: orc.values_sql(
             [(a, b, j) for a, b, _eq, j in orc.minhash_pairs(docs, n_hashes=16, n_bands=4)],
+            [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("est_jaccard", "DOUBLE")],
+        ))
+        _add("dedup_lsh_words", lambda: orc.values_sql(
+            [(a, b, j) for a, b, _eq, j in orc.minhash_pairs(
+                docs, n_hashes=16, n_bands=4, shingle=3, unit="word")],
             [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("est_jaccard", "DOUBLE")],
         ))
         _add("dedup_clusters", lambda: orc.values_sql(

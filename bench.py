@@ -235,13 +235,44 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    for name in [
-        "agg_pricing_summary", "join_top_revenue", "dedup_exact", "token_count",
-        "dedup_clusters", "dedup_lsh_verified",
-    ]:
+    for name in ["agg_pricing_summary", "join_top_revenue", "dedup_exact", "token_count"]:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).collect()
         timings[name] = time.perf_counter() - t0
+
+    # ---------------- dedup pipeline at BENCH scale (600k docs at sf0.1 —
+    # the driver's documents table caps at 5k rows, where fixed per-round
+    # costs dominate and the wall-clock says nothing about the 100-TB claim;
+    # VERDICT r3 item 5).  Word-3 shingles (the web-crawl unit, ~6× fewer
+    # shingle hashes than char-5; oracle-pinned in tests/test_dedup_words.py)
+    # over a generated corpus with a ~20% planted exact+near-dup structure.
+    from rugo_spark.docgen import spark_doc_df
+    from rugo_spark.ops.dedup import dedup_clusters, minhash_lsh_candidates
+
+    n_ddocs = max(20_000, int(6_000_000 * sf))  # 600k at sf0.1
+    doc_src = os.path.join(SCRATCH, f"docs_{n_ddocs}_f64.parquet")
+    if not os.path.isdir(doc_src):
+        spark_doc_df(spark, n_ddocs, n_partitions=CPUS * 2).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(doc_src, compression="zstd")
+    docs_df = spark.read.parquet(doc_src)
+    t0 = time.perf_counter()
+    n_cand = minhash_lsh_candidates(
+        docs_df, n_hashes=16, n_bands=4, shingle=3, unit="word"
+    ).count()
+    timings["dedup_lsh_candidates"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_dropped = (
+        dedup_clusters(docs_df, n_hashes=16, n_bands=4, shingle=3, unit="word")
+        .filter(~F.col("is_kept"))
+        .count()
+    )
+    timings["dedup_clusters"] = time.perf_counter() - t0
+    extra["dedup_bench_docs"] = n_ddocs
+    extra["dedup_candidate_pairs"] = n_cand
+    extra["dedup_dropped_docs"] = n_dropped
+    extra["dedup_lsh_docs_per_sec"] = round(n_ddocs / timings["dedup_lsh_candidates"])
+    extra["dedup_cluster_docs_per_sec"] = round(n_ddocs / timings["dedup_clusters"])
 
     # one more map-only sample later in the session (time-diversified min —
     # a noisy-neighbor burst earlier shouldn't define the headline)

@@ -30,6 +30,7 @@ from rugo_spark.block import KIND_DEC128, KIND_DEC256, decode_array, encode_arra
 # decimal stats serialize as strings in JSON sidecars; their merge must
 # compare numerically, never lexicographically (see _merge_stat)
 _DECIMAL_KINDS = frozenset((KIND_DEC128, KIND_DEC256))
+from rugo_spark import partitioning
 from rugo_spark.partitioning import release_after_plan, with_partition_id
 
 FILE_MAGIC = b"RGF1"
@@ -309,6 +310,7 @@ def encode_table_maponly(
     size_col: str | None = None,
     plans: dict | None = None,
     on_layout_change: str = "error",
+    fingerprint: str | None = None,
 ) -> DataFrame:
     """Shuffle-FREE encode: each input split becomes one block.
 
@@ -320,9 +322,15 @@ def encode_table_maponly(
     splits.  The input layout is fingerprinted into ``_schema.json``; a
     resume against a changed layout raises (``on_layout_change='error'``) or
     clears the stale sidecars+blocks (``'clear'``) instead of silently mixing
-    old and new data.  Use `encode_table` when the input is skewed."""
+    old and new data.  Use `encode_table` when the input is skewed.
+
+    ``fingerprint`` overrides the default layout fingerprint for callers
+    whose partition ids do NOT depend on the scan layout (encode_table_sorted
+    routes explicitly, so split-size conf and cluster parallelism are
+    irrelevant — including them would refuse legitimate cross-cluster
+    resumes)."""
     spark = df.sparkSession
-    fp = _input_fingerprint(df)
+    fp = fingerprint if fingerprint is not None else _input_fingerprint(df)
     prev = mf.read_schema_payload(out_dir)
     if prev is not None and mf.completed_partitions(out_dir):
         if prev.get("input_fingerprint") != fp:
@@ -377,13 +385,73 @@ def encode_table_sorted(
     option a scan-heavy workload wants (the analog of writing a table
     ordered by its query key so row-group stats actually bite — rugo
     surfaces exactly those per-row-group min/max for external engines,
-    ``metadata.cpp:618-646``).  One range-exchange shuffle; each output
-    partition becomes one block via the map-only path."""
+    ``metadata.cpp:618-646``).  One shuffle; each output partition becomes
+    one block via the map-only path.
+
+    Determinism contract: Spark's own ``repartitionByRange`` seeds its
+    boundary sample from the RDD id — two runs of the SAME query draw
+    different boundaries, so a crash-resume would pair completed blocks
+    with a re-run that assigns rows differently: silent row loss.  Instead
+    the boundaries come from a seeded hash-uniform sample
+    (``partitioning.range_boundaries``), are persisted to ``_plan.json``
+    BEFORE any data moves, and rows route to task id == bucket id via
+    murmur3 pre-images (``with_range_partition``) — bit-identical blocks on
+    every run and every cluster size."""
     spark = df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
-    arranged = df.repartitionByRange(n, key_col).sortWithinPartitions(key_col)
+    resumed = mf.read_plan(out_dir) if mf.completed_partitions(out_dir) else None
+    if (
+        resumed is None
+        and os.path.exists(os.path.join(out_dir, mf.PLAN_FILE))
+        and mf.completed_partitions(out_dir)
+    ):
+        raise ValueError(
+            f"corrupt {mf.PLAN_FILE} beside completed partitions in {out_dir}; "
+            "restore it or clear the dataset before re-encoding"
+        )
+    if resumed is not None:
+        if resumed.get("mode") != "range":
+            raise ValueError(
+                f"{out_dir} was written by a different encode path "
+                f"(plan mode {resumed.get('mode')!r}); resume it with the same "
+                "function or clear the dataset"
+            )
+        if resumed.get("key_col") != key_col:
+            raise ValueError(
+                f"refusing to resume {out_dir} with key_col={key_col!r}: the "
+                f"dataset was range-planned on {resumed.get('key_col')!r}"
+            )
+        if num_partitions is not None and num_partitions != resumed.get("num_partitions"):
+            raise ValueError(
+                f"refusing to resume {out_dir} with num_partitions={num_partitions}: "
+                f"the dataset was planned with {resumed.get('num_partitions')} "
+                "(mixing layouts would duplicate or drop rows)"
+            )
+        n = int(resumed["num_partitions"])
+        bounds = resumed["boundaries"]
+    else:
+        n = num_partitions or spark.sparkContext.defaultParallelism
+        bounds = partitioning.range_boundaries(df, key_col, n)
+        mf.write_plan(
+            out_dir,
+            {"mode": "range", "key_col": key_col, "num_partitions": n, "boundaries": bounds},
+        )
+    arranged = partitioning.with_range_partition(df, key_col, n, bounds)
+    # the fingerprint keys on what partition ids ACTUALLY depend on: input
+    # files + the range plan (explicit routing makes split-size conf and
+    # defaultParallelism irrelevant — a different-sized cluster may resume)
+    import hashlib
+
+    fp = hashlib.sha1(
+        json.dumps(
+            {
+                "files": sorted(df.inputFiles()),
+                "plan": df.semanticHash(),
+                "range": {"key_col": key_col, "n": n, "boundaries": bounds},
+            }
+        ).encode()
+    ).hexdigest()
     return encode_table_maponly(
-        arranged, out_dir, sort_key=key_col, size_col=size_col, plans=plans
+        arranged, out_dir, sort_key=key_col, size_col=size_col, plans=plans, fingerprint=fp
     )
 
 
@@ -434,6 +502,11 @@ def encode_table(
     cache_key = None
     prev_plan = resumed_plan
     if resumed_plan is not None:
+        if resumed_plan.get("mode") == "range":
+            raise ValueError(
+                f"{out_dir} was written by encode_table_sorted (range plan); "
+                "resume it with encode_table_sorted or clear the dataset"
+            )
         if num_partitions is not None and num_partitions != resumed_plan.get("num_partitions"):
             raise ValueError(
                 f"refusing to resume {out_dir} with num_partitions={num_partitions}: "

@@ -173,11 +173,23 @@ def fingerprint_row(text: str, P: int = 1099511628211) -> int:
     return _signed64(out ^ ((len(data) * P) & _M64))
 
 
-def shingles_row(text: str, n: int = 5) -> list[str]:
-    """Distinct character n-grams, first-occurrence order (ops/dedup.char_shingles)."""
+def shingles_row(text: str, n: int = 5, unit: str = "char") -> list[str]:
+    """Distinct n-grams, first-occurrence order (ops/dedup.char_shingles /
+    word_shingles).  ``unit='word'`` mirrors Spark's ``split(text, '\\s+')``
+    with default limit=-1: leading/trailing empty strings are KEPT (Java
+    Pattern.split with a negative limit), so ' a b ' has words
+    ['', 'a', 'b', '']."""
+    if unit == "word":
+        words = _WS.split(text)
+        if len(words) < n:
+            return []
+        seen: dict[str, None] = {}
+        for i in range(len(words) - n + 1):
+            seen.setdefault(" ".join(words[i : i + n]), None)
+        return list(seen)
     if len(text) < n:
         return []
-    seen: dict[str, None] = {}
+    seen = {}
     for i in range(len(text) - n + 1):
         seen.setdefault(text[i : i + n], None)
     return list(seen)
@@ -189,6 +201,7 @@ def minhash_pairs(
     n_bands: int = 4,
     shingle: int = 5,
     bucket_cap: int = 64,
+    unit: str = "char",
 ) -> list[tuple[int, int, int, float]]:
     """Sequential recompute of ops/dedup.minhash_lsh_candidates: returns
     (id_a, id_b, equal_hashes, est_jaccard) rows, pair-distinct."""
@@ -204,7 +217,7 @@ def minhash_pairs(
         return h
 
     for doc_id, text in docs:
-        sh = shingles_row(text, shingle)
+        sh = shingles_row(text, shingle, unit)
         hs = [_sh_hashes(s) for s in sh]
         sig = [min(h[j] for h in hs) if hs else None for j in range(n_hashes)]
         if sig[0] is None:

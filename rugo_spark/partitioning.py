@@ -259,3 +259,103 @@ def release_after_plan(planned) -> None:
     hist = getattr(planned, "_rugo_cached_hist", None)
     if hist is not None:  # pragma: no cover - legacy handle
         hist.unpersist()
+
+
+# ------------------------------------------------------------- range layout
+# Deterministic replacement for repartitionByRange: Spark's RangePartitioner
+# seeds its reservoir sample from the RDD id, so two runs of the same query
+# draw DIFFERENT range boundaries — fatal for resume (completed partition k
+# would cover a different key range than the re-run's partition k, silently
+# dropping/duplicating the difference).  Here the boundaries come from a
+# seeded hash-uniform sample (stable across runs, clusters, and Spark
+# versions) and rows route to their bucket through murmur3 pre-images, so
+# the realized task id IS the bucket id on every run.
+
+
+def murmur3_int32(v: int, seed: int = 42) -> int:
+    """Murmur3_x86_32 of one int32 (the public MurmurHash3 finalization,
+    the same algorithm Spark's HashPartitioning applies to int columns).
+    Pinned against ``F.hash`` by tests/test_sorted_encode.py."""
+    M = 0xFFFFFFFF
+    k = (v & M) * 0xCC9E2D51 & M
+    k = ((k << 15) | (k >> 17)) & M
+    k = k * 0x1B873593 & M
+    h = seed ^ k
+    h = ((h << 13) | (h >> 19)) & M
+    h = (h * 5 + 0xE6546B64) & M
+    h ^= 4  # length in bytes
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & M
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & M
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h  # as signed int32
+
+
+def hash_routes(n: int) -> list[int]:
+    """For each bucket p in 0..n-1, a small int j with
+    ``pmod(murmur3(j), n) == p`` — the routing pre-image that makes
+    ``repartition(n, route_col)`` place bucket p in task p exactly,
+    deterministically, with no sampling anywhere."""
+    routes: dict[int, int] = {}
+    j = 0
+    while len(routes) < n:
+        routes.setdefault(murmur3_int32(j) % n, j)
+        j += 1
+        if j > 1_000_000 * max(1, n):  # pragma: no cover - unreachable
+            raise RuntimeError(f"no murmur3 pre-image found for some bucket of {n}")
+    return [routes[p] for p in range(n)]
+
+
+def range_boundaries(
+    df: DataFrame, key_col: str, n: int, seed: int = 42, oversample: int = 128
+) -> list:
+    """n-1 deterministic range cut points from a seeded uniform sample.
+
+    The sample is the ``min(n*oversample, 2^20)`` rows with the smallest
+    ``xxhash64(seed, key)`` — a distributed top-k (TakeOrderedAndProject),
+    no full sort, bounded driver collect; the same draw every run.  Python's
+    str ordering (code points) agrees with Spark's default binary collation
+    (UTF-8 byte order preserves code-point order), so sorting the sample
+    here matches the executor-side ``key > boundary`` comparisons.
+    """
+    sample_n = min(max(n * oversample, 1024), 1 << 20)
+    rows = (
+        df.select(key_col)
+        .filter(F.col(key_col).isNotNull())
+        .orderBy(F.xxhash64(F.lit(int(seed)).cast("long"), F.col(key_col)), F.col(key_col))
+        .limit(sample_n)
+        .collect()
+    )
+    keys = sorted(r[0] for r in rows)
+    if not keys:
+        return []
+    bounds = [keys[(len(keys) * k) // n] for k in range(1, n)]
+    for b in bounds:
+        if not isinstance(b, (str, int, float, bool)):
+            raise TypeError(
+                f"range-sorted encode supports string/numeric keys; got "
+                f"{type(b).__name__} — cast {key_col} first (boundaries must "
+                "round-trip through the JSON plan for resume)"
+            )
+    return bounds
+
+
+def with_range_partition(df: DataFrame, key_col: str, n: int, boundaries: list) -> DataFrame:
+    """Assign each row its range bucket and route it so task id == bucket id.
+
+    ``pid = |{b in boundaries : key > b}|`` (nulls → bucket 0, matching
+    repartitionByRange's nulls-first); the routing literal array maps pid to
+    its murmur3 pre-image.  One shuffle, zero sampling.  The boundary filter
+    is O(n) per row as a literal-array scan — fine to a few thousand
+    buckets; beyond that a broadcast range join would be the shape."""
+    barr = F.array(*[F.lit(b) for b in boundaries])
+    pid = F.size(F.filter(barr, lambda b: F.col(key_col) > b))
+    routes = hash_routes(n)
+    route = F.element_at(F.array(*[F.lit(int(j)) for j in routes]), pid + 1)
+    return (
+        df.withColumn("__rugo_route", route.cast("int"))
+        .repartition(n, "__rugo_route")
+        .sortWithinPartitions(key_col)
+        .drop("__rugo_route")
+    )
