@@ -94,11 +94,13 @@ def main() -> None:
     out_hi = os.path.join(SCRATCH, f"enc_c{CPUS}")
     timings["reference_parquet_write"] = float("inf")
     timings["encode"] = float("inf")
-    # 4 alternating rounds: encode round 1 pays the one-time planning scan
+    # 5 alternating rounds: encode round 1 pays the one-time planning scan
     # (ANALYZE-once; later rounds replay the session plan cache), so the min
     # needs ≥2 post-plan samples to estimate steady state on a box with 2-3×
-    # load swings
-    for _ in range(4):
+    # load swings — measured bursts span minutes, so more samples beat
+    # longer samples (r4: min-of-4 read 7.1 s for an encode that probes at
+    # 3.9 s in a quiet window)
+    for _ in range(5):
         shutil.rmtree(ref_dir, ignore_errors=True)
         t0 = time.perf_counter()
         tok_df.write.mode("overwrite").parquet(ref_dir, compression="zstd")
@@ -154,10 +156,14 @@ def main() -> None:
     # ---------------- sequence packing (docs → fixed-length training rows)
     from rugo_spark.ops.packing import pack_sequences
 
-    t0 = time.perf_counter()
-    packed = pack_sequences(tok_df, seq_len=2048, num_partitions=CPUS * 4, eos_id=50256)
-    n_seq = packed.count()
-    timings["pack_sequences"] = time.perf_counter() - t0
+    # min-of-2: single-shot pack swung 2-4× between runs under host-level
+    # noisy-neighbor load (10 s vs 23.5 s on the same code/data)
+    timings["pack_sequences"] = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        packed = pack_sequences(tok_df, seq_len=2048, num_partitions=CPUS * 4, eos_id=50256)
+        n_seq = packed.count()
+        timings["pack_sequences"] = min(timings["pack_sequences"], time.perf_counter() - t0)
     extra["pack_tokens_per_sec"] = round(total_tokens / timings["pack_sequences"])
     extra["packed_rows"] = int(n_seq)
 
@@ -251,7 +257,9 @@ def main() -> None:
 
     n_ddocs = max(20_000, int(6_000_000 * sf))  # 600k at sf0.1
     doc_src = os.path.join(SCRATCH, f"docs_{n_ddocs}_f64.parquet")
-    if not os.path.isdir(doc_src):
+    # _SUCCESS gate, not isdir: an interrupted first write leaves a partial
+    # directory that would silently deflate every later run's doc count
+    if not os.path.exists(os.path.join(doc_src, "_SUCCESS")):
         spark_doc_df(spark, n_ddocs, n_partitions=CPUS * 2).repartition(64).write.mode(
             "overwrite"
         ).parquet(doc_src, compression="zstd")
@@ -260,19 +268,22 @@ def main() -> None:
     n_cand = minhash_lsh_candidates(
         docs_df, n_hashes=16, n_bands=4, shingle=3, unit="word"
     ).count()
-    timings["dedup_lsh_candidates"] = time.perf_counter() - t0
+    timings["dedup_lsh_bulk"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     n_dropped = (
         dedup_clusters(docs_df, n_hashes=16, n_bands=4, shingle=3, unit="word")
         .filter(~F.col("is_kept"))
         .count()
     )
-    timings["dedup_clusters"] = time.perf_counter() - t0
+    # '_bulk' keys: distinct from the prior rounds' 'dedup_clusters' timing,
+    # which named the 5k-row SF_DIR driver query — same name would read as a
+    # 100x regression in round-over-round BENCH comparisons
+    timings["dedup_clusters_bulk"] = time.perf_counter() - t0
     extra["dedup_bench_docs"] = n_ddocs
     extra["dedup_candidate_pairs"] = n_cand
     extra["dedup_dropped_docs"] = n_dropped
-    extra["dedup_lsh_docs_per_sec"] = round(n_ddocs / timings["dedup_lsh_candidates"])
-    extra["dedup_cluster_docs_per_sec"] = round(n_ddocs / timings["dedup_clusters"])
+    extra["dedup_lsh_docs_per_sec"] = round(n_ddocs / timings["dedup_lsh_bulk"])
+    extra["dedup_cluster_docs_per_sec"] = round(n_ddocs / timings["dedup_clusters_bulk"])
 
     # one more map-only sample later in the session (time-diversified min —
     # a noisy-neighbor burst earlier shouldn't define the headline)

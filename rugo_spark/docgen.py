@@ -79,9 +79,11 @@ def doc_batch(n_docs: int, seed: int = 42, start: int = 0) -> pa.Table:
     for k in range(n_docs):
         b, L = base[k], int(n_words[k])
         hw = _h(seed + 3, np.full(L, b, dtype=np.uint64), np.arange(L, dtype=np.uint64))
-        # skew the word distribution: u² mapping concentrates mass at low ids
+        # skew the word distribution: u² mapping concentrates mass at low ids.
+        # clamp: float64 spacing at 2^64 is 4096, so a hash within 2048 of
+        # 2^64 rounds frac to exactly 1.0 and idx to VOCAB (out of bounds)
         frac = hw.astype(np.float64) / float(1 << 64)
-        idx = (frac * frac * VOCAB).astype(np.int64)
+        idx = np.minimum((frac * frac * VOCAB).astype(np.int64), VOCAB - 1)
         ws = words[idx]
         if sel[k] >= 90 and base[k] != ids[k]:  # near-dup: rewrite 3 positions
             pos = (_h(seed + 4, np.full(3, ids[k], dtype=np.uint64),

@@ -398,16 +398,12 @@ def encode_table_sorted(
     murmur3 pre-images (``with_range_partition``) — bit-identical blocks on
     every run and every cluster size."""
     spark = df.sparkSession
-    resumed = mf.read_plan(out_dir) if mf.completed_partitions(out_dir) else None
-    if (
-        resumed is None
-        and os.path.exists(os.path.join(out_dir, mf.PLAN_FILE))
-        and mf.completed_partitions(out_dir)
-    ):
-        raise ValueError(
-            f"corrupt {mf.PLAN_FILE} beside completed partitions in {out_dir}; "
-            "restore it or clear the dataset before re-encoding"
-        )
+    # require=True: every sorted dataset writes its range plan before any
+    # data moves, so completed sidecars WITHOUT a plan mean the dataset was
+    # written by a different path — raising here (before write_plan below)
+    # keeps a mistaken sorted call from stamping a foreign dataset with a
+    # range plan that would then block its legitimate resume
+    resumed = mf.read_plan_checked(out_dir, require=True)
     if resumed is not None:
         if resumed.get("mode") != "range":
             raise ValueError(
@@ -486,19 +482,9 @@ def encode_table(
     #      semantics: re-encoding the same table re-uses its size stats)
     #   3. a fresh bounded planning scan, persisted before any data moves so
     #      a crash at any point resumes consistently
-    resumed_plan = mf.read_plan(out_dir) if mf.completed_partitions(out_dir) else None
-    if (
-        resumed_plan is None
-        and os.path.exists(os.path.join(out_dir, mf.PLAN_FILE))
-        and mf.completed_partitions(out_dir)
-    ):
-        # _plan.json present but unreadable beside completed sidecars: a
-        # silent re-plan could assign a DIFFERENT layout and the anti-join
-        # would drop/duplicate rows — fail loudly instead
-        raise ValueError(
-            f"corrupt {mf.PLAN_FILE} beside completed partitions in {out_dir}; "
-            "restore it or clear the dataset before re-encoding"
-        )
+    # require=False: plan-less resumes are legitimate here (the distributed-
+    # window path persists no map), but an unreadable plan fails loudly
+    resumed_plan = mf.read_plan_checked(out_dir)
     cache_key = None
     prev_plan = resumed_plan
     if resumed_plan is not None:

@@ -101,6 +101,39 @@ def read_plan(out_dir: str) -> dict | None:
         return None
 
 
+def read_plan_checked(out_dir: str, require: bool = False) -> dict | None:
+    """Resume-time plan read with the fail-loudly contract shared by every
+    encode path: if completed sidecars exist, a plan file that is missing-
+    but-expected (``require=True`` — e.g. the sorted path always writes its
+    plan first, so its absence means the dataset was written by a DIFFERENT
+    path), unreadable, or not a JSON object raises instead of letting a
+    silent re-plan assign a different layout (the anti-join would then drop
+    or duplicate rows).  Returns None when there is nothing to resume."""
+    if not completed_partitions(out_dir):
+        return None
+    plan = read_plan(out_dir)
+    if plan is None:
+        if os.path.exists(os.path.join(out_dir, PLAN_FILE)):
+            raise ValueError(
+                f"corrupt {PLAN_FILE} beside completed partitions in {out_dir}; "
+                "restore it or clear the dataset before re-encoding"
+            )
+        if require:
+            raise ValueError(
+                f"{out_dir} has completed partitions but no {PLAN_FILE} — it was "
+                "written by a different encode path; resume it with that path "
+                "or clear the dataset"
+            )
+        return None
+    if not isinstance(plan, dict):
+        raise ValueError(
+            f"corrupt {PLAN_FILE} beside completed partitions in {out_dir} "
+            f"(expected a JSON object, got {type(plan).__name__}); restore it "
+            "or clear the dataset before re-encoding"
+        )
+    return plan
+
+
 def write_codec_plans(out_dir: str, plans: dict) -> None:
     """Persist the job-level per-column codec plans (pinned codec names +
     base64 FSST symbol tables) beside the manifest, atomically.  Written

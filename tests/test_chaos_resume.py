@@ -154,3 +154,21 @@ def test_compact_kill_rerun_converges(spark, token_df, tmp_path, mode):
     for x, y in zip(a["tokens"].values, b["tokens"].values):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_sorted_on_maponly_dataset_refuses_without_stamping_plan(spark, token_df, tmp_path):
+    """A mistaken sorted call against a map-only dataset (completed sidecars,
+    no _plan.json) must raise BEFORE writing its range plan — otherwise the
+    stale foreign plan would block the dataset's legitimate resume path."""
+    from rugo_spark.engine import encode_table_maponly
+
+    out = str(tmp_path / "mo")
+    encode_table_maponly(token_df.repartition(4), out, size_col="n_tok")
+    os.remove(mf.sidecar_path(out, 0))
+    with pytest.raises(ValueError, match="different encode path"):
+        encode_table_sorted(token_df, out, key_col="doc_id", num_partitions=4,
+                            size_col="n_tok")
+    assert not os.path.exists(os.path.join(out, mf.PLAN_FILE)), "foreign plan stamped"
+    # the legitimate resume still works afterwards
+    encode_table_maponly(token_df.repartition(4), out, size_col="n_tok")
+    assert len(mf.completed_partitions(out)) == 4

@@ -52,3 +52,35 @@ def test_roundtrip_content(spark, tmp_out):
     pd.testing.assert_frame_equal(
         got, pdf.sort_values("doc_id").reset_index(drop=True), check_dtype=False
     )
+
+
+def test_murmur3_int32_matches_spark_hash(spark):
+    """The routing identity everything rests on: murmur3_int32(j) must equal
+    Spark's ``F.hash(j int)`` (HashPartitioning's Murmur3, seed 42) — and
+    repartition placement must equal pmod(hash, n) — or task id != bucket id
+    and blocks silently merge key ranges."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import spark_partition_id
+
+    from rugo_spark.partitioning import hash_routes, murmur3_int32
+
+    rows = (
+        spark.range(0, 512)
+        .select(F.col("id").cast("int").alias("j"))
+        .withColumn("h", F.hash("j"))
+        .collect()
+    )
+    assert all(murmur3_int32(r["j"]) == r["h"] for r in rows)
+    n = 7
+    placed = (
+        spark.range(0, 128)
+        .select(F.col("id").cast("int").alias("j"))
+        .repartition(n, "j")
+        .select("j", spark_partition_id().alias("p"))
+        .collect()
+    )
+    assert all(r["p"] == murmur3_int32(r["j"]) % n for r in placed)
+    # routes are valid pre-images for every bucket
+    for nn in (1, 2, 5, 32, 256):
+        routes = hash_routes(nn)
+        assert [murmur3_int32(j) % nn for j in routes] == list(range(nn))
