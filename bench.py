@@ -256,7 +256,7 @@ def main() -> None:
     from rugo_spark.ops.dedup import dedup_clusters, minhash_lsh_candidates
 
     n_ddocs = max(20_000, int(6_000_000 * sf))  # 600k at sf0.1
-    doc_src = os.path.join(SCRATCH, f"docs_{n_ddocs}_f64.parquet")
+    doc_src = os.path.join(SCRATCH, f"docs_v2_{n_ddocs}_f64.parquet")  # v2: dup chains resolved
     # _SUCCESS gate, not isdir: an interrupted first write leaves a partial
     # directory that would silently deflate every later run's doc count
     if not os.path.exists(os.path.join(doc_src, "_SUCCESS")):

@@ -333,6 +333,13 @@ class RugoStreamWriter(DataSourceStreamArrowWriter):
                 epoch_dir, mf.BLOCKS_DIR, os.path.basename(dst)
             )
             mf.write_sidecar(tmp_dir, row)
+        # completeness marker INSIDE the staged dir: the atomic rename below
+        # publishes epoch + marker together, so decode_batches sees this
+        # epoch the instant (and only the instant) it is whole
+        from rugo_spark.streaming import EPOCH_MARKER
+
+        with open(os.path.join(tmp_dir, EPOCH_MARKER), "w") as f:
+            f.write(str(batchId))
         # a replayed epoch is a FULL replacement: drop any previous attempt
         # (retry with fewer partitions must not leave stale blocks), then
         # publish with one rename

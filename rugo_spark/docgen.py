@@ -71,9 +71,25 @@ def doc_batch(n_docs: int, seed: int = 42, start: int = 0) -> pa.Table:
     ids = np.arange(start, start + n_docs, dtype=np.uint64)
     u = _h(seed, ids)
     sel = (u % np.uint64(100)).astype(np.int64)
-    # base id: self for unique docs; an earlier doc (within 1000) for dups
+    # base id: self for unique docs; an earlier doc (within 1000) for dups.
+    # Resolve CHAINS to a fixed point: a base that is itself a dup renders
+    # its own base's words, so stopping after one hop would generate text
+    # that duplicates no existing doc (~20% of dup picks) and the realized
+    # exact-dup fraction would silently undershoot the documented ~10%.
+    # Pure function of the id → still slice-deterministic.
     back = np.uint64(1) + (_h(seed + 1, ids) % np.uint64(1000))
     base = np.where(sel < 80, ids, np.maximum(np.int64(0), ids.astype(np.int64) - back.astype(np.int64)).astype(np.uint64))
+    for _ in range(64):  # P(chain > 64 hops) ~ 0.2^64
+        bsel = (_h(seed, base) % np.uint64(100)).astype(np.int64)
+        bback = np.uint64(1) + (_h(seed + 1, base) % np.uint64(1000))
+        nxt = np.where(
+            (bsel < 80) | (base == 0),
+            base,
+            np.maximum(np.int64(0), base.astype(np.int64) - bback.astype(np.int64)).astype(np.uint64),
+        )
+        if np.array_equal(nxt, base):
+            break
+        base = nxt
     n_words = (30 + (_h(seed + 2, base) % np.uint64(41)).astype(np.int64))
     texts = []
     for k in range(n_docs):
@@ -97,7 +113,9 @@ def doc_batch(n_docs: int, seed: int = 42, start: int = 0) -> pa.Table:
     lang = np.array(LANGS)[np.minimum(lang_pick, 3)]  # 0-3 → de/fr/es only on 1,2,3
     lang = np.where(lang_pick >= 4, "en", lang)
     source = np.array(SOURCES)[(_h(seed + 7, ids) % np.uint64(5)).astype(np.int64)]
-    doc_id = np.char.add("d-", np.char.zfill(ids.astype("U12"), 12))
+    # U20: a U12 cast TRUNCATES ids >= 10^12 to colliding strings; 14-digit
+    # zfill keeps ordering for any corpus this generator can address
+    doc_id = np.char.add("d-", np.char.zfill(ids.astype("U20"), 14))
     return pa.table(
         {
             "doc_id": pa.array(doc_id),

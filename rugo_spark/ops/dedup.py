@@ -116,6 +116,12 @@ def minhash_lsh_candidates(
     """
     from pyspark.sql.window import Window
 
+    if n_hashes % n_bands != 0:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by n_bands ({n_bands}): "
+            "trailing signature slots would be computed but never banded, "
+            "silently changing the (bands, rows) sensitivity curve"
+        )
     rows_per_band = n_hashes // n_bands
     # materialize the shingle array behind a projection boundary BEFORE the
     # signature: inlining char_shingles into minhash_signature makes Catalyst
@@ -295,6 +301,19 @@ def connected_components(
         labels = new_labels
         if n_changed == 0:
             break
+    else:
+        # pointer jumping converges in O(log diameter) rounds, so hitting
+        # max_iter means a pathological component — surface it rather than
+        # silently returning split clusters
+        import sys
+
+        print(
+            f"rugo_spark.dedup.connected_components: label propagation did "
+            f"not converge within max_iter={max_iter} rounds; {n_changed} "
+            "labels still changing — returned clusters may be split. "
+            "Raise max_iter (each round is two joins + a groupBy).",
+            file=sys.stderr,
+        )
     return labels.withColumnRenamed("lbl", "cluster_id")
 
 
@@ -368,10 +387,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
             # ±1 votes per bit, segmented by document
             starts = np.zeros(len(lengths), dtype=np.int64)
             np.cumsum(lengths[:-1], out=starts[1:])
+            # clip: a TRAILING zero-length doc makes its start == len(vote),
+            # which reduceat rejects (index out of bounds); the clipped
+            # segment's garbage sum is masked by the lengths==0 zeroing
+            # below, same as the mid-batch zero-length case
+            starts_c = np.minimum(starts, max(len(h) - 1, 0))
             fp = np.zeros(len(lengths), dtype=np.uint64)
             for b in range(bits):
                 vote = (((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1)
-                seg = np.add.reduceat(vote, starts) if len(vote) else np.zeros(len(lengths), np.int64)
+                seg = np.add.reduceat(vote, starts_c) if len(vote) else np.zeros(len(lengths), np.int64)
                 seg[lengths == 0] = 0
                 fp |= (seg > 0).astype(np.uint64) << np.uint64(b)
             yield pa.RecordBatch.from_arrays(

@@ -122,6 +122,10 @@ def with_partition_id(
             num_partitions = int(plan_map["num_partitions"])
         elif num_partitions is None:
             # avoid 1-row blocks on tiny tables: cap by a row-count target
+            # count() here is an extra planning job, but a cheap one for the
+            # common parquet case: the scan projects zero columns, so tasks
+            # read footers/page headers, not data.  Callers on non-columnar
+            # sources who care should pass num_partitions explicitly.
             n_rows = df.count()
             per_part = max(1, (target_mass or 1_000_000) // 256)  # ≈ rows/partition
             num_partitions = max(
@@ -171,6 +175,14 @@ def with_partition_id(
         n_hist = len(pdf)
     except Exception:
         n_hist = _DRIVER_MAP_LIMIT + 1
+    if n_hist == 0:
+        # empty input (or everything filtered upstream): degrade to the
+        # trivial hash plan instead of emitting mismatched plan arrays —
+        # encoding an empty table is a clean no-op with a resumable plan
+        num_partitions = int(num_partitions or 1)
+        pid = F.pmod(key_expr, F.lit(num_partitions)).cast("int")
+        plan_out = {"mode": "hash", "num_partitions": num_partitions, "total_mass": 0}
+        return df.withColumn("__rugo_pid", pid), num_partitions, 0, plan_out
     if n_hist <= _DRIVER_MAP_LIMIT:
         # driver-side finish: the histogram is catalog-stats-sized metadata
         # (NOT row data) — numpy replaces three Spark jobs
@@ -241,7 +253,15 @@ def _join_map(df, map_df, size_col, key_expr, num_partitions) -> DataFrame:
     them; by construction they are rare, so balance is preserved)."""
     size_key = F.least(F.coalesce(F.col(size_col).cast("long"), F.lit(0)), F.lit(_SIZE_CLIP))
     u = F.pmod(key_expr, F.lit(_HASH_RES)).cast("double") / F.lit(float(_HASH_RES))
-    pos = F.coalesce(F.col("__rugo_cum") + F.col("__rugo_frac") * u, u)
+    # frac==0 buckets (zero-size/null rows) carry no mass, so the salt term
+    # vanishes and ALL of them would collapse onto one partition — a
+    # row-count/serialization hot spot on corpora with many empty docs.
+    # Give them the same hash-uniform placement as unseen sizes: mass
+    # balance is unaffected (they weigh nothing), row counts spread evenly.
+    pos = F.coalesce(
+        F.when(F.col("__rugo_frac") > 0, F.col("__rugo_cum") + F.col("__rugo_frac") * u),
+        u,
+    )
     pid = F.least(
         F.lit(num_partitions - 1), F.floor(F.lit(float(num_partitions)) * pos)
     ).cast("int")
