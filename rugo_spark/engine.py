@@ -451,6 +451,125 @@ def encode_table_sorted(
     )
 
 
+APPEND_BAND = 1_000_000  # partition-id band reserved per append session
+
+
+def _append_schema_ok(ds_schema, in_schema) -> bool:
+    """Exact name/type equality, ONE-WAY nullability: an append whose column
+    forbids nulls may land in a nullable dataset column, but an append that
+    allows nulls into a non-null dataset column would break the dataset's
+    own invariant — reject.  Applied recursively (arrays/structs/maps)."""
+
+    def strip(node):
+        if isinstance(node, dict):
+            return {
+                k: strip(v)
+                for k, v in node.items()
+                if k not in ("nullable", "containsNull", "valueContainsNull")
+            }
+        if isinstance(node, list):
+            return [strip(v) for v in node]
+        return node
+
+    def nulls_ok(ds_node, in_node) -> bool:
+        if isinstance(ds_node, dict) and isinstance(in_node, dict):
+            for k in ("nullable", "containsNull", "valueContainsNull"):
+                if in_node.get(k, False) and not ds_node.get(k, False) and k in ds_node:
+                    return False
+            return all(
+                nulls_ok(ds_node.get(k), in_node.get(k))
+                for k in ds_node
+                if isinstance(ds_node.get(k), (dict, list))
+            )
+        if isinstance(ds_node, list) and isinstance(in_node, list):
+            return len(ds_node) == len(in_node) and all(
+                nulls_ok(a, b) for a, b in zip(ds_node, in_node)
+            )
+        return True
+
+    return strip(ds_schema) == strip(in_schema) and nulls_ok(ds_schema, in_schema)
+
+
+def append_table(
+    df: DataFrame,
+    out_dir: str,
+    sort_key: str | None = None,
+    size_col: str | None = None,
+    plans: dict | None = None,
+) -> DataFrame:
+    """Append rows to an EXISTING encoded dataset (the Iceberg-append /
+    lakehouse-ingest analog): each input split becomes one new block in a
+    fresh partition-id band; every existing block, sidecar, bloom and stat
+    is untouched, so readers see the old rows plus the new ones with no
+    rewrite.
+
+    Mechanics: the append reserves band ``B = (max_pid//10^6 + 1) * 10^6``
+    and persists that reservation (keyed by the input fingerprint) under
+    ``_appends/`` BEFORE any data moves — a crashed append re-runs with the
+    SAME band and skips its completed partitions, bit-identical, instead of
+    re-deriving a shifted base from the partially-appended max pid.  Schema
+    must match the dataset exactly (no silent widening).  Appending to a
+    range-sorted dataset keeps per-block min/max pruning correct but breaks
+    dataset-wide key disjointness — run ``compact_dataset(sort_key=...)``
+    afterwards to restore clustering.  Single writer per dataset, like the
+    rest of the manifest layer.
+
+    Returns the manifest rows of THIS append's band."""
+    spark = df.sparkSession
+    prev = mf.read_schema_payload(out_dir)
+    existing = mf.completed_partitions(out_dir)
+    if prev is None or not existing:
+        raise ValueError(
+            f"{out_dir} is not an existing encoded dataset — use encode_table/"
+            "encode_table_maponly to create one before appending"
+        )
+    if not _append_schema_ok(prev.get("spark_schema"), json.loads(df.schema.json())):
+        raise ValueError(
+            f"append schema mismatch for {out_dir}: dataset has "
+            f"{json.dumps(prev.get('spark_schema'))[:200]}…, append input has "
+            f"{df.schema.json()[:200]}… (names/types must match exactly; the "
+            "append may be stricter on nullability, never looser)"
+        )
+    fp = _input_fingerprint(df)
+    appends_dir = os.path.join(out_dir, "_appends")
+    os.makedirs(appends_dir, exist_ok=True)
+    marker = os.path.join(appends_dir, f"append-{fp[:16]}.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            base = int(json.load(f)["base"])
+    else:
+        max_pid = max(int(r["partition_id"]) for r in existing)
+        base = (max_pid // APPEND_BAND + 1) * APPEND_BAND
+        _atomic_write(marker, json.dumps({"base": base, "fingerprint": fp}).encode())
+    blocks_dir = os.path.join(out_dir, mf.BLOCKS_DIR)
+
+    def encoder(batches):
+        from pyspark import TaskContext
+
+        pid = base + TaskContext.get().partitionId()
+        if os.path.exists(mf.sidecar_path(out_dir, pid)):
+            return  # resume: this append already encoded the split
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
+        path = os.path.join(blocks_dir, f"part-{pid:06d}.rgb")
+        row = encode_block_row(
+            tbl, path, pid, sort_key=sort_key, size_col=size_col, plans=plans
+        )
+        mf.write_sidecar(out_dir, row)
+        yield pa.RecordBatch.from_pylist(
+            [{k: row[k] for k in mf.MANIFEST_ARROW.names}], schema=mf.MANIFEST_ARROW
+        )
+
+    df.mapInArrow(encoder, mf.MANIFEST_DDL).write.mode("append").format("noop").save()
+    import pyspark.sql.functions as F
+
+    return manifest_df(spark, out_dir).filter(
+        (F.col("partition_id") >= base) & (F.col("partition_id") < base + APPEND_BAND)
+    )
+
+
 def encode_table(
     df: DataFrame,
     out_dir: str,
