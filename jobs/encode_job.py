@@ -12,7 +12,9 @@ Cluster usage (the north-rule submission shape):
 
 Resumable: re-running with the same --output skips completed partitions
 (manifest sidecar anti-join).  ``--decode-verify`` round-trips a sample and
-asserts token-array equality.
+asserts token-array equality.  ``--append`` lands the input as NEW blocks in
+a reserved partition-id band of an existing dataset (Iceberg-append analog;
+crash-resume replays the same band) instead of resuming/overwriting it.
 """
 
 from __future__ import annotations
@@ -29,13 +31,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--key-col", default="doc_id")
     p.add_argument("--size-col", default="n_tok")
     p.add_argument("--num-partitions", type=int, default=None)
-    p.add_argument("--target-tokens", type=int, default=32_000_000,
-                   help="per-partition token budget when --num-partitions is unset")
+    p.add_argument("--target-tokens", type=int, default=None,
+                   help="per-partition token budget when --num-partitions is "
+                        "unset (default 32000000)")
     p.add_argument("--decode-verify", action="store_true")
+    p.add_argument("--append", action="store_true",
+                   help="append into an existing dataset (new partition-id band)")
     p.add_argument("--master", default=None, help="override master (local testing)")
     args = p.parse_args(argv)
+    if args.append and (args.num_partitions is not None or args.target_tokens is not None):
+        p.error("--append takes the input's split layout as-is: "
+                "--num-partitions/--target-tokens have no effect there — drop "
+                "them, or repartition the input before appending")
 
-    from rugo_spark.engine import decode_table, encode_table
+    from rugo_spark.engine import append_table, decode_table, encode_table
     from rugo_spark.io import read_table
     from rugo_spark.session import get_spark
 
@@ -47,14 +56,22 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: cannot read --input {args.input}: {e}", file=sys.stderr)
         spark.stop()
         return 2
-    man = encode_table(
-        df,
-        args.output,
-        key_col=args.key_col,
-        size_col=args.size_col if args.size_col in df.columns else None,
-        num_partitions=args.num_partitions,
-        target_tokens=args.target_tokens,
-    )
+    if args.append:
+        man = append_table(
+            df,
+            args.output,
+            sort_key=args.key_col,
+            size_col=args.size_col if args.size_col in df.columns else None,
+        )
+    else:
+        man = encode_table(
+            df,
+            args.output,
+            key_col=args.key_col,
+            size_col=args.size_col if args.size_col in df.columns else None,
+            num_partitions=args.num_partitions,
+            target_tokens=args.target_tokens or 32_000_000,
+        )
     import pyspark.sql.functions as F
 
     stats = man.agg(
@@ -68,7 +85,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.decode_verify:
         dec = decode_table(spark, args.output)
         n = dec.count()
-        assert n == summary["rows"], f"decode rows {n} != encoded {summary['rows']}"
+        if args.append:
+            # the summary counts only this append's band; verify against the
+            # WHOLE dataset's manifest accounting
+            from rugo_spark.engine import manifest_df
+
+            want = int(manifest_df(spark, args.output).agg(F.sum("n_rows")).first()[0])
+        else:
+            want = summary["rows"]
+        assert n == want, f"decode rows {n} != manifest {want}"
         summary["decode_verified_rows"] = n
     print(json.dumps(summary))
     spark.stop()

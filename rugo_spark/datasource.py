@@ -122,7 +122,7 @@ class RugoReader(DataSourceReader):
         parts = [
             RugoInputPartition(row["block_path"], int(row["checksum"]))
             for root in self.roots
-            for row in mf.completed_partitions(root)
+            for row in mf.visible_partitions(root)
             if _sidecar_keep(row, self.filters or None)
         ]
         # Spark requires ≥1 partition; an empty/full-pruned dataset reads as
@@ -237,7 +237,17 @@ class RugoWriter(DataSourceArrowWriter):
             offset = 0
         else:
             done = mf.completed_partitions(self.out_dir)
-            offset = 1 + max((int(r["partition_id"]) for r in done), default=-1)
+            # allocate ABOVE every append-band reservation too: landing
+            # inside a reserved band would let a crashed append_table's
+            # resume skip splits it never wrote (pids taken by this writer)
+            reserved_ends = [
+                int(m["base"]) + mf.APPEND_BAND - 1
+                for m in mf.append_reservations(self.out_dir)
+                if int(m.get("base", -1)) >= 0
+            ]
+            offset = 1 + max(
+                [int(r["partition_id"]) for r in done] + reserved_ends + [-1]
+            )
         arrow_schema = pa.ipc.read_schema(pa.py_buffer(self._arrow_schema_bytes))
         mf.write_schema(self.out_dir, arrow_schema, self._schema_json)
         for row in rows:

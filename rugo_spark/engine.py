@@ -287,6 +287,23 @@ def _input_fingerprint(df: DataFrame) -> str:
     import hashlib
 
     files = sorted(df.inputFiles())
+    # best-effort content signal for driver-statable files: size + mtime
+    # catch an in-place overwrite of a same-named input (same file list and
+    # plan hash), which would otherwise read as "same input" — a resume
+    # would silently skip it and an append would silently no-op (review r4).
+    # Non-local URIs contribute path-only, as before.
+    import urllib.parse
+
+    sig = []
+    for f in files:
+        p = urllib.parse.urlparse(f).path if f.startswith("file:") else (
+            f if f.startswith("/") else None
+        )
+        try:
+            st = os.stat(p) if p else None
+        except OSError:
+            st = None
+        sig.append([f, st.st_size, st.st_mtime_ns] if st else [f])
     conf = df.sparkSession.conf
     max_bytes = _conf_get(conf, "spark.sql.files.maxPartitionBytes", "")
     # semanticHash: canonicalized logical plan, computed WITHOUT executing the
@@ -294,7 +311,7 @@ def _input_fingerprint(df: DataFrame) -> str:
     # repartition()/plan changes on non-file inputs too
     blob = json.dumps(
         {
-            "files": files,
+            "files": sig,
             "maxPartitionBytes": max_bytes,
             "defaultParallelism": df.sparkSession.sparkContext.defaultParallelism,
             "plan": df.semanticHash(),
@@ -346,12 +363,21 @@ def encode_table_maponly(
                     "pass on_layout_change='clear' to re-encode from scratch"
                 )
     mf.write_schema(out_dir, _arrow_schema_of(df), df.schema.json(), extra={"input_fingerprint": fp})
+    encoder = _split_encoder(out_dir, sort_key, size_col, plans)
+    df.mapInArrow(encoder, mf.MANIFEST_DDL).write.mode("overwrite").format("noop").save()
+    return manifest_df(spark, out_dir)
+
+
+def _split_encoder(out_dir, sort_key, size_col, plans, pid_base: int = 0):
+    """One-split-one-block encoder closure shared by the map-only and append
+    paths (``pid_base`` offsets the append band).  Skip-if-sidecar-exists is
+    the per-split resume contract."""
     blocks_dir = os.path.join(out_dir, mf.BLOCKS_DIR)
 
     def encoder(batches):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        pid = pid_base + TaskContext.get().partitionId()
         if os.path.exists(mf.sidecar_path(out_dir, pid)):
             return  # resume: split already encoded
         batch_list = list(batches)
@@ -367,8 +393,7 @@ def encode_table_maponly(
             [{k: row[k] for k in mf.MANIFEST_ARROW.names}], schema=mf.MANIFEST_ARROW
         )
 
-    df.mapInArrow(encoder, mf.MANIFEST_DDL).write.mode("overwrite").format("noop").save()
-    return manifest_df(spark, out_dir)
+    return encoder
 
 
 def encode_table_sorted(
@@ -451,7 +476,7 @@ def encode_table_sorted(
     )
 
 
-APPEND_BAND = 1_000_000  # partition-id band reserved per append session
+APPEND_BAND = mf.APPEND_BAND  # partition-id band reserved per append session
 
 
 def _append_schema_ok(ds_schema, in_schema) -> bool:
@@ -462,10 +487,12 @@ def _append_schema_ok(ds_schema, in_schema) -> bool:
 
     def strip(node):
         if isinstance(node, dict):
+            # metadata carries comments/provenance, not layout — two columns
+            # with identical names/types must not be rejected over it
             return {
                 k: strip(v)
                 for k, v in node.items()
-                if k not in ("nullable", "containsNull", "valueContainsNull")
+                if k not in ("nullable", "containsNull", "valueContainsNull", "metadata")
             }
         if isinstance(node, list):
             return [strip(v) for v in node]
@@ -503,16 +530,30 @@ def append_table(
     is untouched, so readers see the old rows plus the new ones with no
     rewrite.
 
-    Mechanics: the append reserves band ``B = (max_pid//10^6 + 1) * 10^6``
-    and persists that reservation (keyed by the input fingerprint) under
-    ``_appends/`` BEFORE any data moves — a crashed append re-runs with the
-    SAME band and skips its completed partitions, bit-identical, instead of
-    re-deriving a shifted base from the partially-appended max pid.  Schema
-    must match the dataset exactly (no silent widening).  Appending to a
-    range-sorted dataset keeps per-block min/max pruning correct but breaks
-    dataset-wide key disjointness — run ``compact_dataset(sort_key=...)``
-    afterwards to restore clustering.  Single writer per dataset, like the
-    rest of the manifest layer.
+    Commit protocol (review-hardened, r4):
+
+    - the append reserves the next free partition-id band ABOVE every
+      completed block and every prior reservation, persisting the
+      reservation (keyed by the input fingerprint, which includes local
+      file size+mtime — an in-place overwrite of a same-named input is a
+      NEW append, not a silent no-op) under ``_appends/`` before any data
+      moves;
+    - a crashed append re-runs with the SAME band and skips its completed
+      partitions bit-identically;
+    - readers (decode/manifest/stats/metadata_agg/format('rugo')/compact)
+      see NOTHING of the band until the completion marker flips as the
+      last step — old rows only, then old plus all new, never a torn
+      middle (``manifest.visible_partitions``);
+    - a second append while another session's band is incomplete raises
+      (single-writer: allocating around a crashed band would strand it,
+      and sharing it would lose rows on the first session's resume).
+
+    Schema must match the dataset exactly on names/types (field metadata
+    ignored; nullability may only tighten).  Appending to a range-sorted
+    dataset keeps per-block min/max pruning correct but breaks dataset-wide
+    key disjointness — run ``compact_dataset(sort_key=...)`` afterwards to
+    restore clustering (compaction also rewrites ids densely, reclaiming
+    band space).
 
     Returns the manifest rows of THIS append's band."""
     spark = df.sparkSession
@@ -531,38 +572,54 @@ def append_table(
             "append may be stricter on nullability, never looser)"
         )
     fp = _input_fingerprint(df)
-    appends_dir = os.path.join(out_dir, "_appends")
+    appends_dir = os.path.join(out_dir, mf.APPENDS_DIR)
     os.makedirs(appends_dir, exist_ok=True)
     marker = os.path.join(appends_dir, f"append-{fp[:16]}.json")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            base = int(json.load(f)["base"])
+    reservations = mf.append_reservations(out_dir)
+    mine = next((m for m in reservations if m["_path"] == marker), None)
+    if mine is not None:
+        base = int(mine["base"])
+        if base < 0:
+            raise ValueError(
+                f"corrupt append marker {marker}; remove it (and any "
+                "sidecars/blocks in its band) before re-appending"
+            )
     else:
-        max_pid = max(int(r["partition_id"]) for r in existing)
+        # single-writer gate: a DIFFERENT append session that reserved a band
+        # and never completed is either still running or crashed mid-write —
+        # allocating around it would strand its partial band forever (and a
+        # zero-progress crash would let two sessions share a band: silent
+        # row loss on the first session's resume).  Fail loudly instead.
+        stale = [m for m in reservations if not m["complete"]]
+        if stale:
+            raise ValueError(
+                f"{out_dir} has {len(stale)} incomplete append session(s) "
+                f"(e.g. band {stale[0].get('base')}, fingerprint "
+                f"{str(stale[0].get('fingerprint'))[:16]}…): resume that append "
+                "with its original input, or delete its marker under "
+                f"{mf.APPENDS_DIR}/ plus any part-* sidecars/blocks in its "
+                "band, then retry"
+            )
+        max_pid = max(
+            [int(r["partition_id"]) for r in existing]
+            + [int(m["base"]) + mf.APPEND_BAND - 1 for m in reservations]
+        )
         base = (max_pid // APPEND_BAND + 1) * APPEND_BAND
+        if base + APPEND_BAND > 2**31:
+            raise ValueError(
+                f"append band {base} would overflow the manifest's int32 "
+                "partition ids (~2000 append sessions): compact the dataset "
+                "(compact_dataset rewrites ids densely and clears append "
+                "markers) to reclaim the id space"
+            )
         _atomic_write(marker, json.dumps({"base": base, "fingerprint": fp}).encode())
-    blocks_dir = os.path.join(out_dir, mf.BLOCKS_DIR)
-
-    def encoder(batches):
-        from pyspark import TaskContext
-
-        pid = base + TaskContext.get().partitionId()
-        if os.path.exists(mf.sidecar_path(out_dir, pid)):
-            return  # resume: this append already encoded the split
-        batch_list = list(batches)
-        if not batch_list:
-            return
-        tbl = pa.Table.from_batches(batch_list)
-        path = os.path.join(blocks_dir, f"part-{pid:06d}.rgb")
-        row = encode_block_row(
-            tbl, path, pid, sort_key=sort_key, size_col=size_col, plans=plans
-        )
-        mf.write_sidecar(out_dir, row)
-        yield pa.RecordBatch.from_pylist(
-            [{k: row[k] for k in mf.MANIFEST_ARROW.names}], schema=mf.MANIFEST_ARROW
-        )
-
+    encoder = _split_encoder(out_dir, sort_key, size_col, plans, pid_base=base)
     df.mapInArrow(encoder, mf.MANIFEST_DDL).write.mode("append").format("noop").save()
+    # commit: flip the completion marker LAST — readers (visible_partitions)
+    # surface the whole band atomically, never a torn prefix
+    _atomic_write(
+        marker, json.dumps({"base": base, "fingerprint": fp, "complete": True}).encode()
+    )
     import pyspark.sql.functions as F
 
     return manifest_df(spark, out_dir).filter(
@@ -978,7 +1035,7 @@ def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
 
     from pyspark.sql.types import StructType
 
-    rows = mf.completed_partitions(out_dir)
+    rows = mf.visible_partitions(out_dir)
     spark_schema = StructType.fromDDL(mf.MANIFEST_DDL)
     if not rows:
         return spark.createDataFrame([], spark_schema)
@@ -994,7 +1051,7 @@ def stats_df(spark: SparkSession, out_dir: str) -> DataFrame:
     import pandas as pd
 
     rows = []
-    for r in mf.completed_partitions(out_dir):
+    for r in mf.visible_partitions(out_dir):
         for col, m in json.loads(r["codecs"]).items():
             rows.append(
                 {
@@ -1128,12 +1185,25 @@ def metadata_agg(
         if os.path.isdir(mdir)
         else []
     )
+    bands = mf.incomplete_append_bands(out_dir)
+    if bands:  # torn append bands are invisible to stats, like every reader
+
+        def _pid(name: str) -> int:
+            try:
+                return int(name[len("part-"):-len(".json")])
+            except ValueError:
+                return -1
+
+        names = [
+            n for n in names
+            if not any(lo <= _pid(n) < hi for lo, hi in bands)
+        ]
     if distributed is None:
         distributed = len(names) > 20_000
     if distributed:
         partials = _metadata_partials_distributed(spark, mdir, names, cols)
     else:
-        partials = mf.completed_partitions(out_dir)
+        partials = mf.visible_partitions(out_dir)
 
     n_rows = sum(int(r["n_rows"]) for r in partials)
     n_tokens = sum(int(r.get("n_tokens") or 0) for r in partials)
@@ -1248,7 +1318,7 @@ def compact_dataset(
 
     _shutil.rmtree(os.path.join(dst_dir, mf.MANIFEST_DIR), ignore_errors=True)
     _shutil.rmtree(os.path.join(dst_dir, mf.BLOCKS_DIR), ignore_errors=True)
-    rows = sorted(mf.completed_partitions(src_dir), key=lambda r: int(r["partition_id"]))
+    rows = sorted(mf.visible_partitions(src_dir), key=lambda r: int(r["partition_id"]))
     if not rows:
         raise ValueError(f"nothing to compact: {src_dir} has no completed partitions")
     arrow_schema, spark_schema = mf.read_schema(src_dir)
@@ -1538,7 +1608,7 @@ def decode_table(
         if num_tasks:  # else decode runs on the planner's partitioning (no shuffle)
             man = man.repartition(max(1, min(int(num_tasks), 4096)))
     else:
-        completed = [r for r in mf.completed_partitions(out_dir) if _sidecar_keep(r, filters)]
+        completed = [r for r in mf.visible_partitions(out_dir) if _sidecar_keep(r, filters)]
         if not completed:
             return spark.createDataFrame([], out_schema)
         pdf = pd.DataFrame(

@@ -194,6 +194,61 @@ def completed_partitions(out_dir: str) -> list[dict]:
     return rows
 
 
+APPENDS_DIR = "_appends"
+APPEND_BAND = 1_000_000  # partition-id band reserved per append session
+
+
+def append_reservations(out_dir: str) -> list[dict]:
+    """All append band reservations (``_appends/append-*.json``), each
+    ``{"base": int, "fingerprint": str, "complete": bool}``; unreadable
+    markers surface as incomplete reservations with base -1 so allocation
+    fails safe."""
+    adir = os.path.join(out_dir, APPENDS_DIR)
+    if not os.path.isdir(adir):
+        return []
+    out = []
+    for name in sorted(os.listdir(adir)):
+        if not (name.startswith("append-") and name.endswith(".json")):
+            continue
+        path = os.path.join(adir, name)
+        try:
+            with open(path) as f:
+                m = json.load(f)
+            m.setdefault("complete", False)
+            m["_path"] = path
+            out.append(m)
+        except (json.JSONDecodeError, OSError):
+            out.append({"base": -1, "fingerprint": "?", "complete": False, "_path": path})
+    return out
+
+
+def incomplete_append_bands(out_dir: str) -> list[tuple[int, int]]:
+    """[start, end) partition-id ranges of append sessions that have NOT
+    flipped their completion marker — readers must not surface these."""
+    return [
+        (int(m["base"]), int(m["base"]) + APPEND_BAND)
+        for m in append_reservations(out_dir)
+        if not m["complete"] and int(m.get("base", -1)) >= 0
+    ]
+
+
+def visible_partitions(out_dir: str) -> list[dict]:
+    """``completed_partitions`` minus blocks inside INCOMPLETE append bands:
+    the read-side half of append atomicity.  An in-flight (or crashed)
+    append publishes sidecars per partition, but readers see none of them
+    until the append's completion marker flips — old rows only, then old
+    plus ALL new, never a torn middle.  Resume paths keep using
+    ``completed_partitions`` (they must see partial state to skip it)."""
+    rows = completed_partitions(out_dir)
+    bands = incomplete_append_bands(out_dir)
+    if not bands:
+        return rows
+    return [
+        r for r in rows
+        if not any(lo <= int(r["partition_id"]) < hi for lo, hi in bands)
+    ]
+
+
 def read_manifest(out_dir: str) -> dict:
     """rugo-parity surface: nested dict shaped like ``read_metadata``'s output
     (reference ``metadata_reader.pyx:102-174`` / ``README.md:166-200``) —

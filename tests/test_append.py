@@ -117,3 +117,95 @@ def test_compact_after_append_restores_layout(spark, base_ds, tmp_path):
     a = decode_table(spark, dst).orderBy("doc_id").select("doc_id").toPandas()
     b = decode_table(spark, base_ds).orderBy("doc_id").select("doc_id").toPandas()
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
+
+
+def test_torn_append_band_invisible_until_complete(spark, base_ds):
+    """Atomic visibility: readers see NOTHING of an append band until its
+    completion marker flips — old rows only, then old plus all new."""
+    import json
+
+    d2 = _second(spark)
+    append_table(d2, base_ds, size_col="n_tok")
+    res = mf.append_reservations(base_ds)
+    assert len(res) == 1 and res[0]["complete"]
+    # un-flip the marker: the on-disk state of a crash mid-append
+    m = res[0]
+    with open(m["_path"], "w") as f:
+        json.dump({"base": m["base"], "fingerprint": m["fingerprint"]}, f)
+    assert decode_table(spark, base_ds).count() == 1500  # base rows only
+    from rugo_spark.engine import metadata_agg, stats_df
+
+    assert metadata_agg(spark, base_ds).first()["n_rows"] == 1500
+    assert all(int(r["partition_id"]) < APPEND_BAND for r in stats_df(spark, base_ds).collect())
+    # resume with the same input completes the band and re-flips the marker
+    append_table(d2, base_ds, size_col="n_tok")
+    assert mf.append_reservations(base_ds)[0]["complete"]
+    assert decode_table(spark, base_ds).count() == 2200
+
+
+def test_append_refuses_while_another_session_incomplete(spark, base_ds):
+    """Single-writer gate: a foreign incomplete reservation (crashed or
+    running session) blocks new appends loudly instead of stranding or
+    sharing its band."""
+    import json
+
+    d2 = _second(spark)
+    append_table(d2, base_ds, size_col="n_tok")
+    m = mf.append_reservations(base_ds)[0]
+    with open(m["_path"], "w") as f:
+        json.dump({"base": m["base"], "fingerprint": m["fingerprint"]}, f)
+    third = spark_token_df(spark, 100, n_partitions=1).withColumn(
+        "doc_id", F.concat_ws("-", F.lit("n3"), F.col("doc_id"))
+    )
+    with pytest.raises(ValueError, match="incomplete append session"):
+        append_table(third, base_ds)
+
+
+def test_fingerprint_sees_in_place_overwrite(spark, tmp_path):
+    """Same path, different bytes → different fingerprint: re-appending an
+    overwritten staging file must not silently no-op (review r4)."""
+    import pyarrow.parquet as pq
+
+    from rugo_spark.engine import _input_fingerprint
+    from rugo_spark.tokengen import token_batch
+
+    p = str(tmp_path / "feed.parquet")
+    pq.write_table(token_batch(100, seed=1), p)
+    fp1 = _input_fingerprint(spark.read.parquet(p))
+    os.utime(p, ns=(1, 1))  # distinct mtime even on coarse filesystems
+    pq.write_table(token_batch(100, seed=2), p)
+    fp2 = _input_fingerprint(spark.read.parquet(p))
+    assert fp1 != fp2
+
+
+def test_append_schema_ignores_field_metadata():
+    from rugo_spark.engine import _append_schema_ok
+
+    a = {"type": "struct", "fields": [
+        {"name": "id", "type": "string", "nullable": True, "metadata": {}}]}
+    b = {"type": "struct", "fields": [
+        {"name": "id", "type": "string", "nullable": True,
+         "metadata": {"comment": "from iceberg"}}]}
+    assert _append_schema_ok(a, b)
+
+
+def test_v2_append_writer_allocates_above_reserved_bands(spark, base_ds):
+    """format('rugo') mode('append') must not land pids inside a reserved
+    append band — a crashed append_table resume would skip those splits."""
+    import json
+
+    append_table(_second(spark), base_ds, size_col="n_tok")
+    m = mf.append_reservations(base_ds)[0]
+    with open(m["_path"], "w") as f:  # make the band look in-flight
+        json.dump({"base": m["base"], "fingerprint": m["fingerprint"]}, f)
+    from rugo_spark.datasource import register
+
+    register(spark)
+    third = spark_token_df(spark, 80, n_partitions=1).withColumn(
+        "doc_id", F.concat_ws("-", F.lit("v2"), F.col("doc_id"))
+    )
+    third.write.format("rugo").mode("append").save(base_ds)
+    pids = [int(r["partition_id"]) for r in mf.completed_partitions(base_ds)]
+    band_end = int(m["base"]) + APPEND_BAND
+    new = [p for p in pids if p >= band_end]
+    assert new, f"V2 append landed inside the reserved band: {sorted(pids)[-4:]}"

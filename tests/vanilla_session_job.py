@@ -83,6 +83,14 @@ def main(workdir: str) -> None:
         compact_dataset(spark, out2, out4)
         check(out4, "compact_dataset")
 
+        # 4b. append into the map-only dataset (fresh band, whole-set decode)
+        from rugo_spark.engine import append_table
+
+        extra = df.withColumn("doc_id", F.concat(F.lit("x-"), F.col("doc_id"))).limit(50)
+        n_extra = extra.count()
+        append_table(extra, out2, size_col="n_tok")
+        assert decode_table(spark, out2).count() == n_src + n_extra, "append_table"
+
         # 5. metadata-only aggregate
         row = metadata_agg(spark, out1, columns=["n_tok"]).collect()[0]
         assert row["n_rows"] == n_src, f"metadata_agg n_rows {row['n_rows']}"
