@@ -352,15 +352,32 @@ def serialize_table(t: Table) -> bytes:
     return b"".join(parts)
 
 
-def deserialize_table(buf: bytes | memoryview) -> Table:
-    mv = memoryview(buf)
+def _parse_expansions(mv: memoryview) -> tuple[list[bytes], int]:
+    """Parse the (n_symbols, [len, bytes]*) table header shared by
+    ``serialize_table`` payloads and the self-describing block prefix —
+    ONE copy of the wire format.  Returns (expansions, bytes consumed);
+    truncated input raises instead of yielding a silently-empty table."""
+    if len(mv) < 1:
+        raise ValueError("fsst table: empty buffer")
     n_sym = mv[0]
     off = 1
     out_expansions: list[bytes] = []
     for _ in range(n_sym):
+        if off >= len(mv) or off + 1 + mv[off] > len(mv):
+            raise ValueError(
+                f"fsst table: truncated at symbol {len(out_expansions)}/{n_sym}"
+            )
         ln = mv[off]
         out_expansions.append(bytes(mv[off + 1 : off + 1 + ln]))
         off += 1 + ln
+    return out_expansions, off
+
+
+def deserialize_table(buf: bytes | memoryview) -> Table:
+    mv = memoryview(buf)
+    out_expansions, off = _parse_expansions(mv)
+    if off != len(mv):
+        raise ValueError(f"fsst table: {len(mv) - off} trailing bytes")
     t = Table()
     t.out_expansions = out_expansions
     return t
@@ -438,26 +455,25 @@ def encode(
             stream = compress(data, t)
             fresh = table is None
     if reuse is not None and table is None and fresh:
-        reuse["table"] = t
-        reuse["ratio"] = len(stream) / max(len(data), 1)
-    parts = [struct.pack("<B", len(t.out_expansions))]
-    for e in t.out_expansions:
-        parts.append(struct.pack("<B", len(e)))
-        parts.append(e)
-    parts.append(struct.pack("<QQ", len(data), len(stream)))
-    parts.append(stream)
+        ratio = len(stream) / max(len(data), 1)
+        # Stash-poisoning guard (review r4, reproduced): a single drifted
+        # stripe used to replace the stash with ITS table and ITS ratio
+        # (~1.6 on noise) — the guard bound then sat above any later
+        # stripe's expansion, so in-distribution text kept compressing with
+        # the noise table at ~1.7x EXPANSION forever.  Two rules: never
+        # replace an existing stash with an incompressible-table (ratio ≥ 1)
+        # result, and cap the stashed bound at 1.0 so expansion can always
+        # trip the guard.
+        if reuse.get("table") is None or ratio < 1.0:
+            reuse["table"] = t
+            reuse["ratio"] = min(ratio, 1.0)
+    parts = [serialize_table(t), struct.pack("<QQ", len(data), len(stream)), stream]
     return b"".join(parts)
 
 
 def decode(buf: bytes | memoryview) -> bytes:
     mv = memoryview(buf)
-    n_sym = mv[0]
-    off = 1
-    out_expansions: list[bytes] = []
-    for _ in range(n_sym):
-        ln = mv[off]
-        out_expansions.append(bytes(mv[off + 1 : off + 1 + ln]))
-        off += 1 + ln
+    out_expansions, off = _parse_expansions(mv)
     orig_len, stream_len = struct.unpack_from("<QQ", mv, off)
     off += 16
     stream = np.frombuffer(mv, dtype=np.uint8, count=stream_len, offset=off)

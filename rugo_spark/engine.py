@@ -134,9 +134,9 @@ def _merge_stat(kind, cur, new, pick):
     numerically via Decimal, so a concat-compacted dataset would silently
     skip blocks that contain matching rows.  Compare via Decimal for decimal
     kinds and return the winner in its original representation."""
-    if kind in _DECIMAL_KINDS:
-        from decimal import Decimal
+    from decimal import Decimal, InvalidOperation
 
+    if kind in _DECIMAL_KINDS:
         def key(v):
             return v if isinstance(v, Decimal) else Decimal(str(v))
 
@@ -144,6 +144,18 @@ def _merge_stat(kind, cur, new, pick):
             return cur if pick(key(cur), key(new)) == key(cur) else new
         except ArithmeticError:
             raise _UnmergeableStat()
+    if kind is None and isinstance(cur, str) and isinstance(new, str):
+        # Legacy sidecars (written before 'kind' was recorded) carry decimal
+        # stats as bare strings — indistinguishable from true string data.
+        # When both operands parse as decimals AND the lexicographic winner
+        # differs from the numeric winner (min('10.2','9.5')=='10.2', the
+        # inversion that silently prunes matching blocks), the merge is
+        # ambiguous: drop the column's bounds (None = always scan).
+        try:
+            if pick(Decimal(cur), Decimal(new)) != Decimal(pick(cur, new)):
+                raise _UnmergeableStat()
+        except (InvalidOperation, ValueError):
+            pass  # not numeric-parsable on both sides: genuinely a string
     return pick(cur, new)
 
 
@@ -823,8 +835,14 @@ def _build_string_plans(sample: pa.Table) -> dict:
             continue
         if is_str:
             card = len(pc.unique(dense))
-            if card <= max(n // 8, 1) and card <= 65536:
-                continue  # dict-worthy: leave to the cheap per-stripe path
+            # Pin only NEAR-UNIQUE columns (free text, urls, ids).  Any
+            # visible repetition in a ~512-row sample means a 16k-row stripe
+            # may well sit under the per-stripe dict threshold (n//8 at
+            # stripe scale ≈ 2048) even though it exceeds n//8 here (≈ 64):
+            # pinning raw/fsst there would bypass the better dict encoding
+            # job-wide (review r4).  Repetitive columns stay adaptive.
+            if card < n * 0.9:
+                continue  # leave to the cheap per-stripe selector
         if is_str:
             data = b"".join(v.encode() for v in dense.to_pylist()[:_CODEC_SAMPLE_ROWS])
         else:
@@ -861,12 +879,28 @@ def _auto_string_plans(df: DataFrame, out_dir: str, plans: dict | None) -> dict 
     if persisted is None:
         if mf.completed_partitions(out_dir):
             return plans  # legacy in-progress dataset: keep r3 behavior
-        sample = (
-            df.limit(_CODEC_SAMPLE_ROWS).toArrow()
-            if hasattr(df, "toArrow")
-            else pa.Table.from_pandas(df.limit(_CODEC_SAMPLE_ROWS).toPandas())
-        )
-        persisted = _build_string_plans(sample)
+        # project ONLY the string/binary columns, truncated executor-side:
+        # 512 untruncated rows of a 1 MB-document corpus would pull ~0.5 GB
+        # to the driver per column to feed a 1 MB training budget (review
+        # r4).  8 KiB per value keeps symbol-table training signal intact.
+        import pyspark.sql.functions as F
+        from pyspark.sql.types import BinaryType, StringType
+
+        proj = [
+            F.expr(f"substring(`{f.name}`, 1, 8192)").alias(f.name)
+            for f in df.schema.fields
+            if isinstance(f.dataType, (StringType, BinaryType))
+        ]
+        if not proj:
+            persisted = {}
+        else:
+            sdf = df.select(proj).limit(_CODEC_SAMPLE_ROWS)
+            sample = (
+                sdf.toArrow()
+                if hasattr(sdf, "toArrow")
+                else pa.Table.from_pandas(sdf.toPandas())
+            )
+            persisted = _build_string_plans(sample)
         mf.write_codec_plans(out_dir, persisted)
     if not persisted:
         return plans
