@@ -47,31 +47,33 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(master=args.master, app_name="rugo_spark_compact")
     try:
-        man = compact_dataset(
-            spark, args.input, args.output,
-            target_bytes=args.target_bytes, sort_key=args.sort_key, mode=args.mode,
-        )
-    except (FileNotFoundError, ValueError) as e:
-        print(f"error: {e}", file=sys.stderr)
+        try:
+            man = compact_dataset(
+                spark, args.input, args.output,
+                target_bytes=args.target_bytes, sort_key=args.sort_key, mode=args.mode,
+            )
+        except (FileNotFoundError, ValueError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        stats = man.agg(
+            F.count("*").alias("blocks"),
+            F.sum("n_rows").alias("rows"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("output_bytes").alias("output_bytes"),
+        ).first()
+        summary = {k: int(stats[k] or 0) for k in stats.asDict()}
+        if args.verify:
+            a = metadata_agg(spark, args.input, columns=[]).first()
+            b = metadata_agg(spark, args.output, columns=[]).first()
+            # a raise, not an assert: python -O strips asserts and would
+            # print "verified": true without having compared anything
+            if (a["n_rows"], a["n_tokens"]) != (b["n_rows"], b["n_tokens"]):
+                raise ValueError(f"compaction changed totals: {a} vs {b}")
+            summary["verified"] = True
+        print(json.dumps(summary))
+        return 0
+    finally:
         spark.stop()
-        return 2
-    stats = man.agg(
-        F.count("*").alias("blocks"),
-        F.sum("n_rows").alias("rows"),
-        F.sum("n_tokens").alias("tokens"),
-        F.sum("output_bytes").alias("output_bytes"),
-    ).first()
-    summary = {k: int(stats[k] or 0) for k in stats.asDict()}
-    if args.verify:
-        a = metadata_agg(spark, args.input, columns=[]).first()
-        b = metadata_agg(spark, args.output, columns=[]).first()
-        assert (a["n_rows"], a["n_tokens"]) == (b["n_rows"], b["n_tokens"]), (
-            f"compaction changed totals: {a} vs {b}"
-        )
-        summary["verified"] = True
-    print(json.dumps(summary))
-    spark.stop()
-    return 0
 
 
 if __name__ == "__main__":

@@ -59,8 +59,24 @@ def _canonical_strings(arr: pa.Array) -> pa.Array:
 
     if pa.types.is_timestamp(arr.type):
         arr = pc.cast(arr, pa.int64())
+    was_decimal = pa.types.is_decimal(arr.type)
+    if pa.types.is_fixed_size_binary(arr.type):
+        arr = pc.cast(arr, pa.binary())
+    if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+        # keep raw bytes: binary→string casting VALIDATES utf8 and threw on
+        # arbitrary byte keys (review r4).  Binary arrays carry the same
+        # (offsets, data) buffer layout as strings, so the hash side
+        # consumes them directly.
+        return arr
     if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
         arr = pc.cast(arr, pa.string())
+    if was_decimal:
+        # decimal rendering is scale-sensitive ('1.50' at storage scale vs a
+        # probe Decimal's '1.5') — a bloom must hash ONE canonical form.
+        # Strip trailing fractional zeros, then a bare trailing point; both
+        # sides (build + probe) pass through here.
+        arr = pc.replace_substring_regex(arr, pattern=r"(\.\d*?)0+$", replacement=r"\1")
+        arr = pc.replace_substring_regex(arr, pattern=r"\.$", replacement="")
     return arr
 
 
@@ -74,7 +90,8 @@ def _string_bytes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     bufs = arr.buffers()
-    width = 8 if pa.types.is_large_string(arr.type) else 4
+    large = pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+    width = 8 if large else 4
     dt = np.int64 if width == 8 else np.int32
     offsets = np.frombuffer(bufs[1], dtype=dt, count=len(arr) + 1, offset=arr.offset * width).astype(np.int64)
     data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
@@ -123,8 +140,20 @@ def _render_probe(value) -> bytes:
     """Render a probe value through the SAME canonical path the write side
     uses (``_canonical_strings``): ``str(value)`` diverges from Arrow's
     rendering for timestamps ('2020-01-01 00:00:00' vs Arrow's
-    '2020-01-01 00:00:00.000000Z'), which made every match a false negative."""
-    return _canonical_strings(pa.array([value]))[0].as_py().encode()
+    '2020-01-01 00:00:00.000000Z'), which made every match a false negative.
+    Decimal/float probes against decimal columns also go through the
+    trailing-zero canonicalization, matching the write side's scale-free
+    rendering.  Bytes probes stay raw (binary keys are hashed as bytes)."""
+    if isinstance(value, (bytes, bytearray, memoryview)):
+        return bytes(value)
+    import decimal
+
+    if isinstance(value, (decimal.Decimal, float)):
+        arr = pa.array([decimal.Decimal(str(value))])
+    else:
+        arr = pa.array([value])
+    out = _canonical_strings(arr)[0].as_py()
+    return out.encode() if isinstance(out, str) else bytes(out)
 
 
 def might_contain(bloom: dict, value) -> bool:
@@ -132,6 +161,11 @@ def might_contain(bloom: dict, value) -> bool:
     import datetime
     import zlib
 
+    if value is None:
+        # nulls are never indexed (drop_null on build); '= NULL' matches
+        # nothing in SQL, but planning must not crash — conservatively scan
+        # and let the exact residual filter return the (empty) answer
+        return True
     if (
         isinstance(value, datetime.datetime)
         and value.tzinfo is None

@@ -17,8 +17,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg runtime class actually loads.
+
+    NOT ``spark._jvm.org.apache.iceberg.Table`` — py4j resolves a missing
+    class to a ``JavaPackage`` object without raising, so that probe was
+    always-True and the actionable error below was unreachable (review r4).
+    ``Class.forName`` raises through py4j when the class is absent."""
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001 — probe only
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — probe only
+            "org.apache.iceberg.catalog.Catalog"
+        )
         return True
     except Exception:
         return False

@@ -36,6 +36,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # the 'rugo' Python DataSource prunes blocks/stripes via pushFilters
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # effective only for python-launched drivers (the JVM starts here);
+        # under spark-submit the driver JVM already exists — size it with
+        # spark-submit --driver-memory, this setting is silently ignored
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

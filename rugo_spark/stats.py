@@ -19,7 +19,9 @@ def sample_values(v: np.ndarray, limit: int = SAMPLE_LIMIT) -> np.ndarray:
     """Deterministic stride sample (no RNG — resume-stable)."""
     if len(v) <= limit:
         return v
-    stride = len(v) // limit
+    # ceil, not floor: len 100k / limit 64k floored to stride 1, making the
+    # "stride sample" a PREFIX that never sees the array's tail (review r4)
+    stride = -(-len(v) // limit)
     return v[::stride][:limit]
 
 

@@ -107,3 +107,58 @@ def test_mid_cardinality_column_stays_unpinned():
     uniq = [f"document body {i} with plenty of words to train on " * 8 for i in range(512)]
     plans = _build_string_plans(pa.table({"text": pa.array(uniq)}))
     assert "text" in plans
+
+
+def test_bloom_decimal_scale_insensitive():
+    """Write side renders storage scale ('1.50'), probes render minimal
+    scale ('1.5') — both must canonicalize identically or equality lookups
+    false-negative (verified pre-fix)."""
+    import decimal
+
+    from rugo_spark import bloom
+
+    col = pa.array([decimal.Decimal("1.50"), decimal.Decimal("100.00"),
+                    decimal.Decimal("0.10")], type=pa.decimal128(10, 2))
+    b = bloom.build(col)
+    assert bloom.might_contain(b, decimal.Decimal("1.5"))
+    assert bloom.might_contain(b, decimal.Decimal("1.50"))
+    assert bloom.might_contain(b, 1.5)
+    assert bloom.might_contain(b, decimal.Decimal("100"))
+    assert bloom.might_contain(b, decimal.Decimal("0.1"))
+    assert not bloom.might_contain(b, decimal.Decimal("2.5"))
+
+
+def test_bloom_binary_keys_no_utf8_validation():
+    from rugo_spark import bloom
+
+    col = pa.array([b"\xff\xfe\x01", b"plain", b"\x00\x80"], type=pa.binary())
+    b = bloom.build(col)  # pre-fix: ArrowInvalid 'Invalid UTF8 payload'
+    assert bloom.might_contain(b, b"\xff\xfe\x01")
+    assert bloom.might_contain(b, b"plain")
+    assert not bloom.might_contain(b, b"absent-key")
+
+
+def test_bloom_none_probe_is_conservative_match():
+    from rugo_spark import bloom
+
+    b = bloom.build(pa.array(["a", "b"]))
+    assert bloom.might_contain(b, None) is True  # residual filter decides
+
+
+def test_iceberg_probe_actually_detects_absence(spark):
+    """py4j returns a JavaPackage (no raise) for missing classes, so the old
+    attribute probe was always-True and the actionable error unreachable."""
+    from rugo_spark.io import iceberg_available, read_table
+
+    assert iceberg_available(spark) is False  # no runtime in this sandbox
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        read_table(spark, "iceberg:cat.db.tokens")
+
+
+def test_stride_sample_covers_the_tail():
+    from rugo_spark.stats import sample_values
+
+    v = np.arange(100_000, dtype=np.int64)
+    s = sample_values(v, limit=65_536)
+    assert len(s) <= 65_536
+    assert s[-1] > 99_000, f"prefix-only sample: tail at {s[-1]}"
