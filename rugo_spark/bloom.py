@@ -136,24 +136,46 @@ def union(blooms: list[dict]) -> dict:
     return out
 
 
-def _render_probe(value) -> bytes:
-    """Render a probe value through the SAME canonical path the write side
-    uses (``_canonical_strings``): ``str(value)`` diverges from Arrow's
-    rendering for timestamps ('2020-01-01 00:00:00' vs Arrow's
-    '2020-01-01 00:00:00.000000Z'), which made every match a false negative.
-    Decimal/float probes against decimal columns also go through the
-    trailing-zero canonicalization, matching the write side's scale-free
-    rendering.  Bytes probes stay raw (binary keys are hashed as bytes)."""
+def _probe_renderings(value) -> list[bytes]:
+    """All plausible write-side renderings of a probe value.
+
+    The sidecar does not record whether the indexed column was float or
+    decimal, and their Arrow string renderings diverge (float64 1e20 →
+    '1e+20', decimal 1E+20 → '100000000000000000000').  A probe therefore
+    hashes EVERY rendering the build side could have produced and the
+    membership test ORs them — false positives cost one extra block scan,
+    false negatives silently drop matching rows (ADVICE r4, medium).
+
+    ``str(value)`` alone diverges from Arrow's rendering for timestamps
+    ('2020-01-01 00:00:00' vs '2020-01-01 00:00:00.000000Z'), which made
+    every match a false negative; all candidates go through the same
+    ``_canonical_strings`` path as the write side.  Bytes probes stay raw
+    (binary keys are hashed as bytes)."""
     if isinstance(value, (bytes, bytearray, memoryview)):
-        return bytes(value)
+        return [bytes(value)]
     import decimal
 
+    arrs = []
     if isinstance(value, (decimal.Decimal, float)):
-        arr = pa.array([decimal.Decimal(str(value))])
+        # decimal-column rendering: scale-free canonical decimal string
+        try:
+            arrs.append(pa.array([decimal.Decimal(str(value))]))
+        except decimal.InvalidOperation:
+            pass
+        # float-column rendering: Arrow's shortest-repr float64 string
+        try:
+            arrs.append(pa.array([float(value)], type=pa.float64()))
+        except (OverflowError, ValueError):
+            pass
     else:
-        arr = pa.array([value])
-    out = _canonical_strings(arr)[0].as_py()
-    return out.encode() if isinstance(out, str) else bytes(out)
+        arrs.append(pa.array([value]))
+    out: list[bytes] = []
+    for arr in arrs:
+        r = _canonical_strings(arr)[0].as_py()
+        b = r.encode() if isinstance(r, str) else bytes(r)
+        if b not in out:
+            out.append(b)
+    return out
 
 
 def might_contain(bloom: dict, value) -> bool:
@@ -176,15 +198,14 @@ def might_contain(bloom: dict, value) -> bool:
         # session is UTC.  A skip-test must never false-negative, so a naive
         # probe against a tz-aware column is conservatively a match.
         return True
-    raw = _render_probe(value)
-    data = np.frombuffer(raw, dtype=np.uint8)
-    h1, h2 = _hash_pair(
-        np.array([len(raw)], dtype=np.int64), np.array([0], dtype=np.int64), data
-    )
     bits = np.frombuffer(zlib.decompress(base64.b64decode(bloom["bits_b64"])), dtype=np.uint8)
-    with np.errstate(over="ignore"):
-        idx_list = [int((h1[0] + np.uint64(i) * h2[0]) % np.uint64(bloom["m"])) for i in range(bloom["k"])]
-    for idx in idx_list:
-        if not (bits[idx // 8] >> (idx % 8)) & 1:
-            return False
-    return True
+    for raw in _probe_renderings(value):
+        data = np.frombuffer(raw, dtype=np.uint8)
+        h1, h2 = _hash_pair(
+            np.array([len(raw)], dtype=np.int64), np.array([0], dtype=np.int64), data
+        )
+        with np.errstate(over="ignore"):
+            idx_list = [int((h1[0] + np.uint64(i) * h2[0]) % np.uint64(bloom["m"])) for i in range(bloom["k"])]
+        if all((bits[idx // 8] >> (idx % 8)) & 1 for idx in idx_list):
+            return True
+    return False

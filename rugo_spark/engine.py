@@ -291,23 +291,17 @@ def _conf_get(conf, key: str, default: str = "") -> str:
         return default
 
 
-def _input_fingerprint(df: DataFrame) -> str:
-    """Deterministic id of the input layout a map-only encode keys its
-    partition ids on: file list + split-size conf + split count.  Resuming
-    into the same out_dir after any of these changed would silently mix
-    stale and new blocks — the fingerprint guards that."""
-    import hashlib
-
-    files = sorted(df.inputFiles())
-    # best-effort content signal for driver-statable files: size + mtime
-    # catch an in-place overwrite of a same-named input (same file list and
-    # plan hash), which would otherwise read as "same input" — a resume
-    # would silently skip it and an append would silently no-op (review r4).
-    # Non-local URIs contribute path-only, as before.
+def _files_signature(df: DataFrame) -> list:
+    """Per-input-file signature ``[path, size, mtime_ns]`` (stat-based
+    content signal) shared by every resume fingerprint.  An in-place
+    overwrite of a same-named input must read as a DIFFERENT input — a
+    path-only signature would let a resume silently skip re-encoding it
+    (review r4; extended to the sorted path in r5 per ADVICE).
+    Non-local URIs contribute path-only, as before."""
     import urllib.parse
 
     sig = []
-    for f in files:
+    for f in sorted(df.inputFiles()):
         p = urllib.parse.urlparse(f).path if f.startswith("file:") else (
             f if f.startswith("/") else None
         )
@@ -316,6 +310,17 @@ def _input_fingerprint(df: DataFrame) -> str:
         except OSError:
             st = None
         sig.append([f, st.st_size, st.st_mtime_ns] if st else [f])
+    return sig
+
+
+def _input_fingerprint(df: DataFrame) -> str:
+    """Deterministic id of the input layout a map-only encode keys its
+    partition ids on: file list + split-size conf + split count.  Resuming
+    into the same out_dir after any of these changed would silently mix
+    stale and new blocks — the fingerprint guards that."""
+    import hashlib
+
+    sig = _files_signature(df)
     conf = df.sparkSession.conf
     max_bytes = _conf_get(conf, "spark.sql.files.maxPartitionBytes", "")
     # semanticHash: canonicalized logical plan, computed WITHOUT executing the
@@ -477,7 +482,7 @@ def encode_table_sorted(
     fp = hashlib.sha1(
         json.dumps(
             {
-                "files": sorted(df.inputFiles()),
+                "files": _files_signature(df),
                 "plan": df.semanticHash(),
                 "range": {"key_col": key_col, "n": n, "boundaries": bounds},
             }
@@ -515,10 +520,14 @@ def _append_schema_ok(ds_schema, in_schema) -> bool:
             for k in ("nullable", "containsNull", "valueContainsNull"):
                 if in_node.get(k, False) and not ds_node.get(k, False) and k in ds_node:
                     return False
+            # recurse only into keys strip() keeps: 'metadata' subtrees can
+            # hold arbitrary user dicts/lists of differing shape, and the
+            # documented contract says field metadata is ignored — recursing
+            # there rejected schema-identical appends (ADVICE r4)
             return all(
                 nulls_ok(ds_node.get(k), in_node.get(k))
                 for k in ds_node
-                if isinstance(ds_node.get(k), (dict, list))
+                if k != "metadata" and isinstance(ds_node.get(k), (dict, list))
             )
         if isinstance(ds_node, list) and isinstance(in_node, list):
             return len(ds_node) == len(in_node) and all(

@@ -304,15 +304,19 @@ def connected_components(
     else:
         # pointer jumping converges in O(log diameter) rounds, so hitting
         # max_iter means a pathological component — surface it rather than
-        # silently returning split clusters
-        import sys
+        # silently returning split clusters.  warnings.warn (not print) so
+        # logging/warning filters capture it; n_changed may be unset when
+        # max_iter <= 0 (ADVICE r4).
+        import warnings
 
-        print(
+        warnings.warn(
             f"rugo_spark.dedup.connected_components: label propagation did "
-            f"not converge within max_iter={max_iter} rounds; {n_changed} "
-            "labels still changing — returned clusters may be split. "
-            "Raise max_iter (each round is two joins + a groupBy).",
-            file=sys.stderr,
+            f"not converge within max_iter={max_iter} rounds; "
+            f"{n_changed if max_iter > 0 else 'all'} labels still changing — "
+            "returned clusters may be split. Raise max_iter (each round is "
+            "two joins + a groupBy).",
+            RuntimeWarning,
+            stacklevel=2,
         )
     return labels.withColumnRenamed("lbl", "cluster_id")
 

@@ -1,0 +1,191 @@
+"""Round-5 regression tests: ADVICE_r04 findings."""
+
+from __future__ import annotations
+
+import json
+import os
+import warnings
+from decimal import Decimal
+
+import pyarrow as pa
+import pytest
+
+
+# --------------------------------------------------------------- ADVICE medium:
+# float probes were Decimal-normalized unconditionally; a float64 bloom column
+# renders '1e+20' on the build side but the probe rendered
+# '100000000000000000000' — bloom false negatives silently dropped blocks.
+
+
+@pytest.mark.parametrize("v", [1e20, 1e-10, 1.5, 1.0, 0.1, 123456.789])
+def test_bloom_float_column_float_probe(v):
+    from rugo_spark import bloom
+
+    b = bloom.build(pa.array([v, 42.5], type=pa.float64()))
+    assert bloom.might_contain(b, v), f"false negative for float {v!r}"
+
+
+@pytest.mark.parametrize("v", ["1.50", "100.00", "0.001"])
+def test_bloom_decimal_column_probes_still_match(v):
+    from rugo_spark import bloom
+
+    # decimal column at storage scale; probe with Decimal AND float forms
+    b = bloom.build(pa.array([Decimal(v)], type=pa.decimal128(10, 3)))
+    assert bloom.might_contain(b, Decimal(v))
+    assert bloom.might_contain(b, float(v))
+
+
+def test_bloom_float_column_decimal_probe():
+    from rugo_spark import bloom
+
+    # user probes a float column with a Decimal — second rendering must hit
+    b = bloom.build(pa.array([1e20, 2.5], type=pa.float64()))
+    assert bloom.might_contain(b, Decimal("1E+20"))
+
+
+def test_bloom_absent_value_still_excluded():
+    from rugo_spark import bloom
+
+    b = bloom.build(pa.array([1.5, 2.5, 1e20], type=pa.float64()))
+    # multi-rendering OR must not destroy the skip capability
+    assert not bloom.might_contain(b, 999.25)
+    assert not bloom.might_contain(b, Decimal("77.125"))
+
+
+def test_bloom_probe_renderings_dedup_and_shapes():
+    from rugo_spark.bloom import _probe_renderings
+
+    # identical renderings collapse; divergent ones both present
+    assert _probe_renderings(1.5) == [b"1.5"]
+    rs = _probe_renderings(1e20)
+    assert b"1e+20" in rs and b"100000000000000000000" in rs
+    assert _probe_renderings(b"\xff\x00") == [b"\xff\x00"]
+    assert _probe_renderings("abc") == [b"abc"]
+
+
+# --------------------------------------------------------------- ADVICE low:
+# nulls_ok recursed into 'metadata' — list values of differing lengths in
+# field metadata rejected a schema-identical append.
+
+
+def test_append_schema_ok_ignores_metadata_subtrees():
+    from rugo_spark.engine import _append_schema_ok
+
+    ds = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "a",
+                "type": "integer",
+                "nullable": True,
+                "metadata": {"tags": ["x", "y", "z"], "note": {"nullable": False}},
+            }
+        ],
+    }
+    inc = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "a",
+                "type": "integer",
+                "nullable": True,
+                "metadata": {"tags": ["only-one"], "other": [1, 2]},
+            }
+        ],
+    }
+    assert _append_schema_ok(ds, inc)
+
+
+def test_append_schema_ok_still_rejects_null_loosening():
+    from rugo_spark.engine import _append_schema_ok
+
+    ds = {"type": "struct",
+          "fields": [{"name": "a", "type": "integer", "nullable": False,
+                      "metadata": {}}]}
+    inc = {"type": "struct",
+           "fields": [{"name": "a", "type": "integer", "nullable": True,
+                       "metadata": {}}]}
+    assert not _append_schema_ok(ds, inc)
+    # tightening stays fine
+    assert _append_schema_ok(inc, ds)
+
+
+# --------------------------------------------------------------- ADVICE low:
+# connected_components' non-convergence path referenced n_changed unbound when
+# max_iter <= 0 and used a bare stderr print.
+
+
+def test_connected_components_max_iter_zero_warns(spark):
+    from rugo_spark.ops.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a int, id_b int")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = connected_components(edges, max_iter=0)
+        out.collect()  # materialize — no NameError
+    assert any("did not converge" in str(w.message) for w in rec)
+
+
+def test_connected_components_converged_no_warning(spark):
+    from rugo_spark.ops.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a int, id_b int")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = {tuple(r) for r in connected_components(edges).collect()}
+    assert not any("did not converge" in str(w.message) for w in rec)
+    assert out == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+# --------------------------------------------------------------- ADVICE low:
+# RugoWriter append offset had no int32 overflow guard (append_table raises at
+# the same boundary).
+
+
+def test_datasource_append_offset_overflow_guard(tmp_path, monkeypatch):
+    from rugo_spark import datasource as dsrc
+    from rugo_spark import manifest as mf
+
+    out = str(tmp_path / "ds")
+    os.makedirs(os.path.join(out, mf.BLOCKS_DIR), exist_ok=True)
+
+    monkeypatch.setattr(
+        mf, "completed_partitions", lambda d: [{"partition_id": 2**31 - 1}]
+    )
+    monkeypatch.setattr(mf, "append_reservations", lambda d: [])
+
+    w = object.__new__(dsrc.RugoWriter)
+    w.out_dir = out
+    w.overwrite = False
+    w.staging = str(tmp_path / "staging")
+    w._arrow_schema_bytes = pa.schema([("a", pa.int64())]).serialize().to_pybytes()
+    w._schema_json = json.dumps({"type": "struct", "fields": []})
+
+    class Msg:
+        sidecar = json.dumps({"partition_id": 0, "block_path": "/nonexistent"})
+
+    with pytest.raises(ValueError, match="int32"):
+        w.commit([Msg()])
+
+
+# --------------------------------------------------------------- ADVICE low:
+# encode_table_sorted's resume fingerprint was path-only — an in-place
+# overwrite of a same-named input read as 'same input'.
+
+
+def test_sorted_fingerprint_uses_stat_signature(spark, tmp_path):
+    import time
+
+    from rugo_spark.engine import _files_signature
+
+    src = tmp_path / "in.parquet"
+    spark.range(10).toDF("k").write.mode("overwrite").parquet(str(src))
+    df1 = spark.read.parquet(str(src))
+    sig1 = _files_signature(df1)
+    assert all(len(s) == 3 for s in sig1), "local files must carry size+mtime"
+
+    time.sleep(0.05)
+    spark.range(20).toDF("k").write.mode("overwrite").parquet(str(src))
+    df2 = spark.read.parquet(str(src))
+    sig2 = _files_signature(df2)
+    assert sig1 != sig2, "in-place overwrite must change the signature"
