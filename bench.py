@@ -3,13 +3,22 @@
 
 Prints ONE JSON line:
   {"metric": "bench_total", "value": <total sec>, "unit": "sec",
-   "queries": {<name>: sec, ...}, "sf": <sf>, ...extra keys...}
+   "queries": {<name>: sec, ...}, "spread": {<name>: {"min", "median",
+   "n_runs"}}, "sf": <sf>, ...extra keys...}
 
 Extra keys carry the north-rule numbers: tokens/sec at two parallelism
 levels (local[N] vs local[4N] — the sandbox substitution for the
 two-cluster-size criterion), scaling efficiency, and compressed footprint
 vs the reference encoder (Spark's own parquet-mr zstd write of the same
 table — dictionary/RLE encodings per rugo ``metadata.cpp:89-112``).
+
+Noise discipline (VERDICT r4 item 1): this VM shows 2-3× load swings on
+minute scales, so EVERY headline query is sampled multiple times with the
+samples INTERLEAVED across the query set (a sustained burst hits all
+queries, not whichever one it happened to land on), and the JSON carries
+{min, median, n_runs} per query.  ``queries`` remains the per-query MIN —
+the quiet-window estimate of the engine's steady state — so
+round-over-round comparisons stay consistent with r1-r4.
 """
 
 from __future__ import annotations
@@ -17,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
 
@@ -28,6 +38,19 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCRATCH = os.path.join(REPO, ".scratch", "bench")
 DOCS_PER_SF = 6_000_000  # sf0.1 → 600k docs ≈ 240M tokens
 N_FILES = 256  # bench-table files → task granularity (see phase 0 note)
+
+SAMPLES: dict[str, list[float]] = {}
+
+
+def _record(name: str, seconds: float) -> None:
+    SAMPLES.setdefault(name, []).append(seconds)
+
+
+def _timed(name: str, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    _record(name, time.perf_counter() - t0)
+    return out
 
 
 def _sf_of(path: str) -> float:
@@ -60,7 +83,6 @@ def main() -> None:
     sf = _sf_of(SF_DIR)
     n_docs = max(2000, int(DOCS_PER_SF * sf))
     os.makedirs(SCRATCH, exist_ok=True)
-    timings: dict[str, float] = {}
     extra: dict = {}
 
     # ---------------- phase 0: deterministic token table (distributed gen)
@@ -92,8 +114,6 @@ def main() -> None:
 
     ref_dir = os.path.join(SCRATCH, "ref_parquet")
     out_hi = os.path.join(SCRATCH, f"enc_c{CPUS}")
-    timings["reference_parquet_write"] = float("inf")
-    timings["encode"] = float("inf")
     # 5 alternating rounds: encode round 1 pays the one-time planning scan
     # (ANALYZE-once; later rounds replay the session plan cache), so the min
     # needs ≥2 post-plan samples to estimate steady state on a box with 2-3×
@@ -102,18 +122,18 @@ def main() -> None:
     # 3.9 s in a quiet window)
     for _ in range(5):
         shutil.rmtree(ref_dir, ignore_errors=True)
-        t0 = time.perf_counter()
-        tok_df.write.mode("overwrite").parquet(ref_dir, compression="zstd")
-        timings["reference_parquet_write"] = min(
-            timings["reference_parquet_write"], time.perf_counter() - t0
+        _timed(
+            "reference_parquet_write",
+            lambda: tok_df.write.mode("overwrite").parquet(ref_dir, compression="zstd"),
         )
         shutil.rmtree(out_hi, ignore_errors=True)
-        t0 = time.perf_counter()
-        encode_table(
-            spark.read.parquet(src), out_hi, key_col="doc_id", size_col="n_tok",
-            num_partitions=CPUS * 8,
+        _timed(
+            "encode",
+            lambda: encode_table(
+                spark.read.parquet(src), out_hi, key_col="doc_id", size_col="n_tok",
+                num_partitions=CPUS * 8,
+            ),
         )
-        timings["encode"] = min(timings["encode"], time.perf_counter() - t0)
     ref_bytes = sum(
         os.path.getsize(os.path.join(r, f))
         for r, _, fs in os.walk(ref_dir)
@@ -123,137 +143,53 @@ def main() -> None:
     from rugo_spark import manifest as mf
 
     ours_bytes = sum(r["output_bytes"] for r in mf.completed_partitions(out_hi))
-    extra["encode_tokens_per_sec"] = round(total_tokens / timings["encode"])
+    extra["encode_tokens_per_sec"] = round(total_tokens / min(SAMPLES["encode"]))
     extra["compressed_bytes"] = ours_bytes
     extra["reference_parquet_bytes"] = ref_bytes
     extra["compression_ratio_vs_reference"] = round(ref_bytes / max(ours_bytes, 1), 4)
 
-    # ---------------- map-only (shuffle-free) encode, informational
+    # ---------------- map-only (shuffle-free) encode: 3 early samples here,
+    # 2 more later in the session (time-diversified min)
     from rugo_spark.engine import encode_table_maponly
 
     out_mo = os.path.join(SCRATCH, "enc_maponly")
-    best = float("inf")
     for _ in range(3):
         shutil.rmtree(out_mo, ignore_errors=True)
-        t0 = time.perf_counter()
-        encode_table_maponly(tok_df, out_mo, sort_key="doc_id", size_col="n_tok")
-        best = min(best, time.perf_counter() - t0)
-    timings["encode_maponly"] = best
-    extra["encode_maponly_tokens_per_sec"] = round(total_tokens / best)
-
-    # ---------------- decode + verify
-    from rugo_spark.engine import decode_table
-
-    timings["decode"] = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        dec = decode_table(spark, out_hi)
-        got_tokens = dec.agg(F.sum(F.size("tokens"))).first()[0]
-        timings["decode"] = min(timings["decode"], time.perf_counter() - t0)
-        assert got_tokens == total_tokens, f"decode token count {got_tokens} != {total_tokens}"
-    extra["decode_tokens_per_sec"] = round(total_tokens / timings["decode"])
-
-    # ---------------- sequence packing (docs → fixed-length training rows)
-    from rugo_spark.ops.packing import pack_sequences
-
-    # min-of-2: single-shot pack swung 2-4× between runs under host-level
-    # noisy-neighbor load (10 s vs 23.5 s on the same code/data)
-    timings["pack_sequences"] = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        packed = pack_sequences(tok_df, seq_len=2048, num_partitions=CPUS * 4, eos_id=50256)
-        n_seq = packed.count()
-        timings["pack_sequences"] = min(timings["pack_sequences"], time.perf_counter() - t0)
-    extra["pack_tokens_per_sec"] = round(total_tokens / timings["pack_sequences"])
-    extra["packed_rows"] = int(n_seq)
-
-    # ---------------- pruned point-lookup decode (bloom + stripe skipping)
-    probe_id = tok_df.agg(F.min("doc_id")).first()[0]
-    t0 = time.perf_counter()
-    n_hit = decode_table(
-        spark, out_hi, columns=["doc_id", "n_tok"], filters=[("doc_id", "=", probe_id)]
-    ).count()
-    timings["decode_point_lookup"] = time.perf_counter() - t0
-    assert n_hit == 1, f"point lookup returned {n_hit} rows"
-
-    # ---------------- metadata-only stats vs full-scan aggregate (the
-    # reference's headline claim — stats from metadata 10-50x faster than
-    # reading data, rugo README.md:11 — measured at dataset level)
-    from rugo_spark.engine import metadata_agg
-
-    t0 = time.perf_counter()
-    meta_row = metadata_agg(spark, out_hi, ["doc_id", "n_tok"]).first()
-    timings["metadata_agg"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    scan_row = (
-        decode_table(spark, out_hi, columns=["doc_id", "n_tok"])
-        .agg(
-            F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("mn"),
-            F.max("doc_id").alias("mx"), F.min("n_tok"), F.max("n_tok"),
+        _timed(
+            "encode_maponly",
+            lambda: encode_table_maponly(tok_df, out_mo, sort_key="doc_id", size_col="n_tok"),
         )
-        .first()
-    )
-    timings["fullscan_agg"] = time.perf_counter() - t0
-    assert meta_row["n_rows"] == scan_row["n"]
-    assert meta_row["min_doc_id"] == scan_row["mn"] and meta_row["max_doc_id"] == scan_row["mx"]
-    assert meta_row["min_n_tok"] == scan_row["min(n_tok)"]
-    assert meta_row["max_n_tok"] == scan_row["max(n_tok)"]
-    extra["metadata_agg_speedup_vs_scan"] = round(
-        timings["fullscan_agg"] / max(timings["metadata_agg"], 1e-9), 1
-    )
 
-    # ---------------- concat compaction (members → stripes, no re-encode)
-    from rugo_spark import manifest as _mf
-    from rugo_spark.engine import compact_dataset
-
-    cmp_dir = os.path.join(SCRATCH, "enc_compact")
-    shutil.rmtree(cmp_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    compact_dataset(spark, out_hi, cmp_dir, target_bytes=128 << 20, mode="concat")
-    timings["compact_concat"] = time.perf_counter() - t0
-    extra["compact_blocks"] = (
-        f"{len(_mf.completed_partitions(out_hi))}->{len(_mf.completed_partitions(cmp_dir))}"
+    # ---------------- interleaved rounds over ALL remaining headline queries
+    # (VERDICT r4 item 1): each round runs every query once, in a fixed
+    # order, so a noisy-neighbor burst is spread across the set instead of
+    # landing on whichever single-shot query was in flight.  The expensive
+    # dedup trio runs in 2 of the 3 rounds.
+    from rugo_spark.engine import compact_dataset, decode_table, metadata_agg
+    from rugo_spark.ops.contamination import find_needle
+    from rugo_spark.ops.dedup import (
+        dedup_clusters,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
     )
+    from rugo_spark.ops.packing import pack_sequences
+    import __spark_entry__ as entrymod
 
-    # ---------------- datasource point lookup (Catalyst BatchScan + pushFilters)
     from rugo_spark.datasource import register as ds_register
 
     ds_register(spark)
-    t0 = time.perf_counter()
-    n_hit = (
-        spark.read.format("rugo").load(out_hi).filter(F.col("doc_id") == probe_id).count()
-    )
-    timings["datasource_point_lookup"] = time.perf_counter() - t0
-    assert n_hit == 1
-
-    # ---------------- contamination screen (tokenless: bench table already
-    # tokenized — exact subsequence scan over 240M tokens, shuffle-free)
-    from rugo_spark.ops.contamination import find_needle
-
-    needle_row = tok_df.orderBy("doc_id").select("tokens").first()[0][:6]
-    t0 = time.perf_counter()
-    n_cont = find_needle(tok_df, list(needle_row)).count()
-    timings["contamination_screen"] = time.perf_counter() - t0
-    assert n_cont >= 1
-    extra["contamination_tokens_per_sec"] = round(total_tokens / timings["contamination_screen"])
-
-    # ---------------- relational/pipeline headline queries at SF_DIR
-    import __spark_entry__ as entrymod
-
     qs = entrymod.queries()
-    for name in ["agg_pricing_summary", "join_top_revenue", "dedup_exact", "token_count"]:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).collect()
-        timings[name] = time.perf_counter() - t0
+    probe_id = tok_df.agg(F.min("doc_id")).first()[0]
+    needle_row = tok_df.orderBy("doc_id").select("tokens").first()[0][:6]
+    cmp_dir = os.path.join(SCRATCH, "enc_compact")
 
-    # ---------------- dedup pipeline at BENCH scale (600k docs at sf0.1 —
-    # the driver's documents table caps at 5k rows, where fixed per-round
-    # costs dominate and the wall-clock says nothing about the 100-TB claim;
-    # VERDICT r3 item 5).  Word-3 shingles (the web-crawl unit, ~6× fewer
-    # shingle hashes than char-5; oracle-pinned in tests/test_dedup_words.py)
-    # over a generated corpus with a ~20% planted exact+near-dup structure.
+    # dedup bench corpus (600k docs at sf0.1 — the driver's documents table
+    # caps at 5k rows, where fixed per-round costs dominate and the
+    # wall-clock says nothing about the 100-TB claim; VERDICT r3 item 5).
+    # Word-3 shingles (the web-crawl unit, ~6× fewer shingle hashes than
+    # char-5; oracle-pinned in tests/test_dedup_words.py) over a generated
+    # corpus with a ~20% planted exact+near-dup structure.
     from rugo_spark.docgen import spark_doc_df
-    from rugo_spark.ops.dedup import dedup_clusters, minhash_lsh_candidates
 
     n_ddocs = max(20_000, int(6_000_000 * sf))  # 600k at sf0.1
     doc_src = os.path.join(SCRATCH, f"docs_v2_{n_ddocs}_f64.parquet")  # v2: dup chains resolved
@@ -264,51 +200,141 @@ def main() -> None:
             "overwrite"
         ).parquet(doc_src, compression="zstd")
     docs_df = spark.read.parquet(doc_src)
-    t0 = time.perf_counter()
-    n_cand = minhash_lsh_candidates(
-        docs_df, n_hashes=16, n_bands=4, shingle=3, unit="word"
-    ).count()
-    timings["dedup_lsh_bulk"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    n_dropped = (
-        dedup_clusters(docs_df, n_hashes=16, n_bands=4, shingle=3, unit="word")
-        .filter(~F.col("is_kept"))
-        .count()
-    )
+
+    state: dict = {}
+
+    def q_decode():
+        dec = decode_table(spark, out_hi)
+        got = dec.agg(F.sum(F.size("tokens"))).first()[0]
+        assert got == total_tokens, f"decode token count {got} != {total_tokens}"
+
+    def q_pack():
+        packed = pack_sequences(tok_df, seq_len=2048, num_partitions=CPUS * 4, eos_id=50256)
+        state["n_seq"] = packed.count()
+
+    def q_point_lookup():
+        n_hit = decode_table(
+            spark, out_hi, columns=["doc_id", "n_tok"], filters=[("doc_id", "=", probe_id)]
+        ).count()
+        assert n_hit == 1, f"point lookup returned {n_hit} rows"
+
+    def q_metadata_agg():
+        state["meta_row"] = metadata_agg(spark, out_hi, ["doc_id", "n_tok"]).first()
+
+    def q_fullscan_agg():
+        # the reference's headline claim — stats from metadata 10-50x faster
+        # than reading data (rugo README.md:11) — measured at dataset level
+        scan_row = (
+            decode_table(spark, out_hi, columns=["doc_id", "n_tok"])
+            .agg(
+                F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("mn"),
+                F.max("doc_id").alias("mx"), F.min("n_tok"), F.max("n_tok"),
+            )
+            .first()
+        )
+        meta_row = state["meta_row"]
+        assert meta_row["n_rows"] == scan_row["n"]
+        assert meta_row["min_doc_id"] == scan_row["mn"] and meta_row["max_doc_id"] == scan_row["mx"]
+        assert meta_row["min_n_tok"] == scan_row["min(n_tok)"]
+        assert meta_row["max_n_tok"] == scan_row["max(n_tok)"]
+
+    def q_compact():
+        # concat compaction (members → stripes, no re-encode)
+        shutil.rmtree(cmp_dir, ignore_errors=True)
+        compact_dataset(spark, out_hi, cmp_dir, target_bytes=128 << 20, mode="concat")
+
+    def q_ds_lookup():
+        # Catalyst BatchScan + pushFilters
+        n_hit = (
+            spark.read.format("rugo").load(out_hi).filter(F.col("doc_id") == probe_id).count()
+        )
+        assert n_hit == 1
+
+    def q_contamination():
+        # tokenless: bench table already tokenized — exact subsequence scan
+        # over 240M tokens, shuffle-free
+        n_cont = find_needle(tok_df, list(needle_row)).count()
+        assert n_cont >= 1
+
+    def q_dedup_lsh():
+        state["n_cand"] = minhash_lsh_candidates(
+            docs_df, n_hashes=16, n_bands=4, shingle=3, unit="word"
+        ).count()
+
+    def q_dedup_clusters():
+        state["n_dropped"] = (
+            dedup_clusters(docs_df, n_hashes=16, n_bands=4, shingle=3, unit="word")
+            .filter(~F.col("is_kept"))
+            .count()
+        )
+
+    def q_dedup_two_stage():
+        # the canonical two-stage shape (LSH candidates → exact n-gram
+        # Jaccard verify ≥0.5 on candidates only), end to end in one plan
+        state["n_verified"] = ngram_jaccard_pairs(
+            docs_df,
+            prefilter=minhash_lsh_candidates(
+                docs_df, n_hashes=16, n_bands=4, shingle=3, unit="word"
+            ).select("id_a", "id_b"),
+            threshold=0.5,
+            shingle=3,
+            unit="word",
+        ).count()
+
+    # (name, fn, n_rounds): every query ≥2 samples; cheap ones get 3.
     # '_bulk' keys: distinct from the prior rounds' 'dedup_clusters' timing,
     # which named the 5k-row SF_DIR driver query — same name would read as a
     # 100x regression in round-over-round BENCH comparisons
-    timings["dedup_clusters_bulk"] = time.perf_counter() - t0
-    # the canonical two-stage shape (LSH candidates → exact n-gram Jaccard
-    # verify ≥0.5 on candidates only), timed end to end in one plan
-    from rugo_spark.ops.dedup import ngram_jaccard_pairs
+    plan = [
+        ("decode", q_decode, 3),
+        ("pack_sequences", q_pack, 3),
+        ("decode_point_lookup", q_point_lookup, 3),
+        ("metadata_agg", q_metadata_agg, 3),
+        ("fullscan_agg", q_fullscan_agg, 3),
+        ("compact_concat", q_compact, 3),
+        ("datasource_point_lookup", q_ds_lookup, 3),
+        ("contamination_screen", q_contamination, 3),
+        ("agg_pricing_summary", lambda: qs["agg_pricing_summary"](spark, SF_DIR).collect(), 3),
+        ("join_top_revenue", lambda: qs["join_top_revenue"](spark, SF_DIR).collect(), 3),
+        ("dedup_exact", lambda: qs["dedup_exact"](spark, SF_DIR).collect(), 3),
+        ("token_count", lambda: qs["token_count"](spark, SF_DIR).collect(), 3),
+        ("dedup_lsh_bulk", q_dedup_lsh, 2),
+        ("dedup_clusters_bulk", q_dedup_clusters, 2),
+        ("dedup_two_stage_bulk", q_dedup_two_stage, 2),
+    ]
+    for rnd in range(3):
+        for name, fn, n_rounds in plan:
+            if rnd < n_rounds:
+                _timed(name, fn)
 
-    t0 = time.perf_counter()
-    n_verified = ngram_jaccard_pairs(
-        docs_df,
-        prefilter=minhash_lsh_candidates(
-            docs_df, n_hashes=16, n_bands=4, shingle=3, unit="word"
-        ).select("id_a", "id_b"),
-        threshold=0.5,
-        shingle=3,
-        unit="word",
-    ).count()
-    timings["dedup_two_stage_bulk"] = time.perf_counter() - t0
-    extra["dedup_verified_pairs"] = n_verified
+    extra["decode_tokens_per_sec"] = round(total_tokens / min(SAMPLES["decode"]))
+    extra["pack_tokens_per_sec"] = round(total_tokens / min(SAMPLES["pack_sequences"]))
+    extra["packed_rows"] = int(state["n_seq"])
+    extra["metadata_agg_speedup_vs_scan"] = round(
+        min(SAMPLES["fullscan_agg"]) / max(min(SAMPLES["metadata_agg"]), 1e-9), 1
+    )
+    extra["compact_blocks"] = (
+        f"{len(mf.completed_partitions(out_hi))}->{len(mf.completed_partitions(cmp_dir))}"
+    )
+    extra["contamination_tokens_per_sec"] = round(
+        total_tokens / min(SAMPLES["contamination_screen"])
+    )
+    extra["dedup_verified_pairs"] = state["n_verified"]
     extra["dedup_bench_docs"] = n_ddocs
-    extra["dedup_candidate_pairs"] = n_cand
-    extra["dedup_dropped_docs"] = n_dropped
-    extra["dedup_lsh_docs_per_sec"] = round(n_ddocs / timings["dedup_lsh_bulk"])
-    extra["dedup_cluster_docs_per_sec"] = round(n_ddocs / timings["dedup_clusters_bulk"])
+    extra["dedup_candidate_pairs"] = state["n_cand"]
+    extra["dedup_dropped_docs"] = state["n_dropped"]
+    extra["dedup_lsh_docs_per_sec"] = round(n_ddocs / min(SAMPLES["dedup_lsh_bulk"]))
+    extra["dedup_cluster_docs_per_sec"] = round(n_ddocs / min(SAMPLES["dedup_clusters_bulk"]))
 
-    # one more map-only sample later in the session (time-diversified min —
+    # two more map-only samples later in the session (time-diversified min —
     # a noisy-neighbor burst earlier shouldn't define the headline)
     for _ in range(2):
         shutil.rmtree(out_mo, ignore_errors=True)
-        t0 = time.perf_counter()
-        encode_table_maponly(tok_df, out_mo, sort_key="doc_id", size_col="n_tok")
-        timings["encode_maponly"] = min(timings["encode_maponly"], time.perf_counter() - t0)
-    extra["encode_maponly_tokens_per_sec"] = round(total_tokens / timings["encode_maponly"])
+        _timed(
+            "encode_maponly",
+            lambda: encode_table_maponly(tok_df, out_mo, sort_key="doc_id", size_col="n_tok"),
+        )
+    extra["encode_maponly_tokens_per_sec"] = round(total_tokens / min(SAMPLES["encode_maponly"]))
     spark.stop()
 
     # ---------------- scaling: the same encode job at N and 4N cores.
@@ -337,7 +363,6 @@ def main() -> None:
     def _mpb_for(cores: int) -> str:
         return str(max(4 << 20, eff_bytes // (cores * _waves[cores])))
 
-    best_t = {2: float("inf"), 8: float("inf")}
     for cores in [2, 8, 2, 8, 2, 8]:
         os.environ["SPARK_GRAFT_MPB"] = _mpb_for(cores)
         s = _session(f"local[{cores}]")
@@ -347,28 +372,37 @@ def main() -> None:
         for _ in range(1 if cores == 2 else 2):
             out_lo = os.path.join(SCRATCH, f"enc_mo_c{cores}")
             shutil.rmtree(out_lo, ignore_errors=True)
-            t0 = time.perf_counter()
-            _mo(tok_lo, out_lo, sort_key="doc_id", size_col="n_tok")
-            best_t[cores] = min(best_t[cores], time.perf_counter() - t0)
+            _timed(
+                f"encode_maponly_local{cores}",
+                lambda: _mo(tok_lo, out_lo, sort_key="doc_id", size_col="n_tok"),
+            )
         s.stop()
     os.environ.pop("SPARK_GRAFT_MPB", None)
     thr = {}
-    for cores, best in best_t.items():
-        timings[f"encode_maponly_local{cores}"] = best
-        thr[cores] = total_tokens / best
+    for cores in (2, 8):
+        thr[cores] = total_tokens / min(SAMPLES[f"encode_maponly_local{cores}"])
     if CPUS not in thr:  # on a 2/8-core box the tuned level number must win
-        thr[CPUS] = total_tokens / timings["encode_maponly"]
+        thr[CPUS] = total_tokens / min(SAMPLES["encode_maponly"])
     for c in sorted(thr):
         extra[f"encode_maponly_tokens_per_sec_local{c}"] = round(thr[c])
     extra["scaling_efficiency_Nx4"] = round(thr[8] / (4.0 * thr[2]), 4)
     extra[f"scaling_efficiency_8_to_{CPUS}"] = round(thr[CPUS] / (CPUS / 8.0 * thr[8]), 4)
 
-    timings = {k: round(v, 3) for k, v in timings.items()}
+    timings = {k: round(min(v), 3) for k, v in SAMPLES.items()}
+    spread = {
+        k: {
+            "min": round(min(v), 3),
+            "median": round(statistics.median(v), 3),
+            "n_runs": len(v),
+        }
+        for k, v in SAMPLES.items()
+    }
     result = {
         "metric": "bench_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": sf,
         **extra,
     }
