@@ -161,6 +161,95 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(spark, dst)
 
 
+def q_consolidated_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-segment lifecycle (the Iceberg-manifest-list analog, VERDICT
+    r4 item 2 — the dataset-level completion of rugo's plan-from-one-small-
+    footer idea, metadata.cpp:841-872): encode ``documents`` into 12 blocks,
+    fold every loose JSON sidecar into a parquet manifest segment with a
+    pre-merged catalog summary (``manifest.consolidate_manifest``), then
+    decode with planning reading ONLY segments.  Oracle = identity SELECT —
+    the hash matches iff segment-planned decode is bit-identical."""
+    from rugo_spark import manifest as mf
+    from rugo_spark.engine import decode_table, encode_table
+
+    df = _t(spark, sf_dir, "documents")
+    out = _fresh("seg_documents", sf_dir)
+    encode_table(df, out, key_col="doc_id", size_col="n_chars", num_partitions=12)
+    st = mf.consolidate_manifest(out)
+    assert st["folded"] > 0 and not mf.loose_sidecar_names(out)
+    return decode_table(spark, out)
+
+
+def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrivals across micro-batch epochs through the stateful
+    streaming dedup (``applyInPandasWithState`` with an ARMED processing-time
+    TTL, ops/stateful.py): batch 0 delivers ids 0-99, batch 1 re-delivers
+    50-149 (50 late duplicates), batch 2 re-delivers 0-49 two epochs late
+    and adds 150-199.  First arrival wins; the 1 h TTL arms the timeout
+    path without expiring state mid-query (expiry semantics are pinned by
+    tests/test_streaming.py — wall-clock TTL cannot be oracle-deterministic).
+    Batch order is forced via file mtimes (FileStreamSource processes
+    oldest-first).  Output = (doc_id, first_batch); the oracle recomputes
+    MIN(batch) per id in SQL."""
+    import time
+
+    from rugo_spark.ops.stateful import streaming_dedup
+
+    staged = _fresh("late_src", sf_dir)
+    os.makedirs(staged)
+    batches = [
+        [(0, i) for i in range(0, 100)],
+        [(1, i) for i in range(50, 150)],
+        [(2, i) for i in range(0, 50)] + [(2, i) for i in range(150, 200)],
+    ]
+    for b, rows in enumerate(batches):
+        tmp = _fresh(f"late_tmp{b}", sf_dir)
+        spark.createDataFrame(rows, "batch int, doc_id int").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
+        dst = os.path.join(staged, f"batch-{b}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        t = time.time() - 3600 + b * 60
+        os.utime(dst, (t, t))
+    stream = (
+        spark.readStream.schema("batch int, doc_id int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    dedup = streaming_dedup(stream, id_col="doc_id", state_ttl_ms=3_600_000)
+    out = _fresh("late_out", sf_dir)
+    ckpt = _fresh("late_ckpt", sf_dir)
+    # NOT availableNow: an armed processing-time timer re-schedules a wake-up
+    # every batch, so availableNow's drain-everything contract never
+    # terminates.  Run like a real TTL'd streaming job — periodic trigger,
+    # stop once all three file-batches have landed (output is deterministic:
+    # exactly the 200 first arrivals; a broken dedup would hit 200 after two
+    # batches with the WRONG rows and fail the value hash).
+    q = (
+        dedup.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= 200:
+                break
+        except Exception:  # noqa: BLE001 — sink dir not populated yet
+            pass
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    return spark.read.parquet(out).select(
+        F.col("doc_id").cast("int").alias("doc_id"),
+        F.col("batch").cast("int").alias("first_batch"),
+    )
+
+
 def q_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only statistics: encode ``documents`` then answer
     COUNT/MIN/MAX/null-count purely from the manifest sidecars — zero data
@@ -741,16 +830,25 @@ def q_streaming_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness artifact records at most ~50
-    # entries in dict order (r3 measured exactly 50 of 52).  Surfaces that
-    # have never had a driver row come FIRST; the near-duplicate
-    # roundtrip_* probes for small dims come last — losing one of those
-    # costs no information (lineitem/orders cover the same code path).
+    # entries in dict order (r3 measured exactly 50 of 52).  ROTATION POLICY
+    # (VERDICT r4 item 4): each round, (a) brand-new surfaces and every
+    # entry WITHOUT a driver row in the previous round go FIRST — so across
+    # any two consecutive rounds all entries have a row — and (b) the
+    # sacrificial tail is drawn from entries green in the previous round
+    # whose code path an earlier entry already covers.
+    # r5 head: consolidated_roundtrip + streaming_late_data are new;
+    # quality_score/roundtrip_{orders,events,part} were r4's unmeasured tail.
     return {
+        "consolidated_roundtrip": q_consolidated_roundtrip,
+        "streaming_late_data": q_streaming_late_data,
+        "quality_score": q_quality_score,
+        "roundtrip_orders": _roundtrip("orders", "o_orderkey", None),
+        "roundtrip_events": _roundtrip("events", "event_id", None),
+        "roundtrip_part": _roundtrip("part", "p_partkey", None),
         "packed_encode_roundtrip": q_packed_encode_roundtrip,
         "streaming_encode_roundtrip": q_streaming_roundtrip,
         "dedup_lsh_words": q_lsh_words,
         "append_roundtrip": q_append_roundtrip,
-        "roundtrip_documents": _roundtrip("documents", "doc_id", "n_chars"),
         "roundtrip_lineitem": _roundtrip("lineitem", "l_orderkey", None),
         "roundtrip_nested": q_roundtrip_nested,
         "manifest_lineage": q_manifest,
@@ -768,17 +866,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": q_scalar_functions,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
-        "quality_features_full": q_quality_features,
         "multimodal_frame_sample": q_frame_sample,
         "lang_id": q_lang_id,
         "token_counts_bpe": q_token_counts,
         "embedding_cosine_topk": q_embedding_topk,
         "embedding_ann_topk": q_ann_topk,
-        "embedding_hybrid_topk": q_hybrid_topk,
         "embedding_ivf_topk": q_ivf_topk,
         "embedding_ivf_indexed": q_ivf_indexed,
         "embedding_near_dups": q_embedding_near_dups,
-        "dedup_minhash_lsh": q_minhash_dedup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_lsh_verified": q_lsh_verified,
         "dedup_jaccard_verify": q_jaccard_verify,
@@ -786,8 +881,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_latest_order": q_asof_join,
         "range_join_value_bands": q_range_join,
         "rollup_pricing": q_rollup_pricing,
-        "cube_orders": q_cube_orders,
-        "date_functions": q_date_functions,
         "array_functions": q_array_functions,
         "doc_fingerprint": q_fingerprint,
         "repetition_ratio": q_repetition_ratio,
@@ -796,15 +889,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "pipeline_docs_to_encoded": q_pipeline_docs_to_encoded,
         "pack_sequences": q_pack_sequences,
-        # sacrificial tail — entries past the driver's ~50-row artifact cap
-        # (r3: exactly 50 of 52).  Each is information-redundant with an
-        # earlier entry: quality_score's composite is a projection of
-        # quality_features_full; the three roundtrips share
-        # roundtrip_lineitem's code path on near-identical dims
-        "quality_score": q_quality_score,
-        "roundtrip_orders": _roundtrip("orders", "o_orderkey", None),
-        "roundtrip_events": _roundtrip("events", "event_id", None),
-        "roundtrip_part": _roundtrip("part", "p_partkey", None),
+        # sacrificial tail — entries past the driver's ~50-row artifact cap,
+        # ALL green in r4, each information-redundant with a measured entry:
+        # quality_features_full ⊃ quality_score's inputs (same extractor);
+        # roundtrip_documents shares roundtrip_lineitem's code path;
+        # embedding_hybrid_topk is the union of ann+ivf (both measured);
+        # dedup_minhash_lsh is the char-shingle sibling of dedup_lsh_words;
+        # date/cube share scalar_functions'/rollup_pricing's operator family
+        "quality_features_full": q_quality_features,
+        "roundtrip_documents": _roundtrip("documents", "doc_id", "n_chars"),
+        "embedding_hybrid_topk": q_hybrid_topk,
+        "dedup_minhash_lsh": q_minhash_dedup,
+        "date_functions": q_date_functions,
+        "cube_orders": q_cube_orders,
     }
 
 
@@ -977,6 +1074,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         # the streamed encode must reproduce the source table bit-identically
         "streaming_encode_roundtrip": "SELECT * FROM documents",
+        # segment-planned decode must reproduce the source bit-identically
+        "consolidated_roundtrip": "SELECT * FROM documents",
+        # stateful dedup with late cross-epoch re-deliveries: first arrival
+        # wins, so the surviving row per id carries MIN(batch)
+        "streaming_late_data": """
+            WITH arrivals(batch, doc_id) AS (
+                SELECT 0, i FROM range(0, 100) t(i)
+                UNION ALL SELECT 1, i FROM range(50, 150) t(i)
+                UNION ALL SELECT 2, i FROM range(0, 50) t(i)
+                UNION ALL SELECT 2, i FROM range(150, 200) t(i)
+            )
+            SELECT CAST(doc_id AS INT) AS doc_id,
+                   CAST(MIN(batch) AS INT) AS first_batch
+            FROM arrivals GROUP BY doc_id
+        """,
         # invariant oracle: lineage accounting must conserve source rows/mass
         "manifest_lineage": """
             SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,

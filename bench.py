@@ -326,6 +326,107 @@ def main() -> None:
     extra["dedup_lsh_docs_per_sec"] = round(n_ddocs / min(SAMPLES["dedup_lsh_bulk"]))
     extra["dedup_cluster_docs_per_sec"] = round(n_ddocs / min(SAMPLES["dedup_clusters_bulk"]))
 
+    # ---------------- manifest-segment planning at scale (VERDICT r4
+    # item 2): a synthetic manifest of 10⁵ sidecars (planning never opens
+    # blocks, so virtual block paths suffice) timed loose vs consolidated.
+    # The pristine copy is cached; each run hardlinks a fresh working dir
+    # because consolidation deletes the loose files it folds.
+    n_man = 100_000 if sf >= 0.1 else 10_000
+    pristine = os.path.join(SCRATCH, f"manifest_pristine_{n_man}")
+    ready = os.path.join(pristine, "_MANIFEST_READY")
+    if not os.path.exists(ready):
+        import pyarrow as _pa
+        from concurrent.futures import ThreadPoolExecutor
+
+        shutil.rmtree(pristine, ignore_errors=True)
+        os.makedirs(os.path.join(pristine, mf.MANIFEST_DIR))
+        mf.write_schema(
+            pristine,
+            _pa.schema([("doc_id", _pa.string()), ("n_tok", _pa.int32())]),
+            json.dumps({"type": "struct", "fields": [
+                {"name": "doc_id", "type": "string", "nullable": False, "metadata": {}},
+                {"name": "n_tok", "type": "integer", "nullable": False, "metadata": {}},
+            ]}),
+        )
+
+        def _write_sc(i: int) -> None:
+            row = {
+                "partition_id": i, "n_rows": 100, "n_tokens": 10_000,
+                "input_bytes": 40_000, "output_bytes": 12_000,
+                "block_path": f"/virtual/blocks/part-{i:06d}.rgb", "checksum": 0,
+                "codecs": json.dumps({
+                    "doc_id": {"codec": "fsst", "min": f"doc{i:07d}", "max": f"doc{i + 1:07d}",
+                               "raw_bytes": 20_000, "enc_bytes": 6_000, "null_count": 0, "n": 100},
+                    "n_tok": {"codec": "foref", "min": i % 997, "max": i % 997 + 500,
+                              "raw_bytes": 400, "enc_bytes": 120, "null_count": 0, "n": 100},
+                }),
+            }
+            with open(os.path.join(pristine, mf.MANIFEST_DIR, f"part-{i:06d}.json"), "w") as f:
+                json.dump(row, f)
+
+        with ThreadPoolExecutor(max_workers=32) as ex:
+            list(ex.map(_write_sc, range(n_man)))
+        open(ready, "w").close()
+
+    man_work = os.path.join(SCRATCH, "manifest_work")
+    shutil.rmtree(man_work, ignore_errors=True)
+    os.makedirs(os.path.join(man_work, mf.MANIFEST_DIR))
+    shutil.copy(os.path.join(pristine, mf.SCHEMA_FILE), os.path.join(man_work, mf.SCHEMA_FILE))
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    def _link(name: str) -> None:
+        os.link(
+            os.path.join(pristine, mf.MANIFEST_DIR, name),
+            os.path.join(man_work, mf.MANIFEST_DIR, name),
+        )
+
+    with _TPE(max_workers=32) as ex:
+        list(ex.map(_link, os.listdir(os.path.join(pristine, mf.MANIFEST_DIR))))
+
+    from rugo_spark.engine import _plan_df_distributed
+
+    def _man_stats(tag: str) -> None:
+        m = _timed(
+            tag,
+            lambda: metadata_agg(spark, man_work, ["doc_id", "n_tok"]).first(),
+        )
+        assert m["n_rows"] == n_man * 100, (tag, m["n_rows"])
+
+    def _decode_plan(tag: str) -> None:
+        # mirror decode_table's auto choice: distributed spec-scan for a
+        # loose manifest at this size, column-pruned local read once
+        # consolidated (the plan the user's decode actually runs)
+        if len(mf.loose_sidecar_names(man_work)) > 20_000:
+            n = _timed(tag, lambda: _plan_df_distributed(spark, man_work, None).count())
+        else:
+            n = _timed(
+                tag,
+                lambda: len(
+                    mf.visible_partitions(
+                        man_work, cols=["block_path", "checksum", "output_bytes"]
+                    )
+                ),
+            )
+        assert n == n_man, (tag, n)
+
+    for _ in range(2):
+        _man_stats("manifest_stats_loose")
+        _decode_plan("manifest_decodeplan_loose")
+    _timed("consolidate_manifest", lambda: mf.consolidate_manifest(man_work))
+    assert len(mf.loose_sidecar_names(man_work)) == 0
+    for _ in range(2):
+        _man_stats("manifest_stats_consolidated")
+        _decode_plan("manifest_decodeplan_consolidated")
+    extra["manifest_plan_sidecars"] = n_man
+    extra["manifest_stats_speedup"] = round(
+        min(SAMPLES["manifest_stats_loose"])
+        / max(min(SAMPLES["manifest_stats_consolidated"]), 1e-9), 1
+    )
+    extra["manifest_decodeplan_speedup"] = round(
+        min(SAMPLES["manifest_decodeplan_loose"])
+        / max(min(SAMPLES["manifest_decodeplan_consolidated"]), 1e-9), 1
+    )
+
     # two more map-only samples later in the session (time-diversified min —
     # a noisy-neighbor burst earlier shouldn't define the headline)
     for _ in range(2):

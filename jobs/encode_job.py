@@ -37,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--decode-verify", action="store_true")
     p.add_argument("--append", action="store_true",
                    help="append into an existing dataset (new partition-id band)")
+    p.add_argument("--consolidate", action="store_true",
+                   help="after the encode/append commits, fold loose manifest "
+                        "sidecars into a parquet manifest segment (planning at "
+                        "10^5-10^6 blocks reads segments, not per-block JSON)")
     p.add_argument("--master", default=None, help="override master (local testing)")
     args = p.parse_args(argv)
     if args.append and (args.num_partitions is not None or args.target_tokens is not None):
@@ -62,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
             args.output,
             sort_key=args.key_col,
             size_col=args.size_col if args.size_col in df.columns else None,
+            consolidate=args.consolidate,
         )
     else:
         man = encode_table(
@@ -72,6 +77,10 @@ def main(argv: list[str] | None = None) -> int:
             num_partitions=args.num_partitions,
             target_tokens=args.target_tokens or 32_000_000,
         )
+        if args.consolidate:
+            from rugo_spark import manifest as mf
+
+            mf.consolidate_manifest(args.output)
     import pyspark.sql.functions as F
 
     stats = man.agg(

@@ -23,10 +23,14 @@ def __getattr__(name: str):
     until an engine surface is actually touched)."""
     if name in ("encode_table", "encode_table_maponly", "encode_table_sorted",
                 "decode_table", "metadata_agg", "compact_dataset", "stats_df",
-                "manifest_df"):
+                "manifest_df", "append_table"):
         from rugo_spark import engine
 
         return getattr(engine, name)
+    if name == "consolidate_manifest":
+        from rugo_spark.manifest import consolidate_manifest
+
+        return consolidate_manifest
     if name == "register":
         from rugo_spark.datasource import register
 

@@ -232,8 +232,9 @@ class RugoWriter(DataSourceArrowWriter):
 
         rows = [json.loads(m.sidecar) for m in messages if m is not None and m.sidecar]
         if self.overwrite:
-            shutil.rmtree(os.path.join(self.out_dir, mf.MANIFEST_DIR), ignore_errors=True)
-            shutil.rmtree(os.path.join(self.out_dir, mf.BLOCKS_DIR), ignore_errors=True)
+            # clears segments + catalog too — cataloged segments would
+            # resurrect the old partitions after an overwrite
+            mf.clear_manifest(self.out_dir)
             offset = 0
         else:
             done = mf.completed_partitions(self.out_dir)

@@ -159,6 +159,13 @@ def read_codec_plans(out_dir: str) -> dict | None:
         return None
 
 
+SEGMENTS_DIR = "manifest_segments"
+SEGMENTS_FILE = "_segments.json"
+# small row groups → pid-range pruning when executors fetch a few members
+# out of a 10⁵-row segment (compaction, point planning)
+_SEGMENT_ROW_GROUP = 2000
+
+
 def sidecar_path(out_dir: str, partition_id: int) -> str:
     return os.path.join(out_dir, MANIFEST_DIR, f"part-{partition_id:06d}.json")
 
@@ -177,21 +184,394 @@ def write_sidecar(out_dir: str, row: dict) -> None:
     os.replace(tmp, path)
 
 
-def completed_partitions(out_dir: str) -> list[dict]:
-    """All valid sidecars (torn/partial files are skipped → re-encoded)."""
+def loose_sidecar_names(out_dir: str) -> list[str]:
+    """Filenames of per-partition JSON sidecars still in ``manifest/`` (the
+    write-side unit; consolidation folds them into parquet segments)."""
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     if not os.path.isdir(mdir):
         return []
+    return sorted(
+        n for n in os.listdir(mdir) if n.startswith("part-") and n.endswith(".json")
+    )
+
+
+def loose_sidecar_rows(out_dir: str) -> list[dict]:
+    """All valid loose sidecars (torn/partial files are skipped → re-encoded)."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
     rows = []
-    for name in sorted(os.listdir(mdir)):
-        if not (name.startswith("part-") and name.endswith(".json")):
-            continue
+    for name in loose_sidecar_names(out_dir):
         try:
             with open(os.path.join(mdir, name)) as f:
                 rows.append(json.load(f))
         except (json.JSONDecodeError, OSError):
             continue
     return rows
+
+
+def segment_catalog(out_dir: str) -> list[dict]:
+    """Catalog entries of committed manifest segments, in commit order:
+    ``[{"file", "n_rows", "min_pid", "max_pid"}, ...]``.
+
+    Missing catalog → no segments (by protocol, sidecars are deleted only
+    AFTER the catalog commit, so an uncataloged segment file is a crash
+    orphan whose rows all still exist as sidecars).  A catalog that exists
+    but cannot be parsed raises — planning without it would silently drop
+    every consolidated partition."""
+    path = os.path.join(out_dir, SEGMENTS_FILE)
+    if not os.path.exists(path):
+        return []
+    try:
+        with open(path) as f:
+            cat = json.load(f)
+        segs = cat["segments"]
+        assert isinstance(segs, list)
+    except (json.JSONDecodeError, OSError, KeyError, AssertionError) as e:
+        raise ValueError(
+            f"corrupt manifest-segment catalog {path}: {e}; restore it (or "
+            "remove it AND the manifest_segments/ dir only if every partition "
+            "still has a loose sidecar)"
+        )
+    return segs
+
+
+# segment columns mirror the sidecar's top-level fields so planning can
+# COLUMN-PRUNE: metadata_agg reads stats without touching the (large) bloom
+# column; filterless decode planning reads only block_path + checksum.
+# Unknown future sidecar keys round-trip through 'extras'.
+_SEGMENT_CORE = (
+    "partition_id", "n_rows", "n_tokens", "input_bytes", "output_bytes",
+    "block_path", "checksum", "codecs",
+)
+_SEGMENT_ALL = _SEGMENT_CORE + ("bloom_col", "bloom", "extras")
+
+
+def _rows_from_segment_table(tbl) -> list[dict]:
+    """Materialize sidecar row dicts from (a subset of) segment columns.
+    ``bloom`` parses back to its dict form; absent/null bloom keys are
+    omitted entirely (matching a bloom-less sidecar); ``extras`` re-inlines
+    unknown keys."""
+    cols = {name: tbl.column(name).to_pylist() for name in tbl.column_names}
+    out = []
+    for i in range(tbl.num_rows):
+        row = {}
+        for name, vals in cols.items():
+            v = vals[i]
+            if name == "bloom":
+                if v is not None:
+                    row["bloom"] = json.loads(v)
+            elif name == "extras":
+                if v:
+                    row.update(json.loads(v))
+            elif name == "bloom_col":
+                if v is not None:
+                    row["bloom_col"] = v
+            else:
+                row[name] = v
+        out.append(row)
+    return out
+
+
+def read_segment_rows(seg_path: str, columns: list[str] | None = None) -> list[dict]:
+    """Sidecar row dicts from one segment parquet file; ``columns`` prunes
+    to a subset of ``_SEGMENT_ALL`` (planning reads only what it needs)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(seg_path, columns=columns)
+    return _rows_from_segment_table(tbl)
+
+
+def segment_rows(out_dir: str, cols: list[str] | None = None) -> dict[int, dict]:
+    """pid → row across all cataloged segments (later segments win; overlap
+    only exists transiently in the crash window between a catalog commit and
+    the sidecar deletion that follows it, where both copies are identical).
+    ``cols`` prunes the parquet read to the named sidecar fields."""
+    if cols is not None and "partition_id" not in cols:
+        cols = ["partition_id"] + list(cols)
+    out: dict[int, dict] = {}
+    sdir = os.path.join(out_dir, SEGMENTS_DIR)
+    for entry in segment_catalog(out_dir):
+        for row in read_segment_rows(os.path.join(sdir, entry["file"]), columns=cols):
+            out[int(row["partition_id"])] = row
+    return out
+
+
+def segment_pids(out_dir: str) -> set[int]:
+    """Partition ids covered by cataloged segments — reads ONLY the
+    ``partition_id`` column (no row_json parse)."""
+    import pyarrow.parquet as pq
+
+    sdir = os.path.join(out_dir, SEGMENTS_DIR)
+    pids: set[int] = set()
+    for entry in segment_catalog(out_dir):
+        tbl = pq.read_table(os.path.join(sdir, entry["file"]), columns=["partition_id"])
+        pids.update(int(p) for p in tbl.column("partition_id").to_pylist())
+    return pids
+
+
+def completed_partitions(out_dir: str, cols: list[str] | None = None) -> list[dict]:
+    """All completed partitions: cataloged segment rows merged with loose
+    sidecars (loose wins per pid — it is the freshest write), sorted by
+    partition id.  ``cols`` prunes the SEGMENT parquet read (loose JSON
+    sidecars always parse whole — they are the small tail)."""
+    merged = segment_rows(out_dir, cols=cols) if os.path.exists(
+        os.path.join(out_dir, SEGMENTS_FILE)
+    ) else {}
+    if not merged:
+        return loose_sidecar_rows(out_dir)
+    for row in loose_sidecar_rows(out_dir):
+        merged[int(row["partition_id"])] = row
+    return [merged[k] for k in sorted(merged)]
+
+
+def consolidate_manifest(out_dir: str, min_sidecars: int = 1) -> dict:
+    """Fold loose JSON sidecars into ONE new parquet manifest segment — the
+    Iceberg-manifest-list analog of the reference's plan-from-one-small-
+    footer idea (rugo ``metadata.cpp:841-872``), completed at dataset level:
+    planning a 10⁵–10⁶-block dataset reads a handful of parquet files
+    instead of 10⁵–10⁶ JSON opens (VERDICT r4 item 2).
+
+    Commit protocol (single consolidator at a time, like append's
+    single-writer gate):
+
+    1. GC orphan segment files not in the catalog — crash leftovers from a
+       prior step-3 failure; no reader references them by protocol.
+    2. Collect foldable loose sidecars: valid JSON, NOT inside an incomplete
+       append band (in-flight appends stay loose until their marker flips),
+       and NOT already covered by a cataloged segment (re-folding the
+       leftovers of a crash between steps 4 and 5 would put the same pid in
+       two segments) — those redundant leftovers are just deleted.
+    3. Write the segment parquet (pid-sorted, small row groups for pid-range
+       pruning) to a temp name, then rename into ``manifest_segments/``.
+       Invisible until cataloged.
+    4. Commit: rewrite ``_segments.json`` (temp + rename, atomic) with the
+       new entry appended.
+    5. Delete the folded sidecar files.
+
+    A crash at ANY point leaves sidecars ∪ cataloged-segments covering
+    exactly the completed partitions, with read-side dedup by pid.
+    Returns ``{"folded", "deleted_redundant", "segments", "gc_orphans"}``."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    sdir = os.path.join(out_dir, SEGMENTS_DIR)
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    catalog = segment_catalog(out_dir)
+    cataloged = {e["file"] for e in catalog}
+    # -- 1. GC orphans
+    gc = 0
+    if os.path.isdir(sdir):
+        for name in os.listdir(sdir):
+            if name.endswith(".parquet") and name not in cataloged:
+                try:
+                    os.remove(os.path.join(sdir, name))
+                    gc += 1
+                except OSError:
+                    pass
+    # -- 2. collect foldable rows (parallel reads: at 10⁵ sidecars the I/O
+    # latency, not JSON parse, dominates a serial loop)
+    bands = incomplete_append_bands(out_dir)
+    covered = segment_pids(out_dir) if catalog else set()
+    names = loose_sidecar_names(out_dir)
+
+    def _load(name):
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return None
+
+    if len(names) > 256:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=32) as ex:
+            loaded = list(ex.map(_load, names))
+    else:
+        loaded = [_load(n) for n in names]
+    fold: list[dict] = []
+    redundant: list[int] = []
+    for row in loaded:
+        if row is None:
+            continue
+        pid = int(row["partition_id"])
+        if any(lo <= pid < hi for lo, hi in bands):
+            continue
+        if pid in covered:
+            redundant.append(pid)
+            continue
+        fold.append(row)
+    if len(fold) < max(1, min_sidecars):
+        for pid in redundant:
+            try:
+                os.remove(sidecar_path(out_dir, pid))
+            except OSError:
+                pass
+        return {"folded": 0, "deleted_redundant": len(redundant),
+                "segments": len(catalog), "gc_orphans": gc}
+    fold.sort(key=lambda r: int(r["partition_id"]))
+    # -- 3. segment file (one real column per sidecar field → planning
+    # column-prunes; unknown keys survive in 'extras')
+    os.makedirs(sdir, exist_ok=True)
+    seg_name = f"segment-{len(catalog):04d}-{uuid.uuid4().hex[:12]}.parquet"
+    arrays: dict[str, pa.Array] = {
+        "partition_id": pa.array([int(r["partition_id"]) for r in fold], pa.int64()),
+        "n_rows": pa.array([int(r["n_rows"]) for r in fold], pa.int64()),
+        "n_tokens": pa.array([int(r.get("n_tokens") or 0) for r in fold], pa.int64()),
+        "input_bytes": pa.array([int(r.get("input_bytes") or 0) for r in fold], pa.int64()),
+        "output_bytes": pa.array([int(r.get("output_bytes") or 0) for r in fold], pa.int64()),
+        "block_path": pa.array([r["block_path"] for r in fold], pa.string()),
+        "checksum": pa.array([int(r["checksum"]) for r in fold], pa.int64()),
+        "codecs": pa.array([r.get("codecs") or "{}" for r in fold], pa.string()),
+        "bloom_col": pa.array([r.get("bloom_col") for r in fold], pa.string()),
+        "bloom": pa.array(
+            [json.dumps(r["bloom"]) if r.get("bloom") is not None else None for r in fold],
+            pa.string(),
+        ),
+        "extras": pa.array(
+            [
+                json.dumps(ex)
+                if (ex := {k: v for k, v in r.items() if k not in _SEGMENT_ALL})
+                else None
+                for r in fold
+            ],
+            pa.string(),
+        ),
+    }
+    tbl = pa.table(arrays)
+    tmp = os.path.join(sdir, f".tmp-{uuid.uuid4().hex}")
+    pq.write_table(tbl, tmp, row_group_size=_SEGMENT_ROW_GROUP, compression="zstd")
+    os.replace(tmp, os.path.join(sdir, seg_name))
+    # -- 4. catalog commit.  The entry carries a pre-merged stats SUMMARY
+    # (row/token totals + column min/max/null merged across every folded
+    # sidecar) — the Iceberg-manifest-list partition-summary analog, and the
+    # dataset-level completion of rugo's plan-from-one-small-footer idea
+    # (metadata.cpp:841-872): metadata_agg over a consolidated dataset reads
+    # ONLY this catalog plus the loose tail, opening zero segment files.
+    from rugo_spark.engine import merge_column_metas
+
+    summary = {
+        "n_rows": sum(int(r["n_rows"]) for r in fold),
+        "n_tokens": sum(int(r.get("n_tokens") or 0) for r in fold),
+        "codecs": merge_column_metas(
+            [json.loads(r.get("codecs") or "{}") for r in fold]
+        ),
+    }
+    entry = {
+        "file": seg_name,
+        "n_rows": len(fold),
+        "min_pid": int(fold[0]["partition_id"]),
+        "max_pid": int(fold[-1]["partition_id"]),
+        "summary": json.loads(json.dumps(summary, default=str)),
+    }
+    cat_tmp = os.path.join(out_dir, SEGMENTS_FILE + ".tmp")
+    with open(cat_tmp, "w") as f:
+        json.dump({"segments": catalog + [entry]}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(cat_tmp, os.path.join(out_dir, SEGMENTS_FILE))
+    # -- 5. delete folded (and redundant) sidecars
+    for pid in [int(r["partition_id"]) for r in fold] + redundant:
+        try:
+            os.remove(sidecar_path(out_dir, pid))
+        except OSError:
+            pass
+    return {"folded": len(fold), "deleted_redundant": len(redundant),
+            "segments": len(catalog) + 1, "gc_orphans": gc}
+
+
+def iter_spec_rows(spec: dict):
+    """Executor-side row source for distributed manifest planning: yields
+    sidecar row dicts from a ``{"kind": "sidecar", "path"}`` spec (one JSON
+    file; torn files yield nothing → partition counts as not-done) or a
+    ``{"kind": "segment", "path", "rg_start", "rg_end", "skip", "bands"}``
+    spec (a row-group slice of a segment parquet; ``skip`` = pids overridden
+    by loose sidecars, ``bands`` = incomplete append bands — both invisible
+    here so the pid is planned exactly once, from its freshest source)."""
+    if spec["kind"] == "sidecar":
+        try:
+            with open(spec["path"]) as f:
+                yield json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return
+        return
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(spec["path"])
+    lo = int(spec.get("rg_start") or 0)
+    hi = min(int(spec.get("rg_end") or pf.num_row_groups), pf.num_row_groups)
+    skip = set(spec.get("skip") or [])
+    bands = [(int(a), int(b)) for a, b in (spec.get("bands") or [])]
+    cols = spec.get("cols")  # None = every column; else prune (must keep pid)
+    if cols is not None and "partition_id" not in cols:
+        cols = ["partition_id"] + list(cols)
+    for rg in range(lo, hi):
+        t = pf.read_row_group(rg, columns=cols)
+        rows = _rows_from_segment_table(t)
+        for row in rows:
+            pid = int(row["partition_id"])
+            if pid in skip or any(a <= pid < b for a, b in bands):
+                continue
+            yield row
+
+
+def load_rows(out_dir: str, pids: list[int]) -> dict[int, dict]:
+    """Resolve specific partition rows by id — loose sidecar first (freshest
+    write), else the cataloged segments (pid-filtered parquet read, so a few
+    members out of a 10⁵-row segment prune to their row groups).  Usable on
+    executors (compaction member resolution).  Raises if any pid resolves
+    nowhere — a silent miss would drop that partition's rows from the
+    compacted output."""
+    out: dict[int, dict] = {}
+    missing: list[int] = []
+    for pid in pids:
+        try:
+            with open(sidecar_path(out_dir, pid)) as f:
+                out[pid] = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            missing.append(pid)
+    if missing:
+        import pyarrow.parquet as pq
+
+        want = set(missing)
+        sdir = os.path.join(out_dir, SEGMENTS_DIR)
+        # newest-first so first-found == latest (mirrors segment_rows'
+        # later-segment-wins merge)
+        for entry in reversed(segment_catalog(out_dir)):
+            if not want:
+                break
+            if want and (int(entry["min_pid"]) > max(want) or int(entry["max_pid"]) < min(want)):
+                continue
+            tbl = pq.read_table(
+                os.path.join(sdir, entry["file"]),
+                filters=[("partition_id", "in", sorted(want))],
+            )
+            for row in _rows_from_segment_table(tbl):
+                pid = int(row["partition_id"])
+                if pid in want:
+                    out[pid] = row
+                    want.discard(pid)
+        if want:
+            raise FileNotFoundError(
+                f"partitions {sorted(want)[:8]}{'…' if len(want) > 8 else ''} of "
+                f"{out_dir} have neither a loose sidecar nor a segment row"
+            )
+    return out
+
+
+def clear_manifest(out_dir: str) -> None:
+    """Remove every manifest artifact — loose sidecars, blocks, segments AND
+    the segment catalog.  Every layout-clear path must go through here: an
+    rmtree of ``manifest/`` alone would leave cataloged segments resurrecting
+    the old partitions."""
+    import shutil
+
+    shutil.rmtree(os.path.join(out_dir, MANIFEST_DIR), ignore_errors=True)
+    shutil.rmtree(os.path.join(out_dir, BLOCKS_DIR), ignore_errors=True)
+    shutil.rmtree(os.path.join(out_dir, SEGMENTS_DIR), ignore_errors=True)
+    try:
+        os.remove(os.path.join(out_dir, SEGMENTS_FILE))
+    except OSError:
+        pass
 
 
 APPENDS_DIR = "_appends"
@@ -232,14 +612,14 @@ def incomplete_append_bands(out_dir: str) -> list[tuple[int, int]]:
     ]
 
 
-def visible_partitions(out_dir: str) -> list[dict]:
+def visible_partitions(out_dir: str, cols: list[str] | None = None) -> list[dict]:
     """``completed_partitions`` minus blocks inside INCOMPLETE append bands:
     the read-side half of append atomicity.  An in-flight (or crashed)
     append publishes sidecars per partition, but readers see none of them
     until the append's completion marker flips — old rows only, then old
     plus ALL new, never a torn middle.  Resume paths keep using
     ``completed_partitions`` (they must see partial state to skip it)."""
-    rows = completed_partitions(out_dir)
+    rows = completed_partitions(out_dir, cols=cols)
     bands = incomplete_append_bands(out_dir)
     if not bands:
         return rows
