@@ -37,6 +37,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--decode-verify", action="store_true")
     p.add_argument("--append", action="store_true",
                    help="append into an existing dataset (new partition-id band)")
+    p.add_argument("--reclaim-append", metavar="FINGERPRINT",
+                   help="before anything else, roll back incomplete (crashed) "
+                        "append session(s) on --output: 'all', or a fingerprint "
+                        "prefix as printed by the single-writer error. The "
+                        "band was never reader-visible, so this restores the "
+                        "exact pre-append state. To ADOPT a crashed append "
+                        "instead, re-run with its original --input.")
     p.add_argument("--consolidate", action="store_true",
                    help="after the encode/append commits, fold loose manifest "
                         "sidecars into a parquet manifest segment (planning at "
@@ -51,6 +58,13 @@ def main(argv: list[str] | None = None) -> int:
     from rugo_spark.engine import append_table, decode_table, encode_table
     from rugo_spark.io import read_table
     from rugo_spark.session import get_spark
+
+    if args.reclaim_append:
+        from rugo_spark.engine import reclaim_append
+
+        fp = None if args.reclaim_append == "all" else args.reclaim_append
+        rec = reclaim_append(args.output, fp)
+        print(json.dumps({"reclaimed": rec}), file=sys.stderr)
 
     spark = get_spark(master=args.master, app_name="rugo_spark_encode")
     try:

@@ -23,7 +23,7 @@ def __getattr__(name: str):
     until an engine surface is actually touched)."""
     if name in ("encode_table", "encode_table_maponly", "encode_table_sorted",
                 "decode_table", "metadata_agg", "compact_dataset", "stats_df",
-                "manifest_df", "append_table"):
+                "manifest_df", "append_table", "reclaim_append"):
         from rugo_spark import engine
 
         return getattr(engine, name)

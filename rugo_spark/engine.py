@@ -546,6 +546,7 @@ def append_table(
     size_col: str | None = None,
     plans: dict | None = None,
     consolidate: bool = False,
+    reclaim_stale: bool = False,
 ) -> DataFrame:
     """Append rows to an EXISTING encoded dataset (the Iceberg-append /
     lakehouse-ingest analog): each input split becomes one new block in a
@@ -614,6 +615,15 @@ def append_table(
         # zero-progress crash would let two sessions share a band: silent
         # row loss on the first session's resume).  Fail loudly instead.
         stale = [m for m in reservations if not m["complete"]]
+        if stale and reclaim_stale:
+            # roll back every crashed foreign session (band never visible,
+            # so this is exactly the pre-append state), then proceed; the
+            # completed/reservation views are re-read so band allocation
+            # does not skip over the just-reclaimed ids
+            reclaim_append(out_dir)
+            reservations = mf.append_reservations(out_dir)
+            stale = [m for m in reservations if not m["complete"]]
+            existing = mf.completed_partitions(out_dir)
         if stale:
             raise ValueError(
                 f"{out_dir} has {len(stale)} incomplete append session(s) "
@@ -654,6 +664,74 @@ def append_table(
     return manifest_df(spark, out_dir).filter(
         (F.col("partition_id") >= base) & (F.col("partition_id") < base + APPEND_BAND)
     )
+
+
+def reclaim_append(out_dir: str, fingerprint: str | None = None) -> dict:
+    """Roll back incomplete (crashed) append session(s): delete every
+    sidecar and block the band wrote, then clear its marker — the dataset
+    returns to exactly its pre-append state and new appends may proceed
+    (VERDICT r4 item 6: previously a crashed foreign append blocked all
+    appends until manual marker surgery).
+
+    Safe by construction: an incomplete band was NEVER reader-visible (the
+    completion marker only flips after the last partition), and the marker
+    is removed LAST, so a crash mid-reclaim leaves the band still marked
+    incomplete — still invisible, still reclaimable.  Consolidation never
+    folds incomplete bands, so every band artifact is a loose file.
+
+    Single-writer discipline applies: reclaiming a session that is still
+    RUNNING deletes its in-flight work (it will fail or re-encode).  The
+    alternative to reclaim is ADOPTION — re-run ``append_table`` with the
+    session's original input and it resumes the same band bit-identically.
+
+    ``fingerprint``: reclaim only sessions whose fingerprint starts with
+    this prefix (as printed by the single-writer error); None = all
+    incomplete sessions.  Returns ``{"reclaimed": [...],
+    "sidecars_deleted": n, "blocks_deleted": n}``."""
+    stale = [m for m in mf.append_reservations(out_dir) if not m["complete"]]
+    if fingerprint is not None:
+        stale = [m for m in stale if str(m.get("fingerprint", "")).startswith(fingerprint)]
+        if not stale:
+            raise ValueError(
+                f"no incomplete append session in {out_dir} matches "
+                f"fingerprint prefix {fingerprint!r}"
+            )
+    corrupt = [m for m in stale if int(m.get("base", -1)) < 0]
+    if corrupt:
+        raise ValueError(
+            f"cannot reclaim {len(corrupt)} append marker(s) with unreadable "
+            f"band metadata (e.g. {corrupt[0]['_path']}): the band range is "
+            "unknown, so its sidecars/blocks cannot be safely identified — "
+            "inspect and remove the marker and any band artifacts manually"
+        )
+    result = {"reclaimed": [], "sidecars_deleted": 0, "blocks_deleted": 0}
+    mdir = os.path.join(out_dir, mf.MANIFEST_DIR)
+    bdir = os.path.join(out_dir, mf.BLOCKS_DIR)
+    for m in stale:
+        base = int(m["base"])
+        hi = base + mf.APPEND_BAND
+
+        def _pid_of(name: str, suffix: str) -> int:
+            try:
+                return int(name[len("part-"):-len(suffix)])
+            except ValueError:
+                return -1
+
+        if os.path.isdir(mdir):
+            for name in os.listdir(mdir):
+                if name.startswith("part-") and name.endswith(".json") and \
+                        base <= _pid_of(name, ".json") < hi:
+                    os.remove(os.path.join(mdir, name))
+                    result["sidecars_deleted"] += 1
+        if os.path.isdir(bdir):
+            for name in os.listdir(bdir):
+                if name.startswith("part-") and name.endswith(".rgb") and \
+                        base <= _pid_of(name, ".rgb") < hi:
+                    os.remove(os.path.join(bdir, name))
+                    result["blocks_deleted"] += 1
+        os.remove(m["_path"])  # LAST: crash above leaves the band reclaimable
+        result["reclaimed"].append({"base": base, "fingerprint": m.get("fingerprint")})
+    return result
 
 
 def encode_table(

@@ -209,3 +209,151 @@ def test_v2_append_writer_allocates_above_reserved_bands(spark, base_ds):
     band_end = int(m["base"]) + APPEND_BAND
     new = [p for p in pids if p >= band_end]
     assert new, f"V2 append landed inside the reserved band: {sorted(pids)[-4:]}"
+
+
+# ------------------------------------------------------- reclaim (VERDICT r4 #6)
+
+def _fake_crashed_append(out_dir: str, base: int, fp: str, n_parts: int = 2) -> None:
+    """On-disk state of an append that died mid-band: incomplete marker plus
+    some band sidecars/blocks."""
+    import json
+
+    adir = os.path.join(out_dir, mf.APPENDS_DIR)
+    os.makedirs(adir, exist_ok=True)
+    with open(os.path.join(adir, f"append-{fp[:16]}.json"), "w") as f:
+        json.dump({"base": base, "fingerprint": fp}, f)
+    bdir = os.path.join(out_dir, mf.BLOCKS_DIR)
+    os.makedirs(bdir, exist_ok=True)
+    for i in range(n_parts):
+        pid = base + i
+        bp = os.path.join(bdir, f"part-{pid:06d}.rgb")
+        with open(bp, "wb") as f:
+            f.write(b"partial")
+        mf.write_sidecar(out_dir, {
+            "partition_id": pid, "n_rows": 5, "n_tokens": 5, "input_bytes": 5,
+            "output_bytes": 7, "block_path": bp, "checksum": 0, "codecs": "{}",
+        })
+
+
+def test_reclaim_stale_append_rolls_back_and_unblocks(spark, base_ds):
+    from rugo_spark.engine import reclaim_append
+
+    _fake_crashed_append(base_ds, APPEND_BAND, "deadbeefcafe")
+    d2 = _second(spark)
+    with pytest.raises(ValueError, match="incomplete append session"):
+        append_table(d2, base_ds, size_col="n_tok")
+    # readers never saw the torn band
+    assert decode_table(spark, base_ds).count() == 1500
+
+    man = append_table(d2, base_ds, size_col="n_tok", reclaim_stale=True)
+    pids = [r["partition_id"] for r in man.collect()]
+    # the reclaimed band's ids were reusable — no permanent band leak
+    assert all(APPEND_BAND <= p < 2 * APPEND_BAND for p in pids)
+    dec = decode_table(spark, base_ds)
+    assert dec.count() == 2200
+    assert dec.select("doc_id").distinct().count() == 2200
+    # zero leftovers from the crashed session
+    stale_markers = [m for m in mf.append_reservations(base_ds) if not m["complete"]]
+    assert not stale_markers
+    assert reclaim_append.__doc__  # public API
+
+
+def test_reclaim_append_fingerprint_prefix_and_no_match(spark, base_ds):
+    from rugo_spark.engine import reclaim_append
+
+    _fake_crashed_append(base_ds, APPEND_BAND, "aaaa1111bbbb2222")
+    _fake_crashed_append(base_ds, 2 * APPEND_BAND, "cccc3333dddd4444")
+    res = reclaim_append(base_ds, "aaaa")
+    assert [r["base"] for r in res["reclaimed"]] == [APPEND_BAND]
+    assert res["sidecars_deleted"] == 2 and res["blocks_deleted"] == 2
+    left = [m for m in mf.append_reservations(base_ds) if not m["complete"]]
+    assert len(left) == 1 and left[0]["fingerprint"].startswith("cccc")
+    with pytest.raises(ValueError, match="matches"):
+        reclaim_append(base_ds, "zzzz")
+    res2 = reclaim_append(base_ds)  # no selector = all
+    assert [r["base"] for r in res2["reclaimed"]] == [2 * APPEND_BAND]
+
+
+def test_reclaim_corrupt_marker_refuses(spark, base_ds):
+    from rugo_spark.engine import reclaim_append
+
+    adir = os.path.join(base_ds, mf.APPENDS_DIR)
+    os.makedirs(adir, exist_ok=True)
+    with open(os.path.join(adir, "append-torn.json"), "w") as f:
+        f.write("{torn")
+    with pytest.raises(ValueError, match="unreadable band metadata"):
+        reclaim_append(base_ds)
+
+
+@pytest.mark.slow
+def test_sigkill_mid_append_then_reclaim_from_second_session(spark, tmp_path):
+    """The r4 verdict's done-criterion: crash an append (true SIGKILL),
+    reclaim from a second session, then a FRESH append of different input —
+    decode must be exactly base ∪ new rows, nothing lost or duplicated."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from rugo_spark.engine import reclaim_append
+    from rugo_spark.tokengen import write_token_table
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "ds")
+    base_df = spark_token_df(spark, 1000, n_partitions=2)
+    encode_table(base_df, out, key_col="doc_id", size_col="n_tok", num_partitions=4)
+    base_ids = {r[0] for r in decode_table(spark, out).select("doc_id").collect()}
+
+    crash_src = str(tmp_path / "crash_in.parquet")
+    write_token_table(crash_src, 4000)
+    job = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+import pyspark.sql.functions as F
+from rugo_spark.session import get_spark
+from rugo_spark.engine import append_table
+
+spark = get_spark(master="local[2]", app_name="append_victim", shuffle_partitions=4)
+df = spark.read.parquet({crash_src!r}).repartition(12).withColumn(
+    "doc_id", F.concat_ws("-", F.lit("crash"), F.col("doc_id")))
+append_table(df, {out!r}, sort_key="doc_id", size_col="n_tok")
+spark.stop()
+"""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", job],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
+    deadline = time.time() + 180
+    try:
+        while time.time() < deadline:
+            n_band = len([
+                r for r in mf.completed_partitions(out)
+                if int(r["partition_id"]) >= APPEND_BAND
+            ])
+            if n_band >= 2:
+                break
+            if proc.poll() is not None:
+                break
+            time.sleep(0.05)
+        else:
+            pytest.fail("victim append produced no band sidecars within 180s")
+        os.killpg(proc.pid, signal.SIGKILL)
+    finally:
+        proc.wait(timeout=60)
+
+    stale = [m for m in mf.append_reservations(out) if not m["complete"]]
+    if not stale:
+        pytest.skip("victim finished before the kill landed — nothing to reclaim")
+    # torn band invisible
+    assert decode_table(spark, out).count() == 1000
+
+    res = reclaim_append(out)
+    assert res["reclaimed"]
+    man = append_table(_second(spark, 600), out, sort_key="doc_id", size_col="n_tok")
+    assert man.count() > 0
+    dec = decode_table(spark, out)
+    got_ids = {r[0] for r in dec.select("doc_id").collect()}
+    want_ids = base_ids | {f"new-{r[0]}" for r in spark_token_df(spark, 600, n_partitions=2).select("doc_id").collect()}
+    assert dec.count() == len(got_ids) == 1600
+    assert got_ids == want_ids
