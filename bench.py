@@ -200,6 +200,17 @@ def main() -> None:
             "overwrite"
         ).parquet(doc_src, compression="zstd")
     docs_df = spark.read.parquet(doc_src)
+    # adversarial-skew twin corpus (VERDICT r4 item 3): same size, but every
+    # 6th doc is an exact copy of doc 0 — ONE mega-cluster of n/6 identical
+    # docs (100k at sf0.1), the boilerplate-crawl shape where every member
+    # shares every LSH band.  bucket_cap's star emission must keep candidate
+    # pairs O(k) and wall-clock within ~1.3x of the no-skew run.
+    doc_src_skew = os.path.join(SCRATCH, f"docs_skew_{n_ddocs}_m6_f64.parquet")
+    if not os.path.exists(os.path.join(doc_src_skew, "_SUCCESS")):
+        spark_doc_df(spark, n_ddocs, n_partitions=CPUS * 2, mega_every=6).repartition(
+            64
+        ).write.mode("overwrite").parquet(doc_src_skew, compression="zstd")
+    docs_skew = spark.read.parquet(doc_src_skew)
 
     state: dict = {}
 
@@ -268,6 +279,18 @@ def main() -> None:
             .count()
         )
 
+    def q_dedup_lsh_skew():
+        state["n_cand_skew"] = minhash_lsh_candidates(
+            docs_skew, n_hashes=16, n_bands=4, shingle=3, unit="word"
+        ).count()
+
+    def q_dedup_clusters_skew():
+        state["n_dropped_skew"] = (
+            dedup_clusters(docs_skew, n_hashes=16, n_bands=4, shingle=3, unit="word")
+            .filter(~F.col("is_kept"))
+            .count()
+        )
+
     def q_dedup_two_stage():
         # the canonical two-stage shape (LSH candidates → exact n-gram
         # Jaccard verify ≥0.5 on candidates only), end to end in one plan
@@ -299,7 +322,9 @@ def main() -> None:
         ("dedup_exact", lambda: qs["dedup_exact"](spark, SF_DIR).collect(), 3),
         ("token_count", lambda: qs["token_count"](spark, SF_DIR).collect(), 3),
         ("dedup_lsh_bulk", q_dedup_lsh, 2),
+        ("dedup_lsh_skew", q_dedup_lsh_skew, 2),
         ("dedup_clusters_bulk", q_dedup_clusters, 2),
+        ("dedup_clusters_skew", q_dedup_clusters_skew, 2),
         ("dedup_two_stage_bulk", q_dedup_two_stage, 2),
     ]
     for rnd in range(3):
@@ -325,6 +350,15 @@ def main() -> None:
     extra["dedup_dropped_docs"] = state["n_dropped"]
     extra["dedup_lsh_docs_per_sec"] = round(n_ddocs / min(SAMPLES["dedup_lsh_bulk"]))
     extra["dedup_cluster_docs_per_sec"] = round(n_ddocs / min(SAMPLES["dedup_clusters_bulk"]))
+    extra["skew_mega_docs"] = n_ddocs // 6
+    extra["skew_candidate_pairs"] = state["n_cand_skew"]
+    extra["skew_dropped_docs"] = state["n_dropped_skew"]
+    extra["skew_lsh_ratio_vs_noskew"] = round(
+        min(SAMPLES["dedup_lsh_skew"]) / min(SAMPLES["dedup_lsh_bulk"]), 2
+    )
+    extra["skew_clusters_ratio_vs_noskew"] = round(
+        min(SAMPLES["dedup_clusters_skew"]) / min(SAMPLES["dedup_clusters_bulk"]), 2
+    )
 
     # ---------------- manifest-segment planning at scale (VERDICT r4
     # item 2): a synthetic manifest of 10⁵ sidecars (planning never opens

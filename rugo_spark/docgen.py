@@ -65,8 +65,16 @@ def _word_list() -> np.ndarray:
     return _WORDS
 
 
-def doc_batch(n_docs: int, seed: int = 42, start: int = 0) -> pa.Table:
-    """Rows ``start..start+n_docs`` of the corpus, as one Arrow table."""
+def doc_batch(
+    n_docs: int, seed: int = 42, start: int = 0, mega_every: int | None = None
+) -> pa.Table:
+    """Rows ``start..start+n_docs`` of the corpus, as one Arrow table.
+
+    ``mega_every``: adversarial-skew mode (VERDICT r4 item 3) — every id
+    divisible by it becomes an EXACT copy of doc 0, planting one
+    mega-cluster of ``n/mega_every`` identical docs (the boilerplate-crawl
+    shape: k ≈ 10⁵-10⁶ docs sharing every LSH band).  Still a pure function
+    of the id, so any slicing yields the identical corpus."""
     words = _word_list()
     ids = np.arange(start, start + n_docs, dtype=np.uint64)
     u = _h(seed, ids)
@@ -90,6 +98,11 @@ def doc_batch(n_docs: int, seed: int = 42, start: int = 0) -> pa.Table:
         if np.array_equal(nxt, base):
             break
         base = nxt
+    if mega_every:
+        mega = ids % np.uint64(mega_every) == 0
+        base = np.where(mega, np.uint64(0), base)
+        # exact-dup selector band: keeps the near-dup rewrite branch off
+        sel = np.where(mega, np.int64(85), sel)
     n_words = (30 + (_h(seed + 2, base) % np.uint64(41)).astype(np.int64))
     texts = []
     for k in range(n_docs):
@@ -127,7 +140,10 @@ def doc_batch(n_docs: int, seed: int = 42, start: int = 0) -> pa.Table:
     )
 
 
-def spark_doc_df(spark, n_docs: int, seed: int = 42, n_partitions: int = 32):
+def spark_doc_df(
+    spark, n_docs: int, seed: int = 42, n_partitions: int = 32,
+    mega_every: int | None = None,
+):
     """Distributed deterministic generation — disjoint id slices per task
     (same scale shape as ``tokengen.spark_token_df``)."""
     bounds = np.linspace(0, n_docs, n_partitions + 1, dtype=np.int64)
@@ -139,7 +155,7 @@ def spark_doc_df(spark, n_docs: int, seed: int = 42, n_partitions: int = 32):
             starts = batch.column("start").to_numpy()
             counts = batch.column("count").to_numpy()
             for s, c in zip(starts, counts):
-                t = doc_batch(int(c), seed=seed, start=int(s))
+                t = doc_batch(int(c), seed=seed, start=int(s), mega_every=mega_every)
                 for rb in t.to_batches(max_chunksize=4096):
                     yield rb
 
