@@ -989,7 +989,31 @@ def _auto_string_plans(df: DataFrame, out_dir: str, plans: dict | None) -> dict 
         if not proj:
             persisted = {}
         else:
-            sdf = df.select(proj).limit(_CODEC_SAMPLE_ROWS)
+            # CROSS-SPLIT sample: a bare limit(512) short-circuits on the
+            # first split, so a corpus ordered by source trains the pinned
+            # table on one source's distribution (measured ~2% size cost at
+            # 1.5 MB stripes vs a cross-stripe sample, r5).  Take the first
+            # few rows of EVERY split (each task reads one record batch) and
+            # limit on top; above 4096 splits fall back to limit alone —
+            # 10⁶ sampling tasks would cost more than the 2% they save.
+            sdf = df.select(proj)
+            try:
+                n_splits = len(df.inputFiles())
+            except Exception:  # noqa: BLE001 — non-file sources
+                n_splits = 0
+            if 0 < n_splits <= 4096:
+                per = max(2, _CODEC_SAMPLE_ROWS // n_splits)
+                ddl = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields
+                )
+
+                def _first_rows(batches):
+                    for batch in batches:
+                        yield batch.slice(0, per)
+                        return
+
+                sdf = sdf.mapInArrow(_first_rows, ddl)
+            sdf = sdf.limit(_CODEC_SAMPLE_ROWS)
             sample = (
                 sdf.toArrow()
                 if hasattr(sdf, "toArrow")
