@@ -157,15 +157,19 @@ def _probe_renderings(value) -> list[bytes]:
 
     arrs = []
     if isinstance(value, (decimal.Decimal, float)):
-        # decimal-column rendering: scale-free canonical decimal string
+        # decimal-column rendering: scale-free canonical decimal string.
+        # pa.array raises ArrowInvalid for |v| ≥ 1e39 (decimal128 precision)
+        # and TypeError for inf/nan — those magnitudes can still live in a
+        # float64 column, so render what we can and let might_contain fall
+        # back to a conservative scan if nothing renders (review r5).
         try:
             arrs.append(pa.array([decimal.Decimal(str(value))]))
-        except decimal.InvalidOperation:
+        except (decimal.InvalidOperation, pa.ArrowInvalid, TypeError, ValueError):
             pass
         # float-column rendering: Arrow's shortest-repr float64 string
         try:
             arrs.append(pa.array([float(value)], type=pa.float64()))
-        except (OverflowError, ValueError):
+        except (OverflowError, ValueError, TypeError, pa.ArrowInvalid):
             pass
     else:
         arrs.append(pa.array([value]))
@@ -198,8 +202,13 @@ def might_contain(bloom: dict, value) -> bool:
         # session is UTC.  A skip-test must never false-negative, so a naive
         # probe against a tz-aware column is conservatively a match.
         return True
+    renderings = _probe_renderings(value)
+    if not renderings:
+        # value not renderable in any indexed form (e.g. float('inf')) — a
+        # skip test must never false-negative, so scan conservatively
+        return True
     bits = np.frombuffer(zlib.decompress(base64.b64decode(bloom["bits_b64"])), dtype=np.uint8)
-    for raw in _probe_renderings(value):
+    for raw in renderings:
         data = np.frombuffer(raw, dtype=np.uint8)
         h1, h2 = _hash_pair(
             np.array([len(raw)], dtype=np.int64), np.array([0], dtype=np.int64), data

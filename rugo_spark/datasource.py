@@ -251,13 +251,17 @@ class RugoWriter(DataSourceArrowWriter):
             )
             # mirror append_table's band-overflow guard: the manifest stores
             # partition_id as int32, and a pid at/past 2**31 would silently
-            # wrap in the manifest DataFrame (ADVICE r4)
-            if offset + len(rows) > 2**31:
+            # wrap in the manifest DataFrame (ADVICE r4).  Bound by the MAX
+            # incoming partition index, not the row count — empty partitions
+            # send no message, so len(rows) undercounts the id span
+            # (review r5).
+            max_incoming = max((int(r["partition_id"]) for r in rows), default=-1)
+            if offset + max_incoming + 1 > 2**31:
                 raise ValueError(
-                    f"append offset {offset} (+{len(rows)} partitions) would "
-                    "overflow the manifest's int32 partition ids: compact the "
-                    "dataset (compact_dataset rewrites ids densely and clears "
-                    "append markers) to reclaim the id space"
+                    f"append offset {offset} (+ partition index {max_incoming}) "
+                    "would overflow the manifest's int32 partition ids: compact "
+                    "the dataset (compact_dataset rewrites ids densely and "
+                    "clears append markers) to reclaim the id space"
                 )
         arrow_schema = pa.ipc.read_schema(pa.py_buffer(self._arrow_schema_bytes))
         mf.write_schema(self.out_dir, arrow_schema, self._schema_json)

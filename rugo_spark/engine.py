@@ -377,26 +377,40 @@ def encode_table_maponly(
                     "pass on_layout_change='clear' to re-encode from scratch"
                 )
     mf.write_schema(out_dir, _arrow_schema_of(df), df.schema.json(), extra={"input_fingerprint": fp})
-    encoder = _split_encoder(out_dir, sort_key, size_col, plans)
+    encoder = _split_encoder(spark, out_dir, sort_key, size_col, plans)
     df.mapInArrow(encoder, mf.MANIFEST_DDL).write.mode("overwrite").format("noop").save()
     return manifest_df(spark, out_dir)
 
 
-def _split_encoder(out_dir, sort_key, size_col, plans, pid_base: int = 0):
+def _split_encoder(spark, out_dir, sort_key, size_col, plans, pid_base: int = 0):
     """One-split-one-block encoder closure shared by the map-only and append
     paths (``pid_base`` offsets the append band).  Skip-if-sidecar-exists is
     the per-split resume contract; pids whose sidecar was folded into a
     manifest segment (loose file deleted) are skipped via the segment pid
     set computed once on the driver — without it a resume after
-    consolidation would pointlessly re-encode every consolidated split."""
+    consolidation would pointlessly re-encode every consolidated split.
+    The set ships as a BROADCAST sorted int64 array (once per executor, a
+    few MB at 10⁶ pids), not a closure-captured frozenset re-serialized
+    with every task (review r5)."""
+    import numpy as np
+
     blocks_dir = os.path.join(out_dir, mf.BLOCKS_DIR)
-    seg_done = frozenset(mf.segment_pids(out_dir)) if mf.segment_catalog(out_dir) else frozenset()
+    if mf.segment_catalog(out_dir):
+        seg_arr = np.array(sorted(mf.segment_pids(out_dir)), dtype=np.int64)
+    else:
+        seg_arr = np.empty(0, dtype=np.int64)
+    seg_bc = spark.sparkContext.broadcast(seg_arr)
 
     def encoder(batches):
+        import numpy as np
         from pyspark import TaskContext
 
         pid = pid_base + TaskContext.get().partitionId()
-        if pid in seg_done or os.path.exists(mf.sidecar_path(out_dir, pid)):
+        seg = seg_bc.value
+        i = int(np.searchsorted(seg, pid))
+        if (i < len(seg) and int(seg[i]) == pid) or os.path.exists(
+            mf.sidecar_path(out_dir, pid)
+        ):
             return  # resume: split already encoded
         batch_list = list(batches)
         if not batch_list:
@@ -646,7 +660,7 @@ def append_table(
                 "markers) to reclaim the id space"
             )
         _atomic_write(marker, json.dumps({"base": base, "fingerprint": fp}).encode())
-    encoder = _split_encoder(out_dir, sort_key, size_col, plans, pid_base=base)
+    encoder = _split_encoder(spark, out_dir, sort_key, size_col, plans, pid_base=base)
     df.mapInArrow(encoder, mf.MANIFEST_DDL).write.mode("append").format("noop").save()
     # commit: flip the completion marker LAST — readers (visible_partitions)
     # surface the whole band atomically, never a torn prefix
@@ -896,6 +910,23 @@ _CODEC_SAMPLE_ROWS = 512
 _CODEC_SAMPLE_BYTES = 1 << 20  # per-column training budget
 
 
+def _sample_bytes(vals: list, is_str: bool) -> bytes:
+    """Training bytes from a value list: STRIDED rows + a per-value byte
+    budget.  Taking the head would undo the cross-split sampling (rows
+    arrive partition-ordered, so the head is the first splits only), and an
+    un-budgeted join lets the first ~128 8 KiB values eat the whole 1 MB
+    byte cap (review r5) — both reintroduce single-distribution bias into
+    the pinned FSST table."""
+    stride = max(1, len(vals) // _CODEC_SAMPLE_ROWS)
+    vals = vals[::stride][:_CODEC_SAMPLE_ROWS]
+    budget = max(2048, _CODEC_SAMPLE_BYTES // max(len(vals), 1))
+    if is_str:
+        data = b"".join(v.encode()[:budget] for v in vals)
+    else:
+        data = b"".join((v or b"")[:budget] for v in vals)
+    return data[:_CODEC_SAMPLE_BYTES]
+
+
 def _build_string_plans(sample: pa.Table) -> dict:
     """Per string/binary column: decide the byte codec ONCE from a bounded
     sample and, when FSST wins, train + serialize its symbol table.
@@ -938,11 +969,7 @@ def _build_string_plans(sample: pa.Table) -> dict:
             # job-wide (review r4).  Repetitive columns stay adaptive.
             if card < n * 0.9:
                 continue  # leave to the cheap per-stripe selector
-        if is_str:
-            data = b"".join(v.encode() for v in dense.to_pylist()[:_CODEC_SAMPLE_ROWS])
-        else:
-            data = b"".join(v or b"" for v in dense.to_pylist()[:_CODEC_SAMPLE_ROWS])
-        data = data[:_CODEC_SAMPLE_BYTES]
+        data = _sample_bytes(dense.to_pylist(), is_str)
         if len(data) < 4096:
             continue  # too little signal to pin a job-wide decision
         raw_z = len(_g.wrap(data, _g.ZSTD))
@@ -1002,7 +1029,12 @@ def _auto_string_plans(df: DataFrame, out_dir: str, plans: dict | None) -> dict 
             except Exception:  # noqa: BLE001 — non-file sources
                 n_splits = 0
             if 0 < n_splits <= 4096:
-                per = max(2, _CODEC_SAMPLE_ROWS // n_splits)
+                # every split contributes: the row cap scales to per×splits
+                # (≤4096 rows ≈ 32 MB at the 8 KiB truncation) instead of a
+                # flat 512 that CollectLimit would fill from the first ~256
+                # splits alone (review r5); _build_string_plans strides back
+                # down to its row budget
+                per = max(1, _CODEC_SAMPLE_ROWS // n_splits)
                 ddl = ", ".join(
                     f"`{f.name}` {f.dataType.simpleString()}" for f in sdf.schema.fields
                 )
@@ -1012,8 +1044,11 @@ def _auto_string_plans(df: DataFrame, out_dir: str, plans: dict | None) -> dict 
                         yield batch.slice(0, per)
                         return
 
-                sdf = sdf.mapInArrow(_first_rows, ddl)
-            sdf = sdf.limit(_CODEC_SAMPLE_ROWS)
+                sdf = sdf.mapInArrow(_first_rows, ddl).limit(
+                    max(_CODEC_SAMPLE_ROWS, per * n_splits)
+                )
+            else:
+                sdf = sdf.limit(_CODEC_SAMPLE_ROWS)
             sample = (
                 sdf.toArrow()
                 if hasattr(sdf, "toArrow")
@@ -1696,6 +1731,7 @@ def _manifest_scan_specs(out_dir: str, cols: list[str] | None = None) -> tuple[l
     mdir = os.path.join(out_dir, mf.MANIFEST_DIR)
     sdir = os.path.join(out_dir, mf.SEGMENTS_DIR)
     bands = mf.incomplete_append_bands(out_dir)
+    catalog = mf.segment_catalog(out_dir)
     specs: list[dict] = []
     loose_pids: list[int] = []
     for name in mf.loose_sidecar_names(out_dir):
@@ -1703,9 +1739,21 @@ def _manifest_scan_specs(out_dir: str, cols: list[str] | None = None) -> tuple[l
         if any(lo <= pid < hi for lo, hi in bands):
             continue
         loose_pids.append(pid)
-        specs.append({"kind": "sidecar", "path": os.path.join(mdir, name)})
+        spec = {"kind": "sidecar", "path": os.path.join(mdir, name)}
+        # crash-window overlap: this pid may ALSO live in a segment (its
+        # row is skipped there because loose wins) — if the loose file is
+        # torn or deleted mid-plan, the executor recovers from the segment
+        fallback = [
+            os.path.join(sdir, e["file"])
+            for e in catalog
+            if int(e["min_pid"]) <= pid <= int(e["max_pid"])
+        ]
+        if fallback:
+            spec["pid"] = pid
+            spec["fallback_segs"] = fallback
+        specs.append(spec)
     n_loose = len(specs)
-    for entry in mf.segment_catalog(out_dir):
+    for entry in catalog:
         n_rg = max(1, -(-int(entry["n_rows"]) // mf._SEGMENT_ROW_GROUP))
         for start in range(0, n_rg, _SEGMENT_RGS_PER_SPEC):
             specs.append(

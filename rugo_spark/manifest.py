@@ -161,6 +161,7 @@ def read_codec_plans(out_dir: str) -> dict | None:
 
 SEGMENTS_DIR = "manifest_segments"
 SEGMENTS_FILE = "_segments.json"
+CONSOLIDATE_LOCK = "_consolidate.lock"
 # small row groups → pid-range pruning when executors fetch a few members
 # out of a 10⁵-row segment (compaction, point planning)
 _SEGMENT_ROW_GROUP = 2000
@@ -349,7 +350,67 @@ def consolidate_manifest(out_dir: str, min_sidecars: int = 1) -> dict:
 
     A crash at ANY point leaves sidecars ∪ cataloged-segments covering
     exactly the completed partitions, with read-side dedup by pid.
+
+    Single-consolidator is ENFORCED (review r5 — a concurrent second
+    consolidation could GC the first's not-yet-cataloged segment as an
+    orphan, or commit a catalog read before the first's entry landed:
+    silent row loss either way): an ``O_EXCL`` lock file gates the whole
+    operation.  A lock left by a CRASHED consolidator on the same host
+    (pid no longer alive) is broken automatically; a foreign-host lock must
+    be removed manually after confirming that session is dead.
+
     Returns ``{"folded", "deleted_redundant", "segments", "gc_orphans"}``."""
+    lock = _acquire_consolidate_lock(out_dir)
+    try:
+        return _consolidate_locked(out_dir, min_sidecars)
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
+
+
+def _acquire_consolidate_lock(out_dir: str) -> str:
+    import socket
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, CONSOLIDATE_LOCK)
+    me = {"pid": os.getpid(), "host": socket.gethostname()}
+    for attempt in range(2):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, json.dumps(me).encode())
+            os.close(fd)
+            return path
+        except FileExistsError:
+            try:
+                with open(path) as f:
+                    held = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                held = {}
+            stale = False
+            if held.get("host") == me["host"] and isinstance(held.get("pid"), int):
+                try:
+                    os.kill(held["pid"], 0)
+                except ProcessLookupError:
+                    stale = True
+                except PermissionError:
+                    pass
+            if stale and attempt == 0:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+                continue
+            raise ValueError(
+                f"another consolidation holds {path} (pid {held.get('pid')} on "
+                f"{held.get('host')!r}); wait for it, or remove the lock file "
+                "only after confirming that session is dead"
+            )
+    raise AssertionError("unreachable")
+
+
+def _consolidate_locked(out_dir: str, min_sidecars: int) -> dict:
     import uuid
 
     import pyarrow.parquet as pq
@@ -491,9 +552,24 @@ def iter_spec_rows(spec: dict):
         try:
             with open(spec["path"]) as f:
                 yield json.load(f)
-        except (json.JSONDecodeError, OSError):
             return
-        return
+        except (json.JSONDecodeError, OSError):
+            # the pid is in every segment spec's skip list (the driver saw a
+            # loose file), so if the file vanished mid-plan (a concurrent
+            # consolidation's step-5 delete) or is torn, falling through
+            # would silently drop the partition from a distributed plan —
+            # the local path would NOT (it falls back to the segment row).
+            # Recover from the driver-supplied fallback segments (review r5).
+            pid = spec.get("pid")
+            for seg_path in spec.get("fallback_segs") or []:
+                import pyarrow.parquet as pq
+
+                tbl = pq.read_table(seg_path, filters=[("partition_id", "=", pid)])
+                rows = _rows_from_segment_table(tbl)
+                if rows:
+                    yield rows[0]
+                    return
+            return
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(spec["path"])
@@ -559,19 +635,23 @@ def load_rows(out_dir: str, pids: list[int]) -> dict[int, dict]:
 
 
 def clear_manifest(out_dir: str) -> None:
-    """Remove every manifest artifact — loose sidecars, blocks, segments AND
-    the segment catalog.  Every layout-clear path must go through here: an
-    rmtree of ``manifest/`` alone would leave cataloged segments resurrecting
-    the old partitions."""
+    """Remove every manifest artifact — loose sidecars, blocks, segments,
+    the segment catalog AND append reservations.  Every layout-clear path
+    must go through here: an rmtree of ``manifest/`` alone would leave
+    cataloged segments resurrecting the old partitions, and a stale append
+    marker would block appends on (and hide a pid band of) the NEW dataset
+    whose data it never described (review r5)."""
     import shutil
 
     shutil.rmtree(os.path.join(out_dir, MANIFEST_DIR), ignore_errors=True)
     shutil.rmtree(os.path.join(out_dir, BLOCKS_DIR), ignore_errors=True)
     shutil.rmtree(os.path.join(out_dir, SEGMENTS_DIR), ignore_errors=True)
-    try:
-        os.remove(os.path.join(out_dir, SEGMENTS_FILE))
-    except OSError:
-        pass
+    shutil.rmtree(os.path.join(out_dir, APPENDS_DIR), ignore_errors=True)
+    for f in (SEGMENTS_FILE, CONSOLIDATE_LOCK):
+        try:
+            os.remove(os.path.join(out_dir, f))
+        except OSError:
+            pass
 
 
 APPENDS_DIR = "_appends"
