@@ -162,25 +162,42 @@ def minhash_lsh_candidates(
     bands = bands.withColumn("_rn", F.row_number().over(wb.orderBy(id_col))).withColumn(
         "_cnt", F.count(F.lit(1)).over(wb)
     )
-    left = bands.alias("a")
-    right = bands.alias("b")
-    # _rn is ordered by id, so both branches emit id_a < id_b canonically
-    emit = F.when(F.col("a._cnt") <= F.lit(bucket_cap), F.col("a._rn") < F.col("b._rn")).otherwise(
-        (F.col("a._rn") == 1) & (F.col("b._rn") > 1)
+    # The capped star must cap the JOIN'S INTERNAL WORK, not just its
+    # output: a single self-join keyed on (band, band_key) with the star
+    # condition as a post-match filter still ENUMERATES k² key-equal rows
+    # for a k-member bucket before filtering (measured r5: a 100k-doc
+    # mega-cluster ran LSH 10× slower than no-skew despite O(k) output
+    # pairs).  Split instead: small buckets pairwise-join among themselves
+    # (≤ cap² rows per bucket), big buckets join their ONE representative
+    # row (_rn == 1) against members — the key-equal match enumerates
+    # exactly k-1 rows.  Both shuffles stay on (band, band_key).
+    key_eq = (F.col("a.band") == F.col("b.band")) & (
+        F.col("a.band_key") == F.col("b.band_key")
     )
-    pairs = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & emit,
-        )
-        .select(
+    # _rn is ordered by id, so both branches emit id_a < id_b canonically
+    bands = bands.localCheckpoint(eager=False)
+    small = bands.filter(F.col("_cnt") <= bucket_cap)
+    big = bands.filter(F.col("_cnt") > bucket_cap)
+
+    def _project(joined):
+        return joined.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.size(
                 F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda v: v)
             ).alias("equal_hashes"),
+        )
+
+    pairs = (
+        _project(
+            small.alias("a").join(small.alias("b"), key_eq & (F.col("a._rn") < F.col("b._rn")))
+        )
+        .unionByName(
+            _project(
+                big.filter(F.col("_rn") == 1)
+                .alias("a")
+                .join(big.filter(F.col("_rn") > 1).alias("b"), key_eq)
+            )
         )
         .distinct()
         .withColumn("est_jaccard", F.col("equal_hashes") / F.lit(float(n_hashes)))
