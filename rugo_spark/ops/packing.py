@@ -71,19 +71,23 @@ def pack_sequences(
             .astype(np.int64)
         )
         if eos_id is not None:
-            # vectorized EOS insertion: scatter doc tokens around per-doc
-            # slots widened by one (no per-row Python)
+            # vectorized EOS insertion: each doc's slot widens by one, body
+            # tokens land via ONE boolean-mask scatter.  The previous
+            # index-arithmetic scatter (idx - src_start[doc_of] +
+            # offs[doc_of]) materialized three token-length int64 arrays and
+            # two gathers — measured 16-21 s single-threaded at 240M tokens
+            # vs 0.6 s for the mask form (bit-identical output); under
+            # 32-way task concurrency those gathers are what made packing
+            # memory-bandwidth-bound (r5 profile)
             body = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int32)
             out_len = lens + 1
             offs = np.zeros(len(lens) + 1, dtype=np.int64)
             np.cumsum(out_len, out=offs[1:])
-            flat = np.full(int(offs[-1]), eos_id, dtype=np.int32)
-            # positions of body bytes: each doc's tokens start at offs[i]
-            idx = np.arange(len(body), dtype=np.int64)
-            doc_of = np.repeat(np.arange(len(lens)), lens)
-            src_start = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(lens[:-1], out=src_start[1:])
-            flat[idx - src_start[doc_of] + offs[:-1][doc_of]] = body
+            flat = np.empty(int(offs[-1]), dtype=np.int32)
+            mask = np.ones(len(flat), dtype=bool)
+            mask[offs[1:] - 1] = False  # the EOS slot after each doc
+            flat[mask] = body
+            flat[offs[1:] - 1] = eos_id
             ds_global = offs[:-1]  # each doc's first token position
         else:
             flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int32)
