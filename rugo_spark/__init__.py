@@ -23,14 +23,15 @@ def __getattr__(name: str):
     until an engine surface is actually touched)."""
     if name in ("encode_table", "encode_table_maponly", "encode_table_sorted",
                 "decode_table", "metadata_agg", "compact_dataset", "stats_df",
-                "manifest_df", "append_table", "reclaim_append"):
+                "manifest_df", "append_table", "reclaim_append", "snapshots_df"):
         from rugo_spark import engine
 
         return getattr(engine, name)
-    if name == "consolidate_manifest":
-        from rugo_spark.manifest import consolidate_manifest
+    if name in ("consolidate_manifest", "snapshot_log", "rollback_to_snapshot",
+                "expire_snapshots"):
+        from rugo_spark import manifest
 
-        return consolidate_manifest
+        return getattr(manifest, name)
     if name == "register":
         from rugo_spark.datasource import register
 

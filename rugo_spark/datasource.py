@@ -272,6 +272,7 @@ class RugoWriter(DataSourceArrowWriter):
             os.replace(row["block_path"], dst)
             row["partition_id"], row["block_path"] = pid, dst
             mf.write_sidecar(self.out_dir, row)
+        mf.commit_snapshot(self.out_dir, "overwrite" if self.overwrite else "append")
         shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages) -> None:

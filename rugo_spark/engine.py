@@ -379,6 +379,7 @@ def encode_table_maponly(
     mf.write_schema(out_dir, _arrow_schema_of(df), df.schema.json(), extra={"input_fingerprint": fp})
     encoder = _split_encoder(spark, out_dir, sort_key, size_col, plans)
     df.mapInArrow(encoder, mf.MANIFEST_DDL).write.mode("overwrite").format("noop").save()
+    mf.commit_snapshot(out_dir, "encode")
     return manifest_df(spark, out_dir)
 
 
@@ -595,6 +596,13 @@ def append_table(
 
     Returns the manifest rows of THIS append's band."""
     spark = df.sparkSession
+    if mf.rollback_mask(out_dir) is not None:
+        raise ValueError(
+            f"{out_dir} has an in-progress rollback (_rollback.json): finish "
+            "it (re-run rollback_to_snapshot — cleanup is resumable) before "
+            "appending; a new band allocated around condemned ids could "
+            "collide with their deletion"
+        )
     prev = mf.read_schema_payload(out_dir)
     existing = mf.completed_partitions(out_dir)
     if prev is None or not existing:
@@ -667,6 +675,7 @@ def append_table(
     _atomic_write(
         marker, json.dumps({"base": base, "fingerprint": fp, "complete": True}).encode()
     )
+    mf.commit_snapshot(out_dir, "append", extra={"band": base, "fingerprint": fp[:16]})
     if consolidate:
         # append-commit is the natural consolidation point (VERDICT r4
         # item 2): fold every loose sidecar — the whole just-committed band
@@ -903,6 +912,7 @@ def encode_table(
         result.write.mode("overwrite").format("noop").save()
     finally:
         release_after_plan(plan_handle)
+    mf.commit_snapshot(out_dir, "encode")
     return manifest_df(spark, out_dir)
 
 
@@ -1209,6 +1219,7 @@ def _encode_precombine(
     finally:
         conf.set("spark.sql.shuffle.partitions", prev)
         conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
+    mf.commit_snapshot(out_dir, "encode")
     return manifest_df(spark, out_dir)
 
 
@@ -1230,6 +1241,38 @@ def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
     # pandas → Arrow createDataFrame path: no Python-RDD workers involved
     pdf = pd.DataFrame(rows, columns=[f.name for f in spark_schema.fields])
     return spark.createDataFrame(pdf, spark_schema)
+
+
+def snapshots_df(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The dataset's snapshot lineage as a DataFrame (the Iceberg
+    ``.snapshots`` metadata-table analog): one row per commit that changed
+    reader-visible rows, with cumulative row/token/byte totals and the
+    visible pid ranges (JSON).  Feed ``snapshot_id`` values into
+    ``decode_table``/``metadata_agg`` for time travel, or into
+    ``manifest.rollback_to_snapshot``."""
+    import pandas as pd
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(
+        "snapshot_id int, op string, n_partitions long, n_rows long, "
+        "n_tokens long, output_bytes long, ranges string"
+    )
+    log = mf.snapshot_log(out_dir, strict=True)
+    if not log:
+        return spark.createDataFrame([], schema)
+    pdf = pd.DataFrame(
+        {
+            "snapshot_id": [int(e["id"]) for e in log],
+            "op": [e.get("op") for e in log],
+            "n_partitions": [int(e.get("n_partitions") or 0) for e in log],
+            "n_rows": [int(e.get("n_rows") or 0) for e in log],
+            "n_tokens": [int(e.get("n_tokens") or 0) for e in log],
+            "output_bytes": [int(e.get("output_bytes") or 0) for e in log],
+            "ranges": [json.dumps(e.get("ranges")) for e in log],
+        }
+    )
+    return spark.createDataFrame(pdf, schema)
 
 
 def stats_df(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -1281,7 +1324,9 @@ def _meta_aggregatable(t: pa.DataType) -> bool:
     )
 
 
-def _metadata_partials_distributed(spark: SparkSession, out_dir: str, cols: list[str]):
+def _metadata_partials_distributed(
+    spark: SparkSession, out_dir: str, cols: list[str], keep_ranges=None
+):
     """Per-task pre-merge of manifest stats: executors parse + merge their
     slice of the manifest (loose sidecars AND segment row-group slices) with
     ``merge_column_metas`` and emit ONE partial row each; the driver merges
@@ -1289,7 +1334,7 @@ def _metadata_partials_distributed(spark: SparkSession, out_dir: str, cols: list
     (``_plan_df_distributed``) — at 10⁵–10⁶ partitions the driver never
     holds more than task-count JSON documents."""
     specs, n_loose = _manifest_scan_specs(
-        out_dir, cols=["n_rows", "n_tokens", "codecs"]
+        out_dir, cols=["n_rows", "n_tokens", "codecs"], keep_ranges=keep_ranges
     )
     src = _spec_src_df(spark, specs, n_loose)
     want = set(cols)
@@ -1325,6 +1370,7 @@ def metadata_agg(
     out_dir: str,
     columns: list[str] | None = None,
     distributed: bool | None = None,
+    snapshot_id: int | None = None,
 ) -> DataFrame:
     """COUNT / MIN / MAX / null-count answered from the manifest alone —
     zero data blocks are opened.
@@ -1342,7 +1388,14 @@ def metadata_agg(
     and ``nulls_<c>``.  Columns default to every stats-bearing primitive
     column.  ``distributed`` defaults to driver-side below 20k sidecars and
     a mapInArrow pre-merge above (same heuristic as decode planning).
+
+    ``snapshot_id``: stats as of that snapshot (time travel) — the summary
+    fast path is skipped (catalog summaries describe the CURRENT set) and
+    planning restricts to the snapshot's pid ranges.
     """
+    keep_ranges = (
+        mf.snapshot_ranges(out_dir, snapshot_id) if snapshot_id is not None else None
+    )
     arrow_schema, _ = mf.read_schema(out_dir)
     by_name = {f.name: f for f in arrow_schema}
     if columns is None:
@@ -1373,7 +1426,14 @@ def metadata_agg(
     # [min_pid, max_pid] ranges) — stats come from the catalog alone plus
     # the loose tail, with ZERO segment-file opens.  A 10⁶-block dataset
     # answers in catalog-read time — the whole point of consolidation.
-    summaries_ok = bool(catalog) and all(e.get("summary") for e in catalog)
+    # catalog summaries describe the CURRENT visible set — unusable while a
+    # rollback mask condemns pids or a snapshot read wants an older set
+    summaries_ok = (
+        bool(catalog)
+        and all(e.get("summary") for e in catalog)
+        and keep_ranges is None
+        and mf.rollback_mask(out_dir) is None
+    )
     if summaries_ok and loose_names:
         loose_pids = [_name_pid(n) for n in loose_names]
         summaries_ok = not any(
@@ -1402,11 +1462,18 @@ def metadata_agg(
         if distributed is None:
             distributed = n_planned > 20_000
         if distributed:
-            partials = _metadata_partials_distributed(spark, out_dir, cols)
-        else:
-            partials = mf.visible_partitions(
-                out_dir, cols=["n_rows", "n_tokens", "codecs"]
+            partials = _metadata_partials_distributed(
+                spark, out_dir, cols, keep_ranges=keep_ranges
             )
+        else:
+            _rs = mf.RangeSet(keep_ranges) if keep_ranges is not None else None
+            partials = [
+                r
+                for r in mf.visible_partitions(
+                    out_dir, cols=["n_rows", "n_tokens", "codecs"]
+                )
+                if _rs is None or int(r["partition_id"]) in _rs
+            ]
 
     n_rows = sum(int(r["n_rows"]) for r in partials)
     n_tokens = sum(int(r.get("n_tokens") or 0) for r in partials)
@@ -1619,6 +1686,7 @@ def compact_dataset(
     src.mapInArrow(compactor, mf.MANIFEST_DDL).write.mode("overwrite").format("noop").save()
     if consolidate:
         mf.consolidate_manifest(dst_dir)
+    mf.commit_snapshot(dst_dir, "compact", extra={"src": os.path.abspath(src_dir)})
     return manifest_df(spark, dst_dir)
 
 
@@ -1719,7 +1787,11 @@ def _name_pid(name: str) -> int:
         return -1
 
 
-def _manifest_scan_specs(out_dir: str, cols: list[str] | None = None) -> tuple[list[dict], int]:
+def _manifest_scan_specs(
+    out_dir: str,
+    cols: list[str] | None = None,
+    keep_ranges: list | None = None,
+) -> tuple[list[dict], int]:
     """Driver-side planning inputs for a distributed manifest scan: one spec
     per loose sidecar (band-filtered by filename pid — the driver never
     parses them) plus one spec per row-group slice of every cataloged
@@ -1732,11 +1804,20 @@ def _manifest_scan_specs(out_dir: str, cols: list[str] | None = None) -> tuple[l
     sdir = os.path.join(out_dir, mf.SEGMENTS_DIR)
     bands = mf.incomplete_append_bands(out_dir)
     catalog = mf.segment_catalog(out_dir)
+    # effective keep set = time-travel snapshot ranges ∩ rollback mask
+    # (condemned pids invisible even to a snapshot read — their blocks are
+    # being deleted)
+    mask = mf.rollback_mask(out_dir)
+    if mask is not None:
+        keep_ranges = mask if keep_ranges is None else mf.intersect_ranges(keep_ranges, mask)
+    keep = mf.RangeSet(keep_ranges) if keep_ranges is not None else None
     specs: list[dict] = []
     loose_pids: list[int] = []
     for name in mf.loose_sidecar_names(out_dir):
         pid = _name_pid(name)
         if any(lo <= pid < hi for lo, hi in bands):
+            continue
+        if keep is not None and pid not in keep:
             continue
         loose_pids.append(pid)
         spec = {"kind": "sidecar", "path": os.path.join(mdir, name)}
@@ -1754,19 +1835,27 @@ def _manifest_scan_specs(out_dir: str, cols: list[str] | None = None) -> tuple[l
         specs.append(spec)
     n_loose = len(specs)
     for entry in catalog:
+        # whole-segment prune: a segment disjoint from the keep set never
+        # schedules a spec (a 10⁶-block dataset time-travelling to an early
+        # snapshot plans only the covering segments)
+        if keep_ranges is not None and not mf.intersect_ranges(
+            [[int(entry["min_pid"]), int(entry["max_pid"]) + 1]], keep_ranges
+        ):
+            continue
         n_rg = max(1, -(-int(entry["n_rows"]) // mf._SEGMENT_ROW_GROUP))
         for start in range(0, n_rg, _SEGMENT_RGS_PER_SPEC):
-            specs.append(
-                {
-                    "kind": "segment",
-                    "path": os.path.join(sdir, entry["file"]),
-                    "rg_start": start,
-                    "rg_end": min(start + _SEGMENT_RGS_PER_SPEC, n_rg),
-                    "skip": loose_pids,
-                    "bands": [list(b) for b in bands],
-                    "cols": cols,
-                }
-            )
+            spec = {
+                "kind": "segment",
+                "path": os.path.join(sdir, entry["file"]),
+                "rg_start": start,
+                "rg_end": min(start + _SEGMENT_RGS_PER_SPEC, n_rg),
+                "skip": loose_pids,
+                "bands": [list(b) for b in bands],
+                "cols": cols,
+            }
+            if keep_ranges is not None:
+                spec["keep"] = keep_ranges
+            specs.append(spec)
     return specs, n_loose
 
 
@@ -1786,7 +1875,7 @@ def _spec_src_df(spark: SparkSession, specs: list[dict], n_loose: int):
     return spark.createDataFrame(pdf).repartition(n_tasks)
 
 
-def _plan_df_distributed(spark: SparkSession, out_dir: str, filters):
+def _plan_df_distributed(spark: SparkSession, out_dir: str, filters, keep_ranges=None):
     """Manifest planning as a DataFrame job: the driver only lists sidecar
     FILENAMES and reads the segment catalog; JSON parsing, min/max pruning
     and bloom probes run in a mapInArrow stage.  At 10⁵–10⁶ blocks a
@@ -1801,7 +1890,7 @@ def _plan_df_distributed(spark: SparkSession, out_dir: str, filters):
     cols = ["block_path", "checksum"]
     if filters:
         cols += ["codecs", "bloom_col", "bloom"]
-    specs, n_loose = _manifest_scan_specs(out_dir, cols=cols)
+    specs, n_loose = _manifest_scan_specs(out_dir, cols=cols, keep_ranges=keep_ranges)
     src = _spec_src_df(spark, specs, n_loose)
 
     def planner(batches):
@@ -1830,6 +1919,7 @@ def decode_table(
     verify_checksums: bool = False,
     plan: str = "auto",
     on_corrupt: str = "error",
+    snapshot_id: int | None = None,
 ) -> DataFrame:
     """Reconstruct the original DataFrame from blocks. One task per block file,
     no shuffle; column pruning skips undecoded columns entirely; ``filters``
@@ -1844,7 +1934,16 @@ def decode_table(
     checksum mismatch; 'skip' quarantines the block (logs to stderr, decodes
     the rest) — the at-scale triage mode: one rotted block of 10⁶ shouldn't
     kill a day-long read, and the manifest pins exactly which partition to
-    re-encode."""
+    re-encode.
+
+    ``snapshot_id``: time travel — decode the dataset exactly as it was at
+    that snapshot (``manifest.snapshot_log``; the Iceberg as-of-snapshot
+    analog).  Within a dataset dir partitions are append-only, so a
+    snapshot is a pid-range set and planning simply restricts to it — both
+    plan paths, including whole-segment pruning of disjoint segments."""
+    keep_ranges = (
+        mf.snapshot_ranges(out_dir, snapshot_id) if snapshot_id is not None else None
+    )
     arrow_schema, spark_schema_json = mf.read_schema(out_dir)
     from pyspark.sql.types import StructType
 
@@ -1878,17 +1977,18 @@ def decode_table(
 
     par = spark.sparkContext.defaultParallelism
     if plan == "distributed":
-        man = _plan_df_distributed(spark, out_dir, filters)
+        man = _plan_df_distributed(spark, out_dir, filters, keep_ranges=keep_ranges)
         if num_tasks:  # else decode runs on the planner's partitioning (no shuffle)
             man = man.repartition(max(1, min(int(num_tasks), 4096)))
     else:
         plan_cols = ["block_path", "checksum", "output_bytes"]
         if filters:
             plan_cols += ["codecs", "bloom_col", "bloom"]
+        rs = mf.RangeSet(keep_ranges) if keep_ranges is not None else None
         completed = [
             r
             for r in mf.visible_partitions(out_dir, cols=plan_cols)
-            if _sidecar_keep(r, filters)
+            if (rs is None or int(r["partition_id"]) in rs) and _sidecar_keep(r, filters)
         ]
         if not completed:
             return spark.createDataFrame([], out_schema)

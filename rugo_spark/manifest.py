@@ -313,15 +313,26 @@ def completed_partitions(out_dir: str, cols: list[str] | None = None) -> list[di
     """All completed partitions: cataloged segment rows merged with loose
     sidecars (loose wins per pid — it is the freshest write), sorted by
     partition id.  ``cols`` prunes the SEGMENT parquet read (loose JSON
-    sidecars always parse whole — they are the small tail)."""
+    sidecars always parse whole — they are the small tail).
+
+    Pids condemned by an in-progress rollback (outside the
+    ``_rollback.json`` target ranges) are excluded HERE, below even the
+    resume paths: condemned partitions are being deleted, so neither a
+    reader nor a resume may treat them as existing."""
     merged = segment_rows(out_dir, cols=cols) if os.path.exists(
         os.path.join(out_dir, SEGMENTS_FILE)
     ) else {}
     if not merged:
-        return loose_sidecar_rows(out_dir)
-    for row in loose_sidecar_rows(out_dir):
-        merged[int(row["partition_id"])] = row
-    return [merged[k] for k in sorted(merged)]
+        rows = loose_sidecar_rows(out_dir)
+    else:
+        for row in loose_sidecar_rows(out_dir):
+            merged[int(row["partition_id"])] = row
+        rows = [merged[k] for k in sorted(merged)]
+    mask = rollback_mask(out_dir)
+    if mask is not None:
+        keep = RangeSet(mask)
+        rows = [r for r in rows if int(r["partition_id"]) in keep]
+    return rows
 
 
 def consolidate_manifest(out_dir: str, min_sidecars: int = 1) -> dict:
@@ -360,6 +371,12 @@ def consolidate_manifest(out_dir: str, min_sidecars: int = 1) -> dict:
     be removed manually after confirming that session is dead.
 
     Returns ``{"folded", "deleted_redundant", "segments", "gc_orphans"}``."""
+    if rollback_mask(out_dir) is not None:
+        raise ValueError(
+            f"{out_dir} has an in-progress rollback (_rollback.json): finish "
+            "it before consolidating — folding condemned sidecars would "
+            "resurrect partitions the rollback is deleting"
+        )
     lock = _acquire_consolidate_lock(out_dir)
     try:
         return _consolidate_locked(out_dir, min_sidecars)
@@ -472,8 +489,38 @@ def _consolidate_locked(out_dir: str, min_sidecars: int) -> dict:
     fold.sort(key=lambda r: int(r["partition_id"]))
     # -- 3. segment file (one real column per sidecar field → planning
     # column-prunes; unknown keys survive in 'extras')
+    entry = _write_segment_file(out_dir, fold, len(catalog))
+    seg_name = entry["file"]
+    # -- 4. catalog commit.  The entry carries a pre-merged stats SUMMARY
+    # (row/token totals + column min/max/null merged across every folded
+    # sidecar) — the Iceberg-manifest-list partition-summary analog, and the
+    # dataset-level completion of rugo's plan-from-one-small-footer idea
+    # (metadata.cpp:841-872): metadata_agg over a consolidated dataset reads
+    # ONLY this catalog plus the loose tail, opening zero segment files.
+    _commit_catalog(out_dir, catalog + [entry])
+    # -- 5. delete folded (and redundant) sidecars
+    for pid in [int(r["partition_id"]) for r in fold] + redundant:
+        try:
+            os.remove(sidecar_path(out_dir, pid))
+        except OSError:
+            pass
+    return {"folded": len(fold), "deleted_redundant": len(redundant),
+            "segments": len(catalog) + 1, "gc_orphans": gc}
+
+
+def _write_segment_file(out_dir: str, fold: list[dict], seq: int) -> dict:
+    """Write one pid-SORTED segment parquet from sidecar row dicts and
+    return its catalog entry (file name, row count, pid span, pre-merged
+    stats summary).  The file is INVISIBLE until a catalog referencing it
+    is committed (``_commit_catalog``) — crash orphans are GC'd by the next
+    consolidation."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    sdir = os.path.join(out_dir, SEGMENTS_DIR)
     os.makedirs(sdir, exist_ok=True)
-    seg_name = f"segment-{len(catalog):04d}-{uuid.uuid4().hex[:12]}.parquet"
+    seg_name = f"segment-{seq:04d}-{uuid.uuid4().hex[:12]}.parquet"
     arrays: dict[str, pa.Array] = {
         "partition_id": pa.array([int(r["partition_id"]) for r in fold], pa.int64()),
         "n_rows": pa.array([int(r["n_rows"]) for r in fold], pa.int64()),
@@ -502,12 +549,6 @@ def _consolidate_locked(out_dir: str, min_sidecars: int) -> dict:
     tmp = os.path.join(sdir, f".tmp-{uuid.uuid4().hex}")
     pq.write_table(tbl, tmp, row_group_size=_SEGMENT_ROW_GROUP, compression="zstd")
     os.replace(tmp, os.path.join(sdir, seg_name))
-    # -- 4. catalog commit.  The entry carries a pre-merged stats SUMMARY
-    # (row/token totals + column min/max/null merged across every folded
-    # sidecar) — the Iceberg-manifest-list partition-summary analog, and the
-    # dataset-level completion of rugo's plan-from-one-small-footer idea
-    # (metadata.cpp:841-872): metadata_agg over a consolidated dataset reads
-    # ONLY this catalog plus the loose tail, opening zero segment files.
     from rugo_spark.engine import merge_column_metas
 
     summary = {
@@ -517,27 +558,24 @@ def _consolidate_locked(out_dir: str, min_sidecars: int) -> dict:
             [json.loads(r.get("codecs") or "{}") for r in fold]
         ),
     }
-    entry = {
+    return {
         "file": seg_name,
         "n_rows": len(fold),
         "min_pid": int(fold[0]["partition_id"]),
         "max_pid": int(fold[-1]["partition_id"]),
         "summary": json.loads(json.dumps(summary, default=str)),
     }
+
+
+def _commit_catalog(out_dir: str, segments: list[dict]) -> None:
+    """Atomic (temp + fsync + rename) replace of the segment catalog — THE
+    commit point for consolidation and for rollback's segment rewrite."""
     cat_tmp = os.path.join(out_dir, SEGMENTS_FILE + ".tmp")
     with open(cat_tmp, "w") as f:
-        json.dump({"segments": catalog + [entry]}, f)
+        json.dump({"segments": segments}, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(cat_tmp, os.path.join(out_dir, SEGMENTS_FILE))
-    # -- 5. delete folded (and redundant) sidecars
-    for pid in [int(r["partition_id"]) for r in fold] + redundant:
-        try:
-            os.remove(sidecar_path(out_dir, pid))
-        except OSError:
-            pass
-    return {"folded": len(fold), "deleted_redundant": len(redundant),
-            "segments": len(catalog) + 1, "gc_orphans": gc}
 
 
 def iter_spec_rows(spec: dict):
@@ -577,6 +615,9 @@ def iter_spec_rows(spec: dict):
     hi = min(int(spec.get("rg_end") or pf.num_row_groups), pf.num_row_groups)
     skip = set(spec.get("skip") or [])
     bands = [(int(a), int(b)) for a, b in (spec.get("bands") or [])]
+    # "keep": [lo, hi) ranges a time-travel read or rollback mask restricts
+    # planning to — pids outside are invisible from this spec
+    keep = RangeSet(spec["keep"]) if spec.get("keep") is not None else None
     cols = spec.get("cols")  # None = every column; else prune (must keep pid)
     if cols is not None and "partition_id" not in cols:
         cols = ["partition_id"] + list(cols)
@@ -586,6 +627,8 @@ def iter_spec_rows(spec: dict):
         for row in rows:
             pid = int(row["partition_id"])
             if pid in skip or any(a <= pid < b for a, b in bands):
+                continue
+            if keep is not None and pid not in keep:
                 continue
             yield row
 
@@ -647,7 +690,10 @@ def clear_manifest(out_dir: str) -> None:
     shutil.rmtree(os.path.join(out_dir, BLOCKS_DIR), ignore_errors=True)
     shutil.rmtree(os.path.join(out_dir, SEGMENTS_DIR), ignore_errors=True)
     shutil.rmtree(os.path.join(out_dir, APPENDS_DIR), ignore_errors=True)
-    for f in (SEGMENTS_FILE, CONSOLIDATE_LOCK):
+    # SNAPSHOTS_FILE/ROLLBACK_MARKER too: a cleared layout must not inherit
+    # the old dataset's lineage (stale ranges would poison time travel) or a
+    # condemned-pid mask
+    for f in (SEGMENTS_FILE, CONSOLIDATE_LOCK, SNAPSHOTS_FILE, ROLLBACK_MARKER):
         try:
             os.remove(os.path.join(out_dir, f))
         except OSError:
@@ -759,3 +805,349 @@ def read_manifest(out_dir: str) -> dict:
             for f in arrow_schema
         ],
     }
+
+
+# ------------------------------------------------------------- snapshots
+#
+# Snapshot lineage + time travel (the Iceberg snapshot-log analog, and the
+# dataset-level completion of the reference's "plan from metadata" thesis,
+# rugo metadata.cpp:841-872): every commit that changes READER-VISIBLE rows
+# (initial encode, each append-band flip, a compaction destination) appends
+# one entry to an atomic `_snapshots.json` log recording the full visible
+# partition-id set as merged [lo, hi) ranges plus cumulative row/token/byte
+# totals.  Within one dataset directory partitions are only ever ADDED
+# (encode, then append bands; compaction writes a NEW directory), so a
+# snapshot is exactly a pid set — no per-snapshot manifest copies, and the
+# ranges stay tiny (dense bands) even at 10^6 partitions.
+#
+# Reads: `decode_table(..., snapshot_id=N)` plans only pids inside the
+# snapshot's ranges — both the driver-local and the distributed planner.
+# Rollback: `rollback_to_snapshot` condemns every pid outside the target
+# ranges behind an atomic `_rollback.json` marker (the commit point — the
+# live view equals the target the instant the marker lands), then cleans up
+# idempotently (sidecars, blocks, append markers, segment rewrite, log
+# truncation), removing the marker LAST so a crash anywhere mid-cleanup
+# leaves the view rolled back and the cleanup resumable.
+
+SNAPSHOTS_FILE = "_snapshots.json"
+ROLLBACK_MARKER = "_rollback.json"
+
+
+class RangeSet:
+    """Membership test over merged half-open [lo, hi) ranges, O(log n)."""
+
+    def __init__(self, ranges):
+        self.ranges = sorted((int(a), int(b)) for a, b in ranges)
+        self._los = [a for a, _ in self.ranges]
+
+    def __contains__(self, pid) -> bool:
+        import bisect
+
+        i = bisect.bisect_right(self._los, int(pid)) - 1
+        return i >= 0 and int(pid) < self.ranges[i][1]
+
+    def __bool__(self) -> bool:
+        return bool(self.ranges)
+
+
+def pids_to_ranges(pids) -> list[list[int]]:
+    """Sorted-unique pids → merged half-open ``[lo, hi)`` ranges.  Dense
+    id bands (base encode 0..n, append bands of 1M) merge to a handful of
+    pairs even at 10^6 partitions, so the snapshot log stays tiny."""
+    out: list[list[int]] = []
+    for p in sorted({int(p) for p in pids}):
+        if out and p == out[-1][1]:
+            out[-1][1] = p + 1
+        else:
+            out.append([p, p + 1])
+    return out
+
+
+def intersect_ranges(a: list, b: list) -> list[list[int]]:
+    """Intersection of two merged [lo, hi) range lists."""
+    out: list[list[int]] = []
+    i = j = 0
+    a = sorted([int(x), int(y)] for x, y in a)
+    b = sorted([int(x), int(y)] for x, y in b)
+    while i < len(a) and j < len(b):
+        lo = max(a[i][0], b[j][0])
+        hi = min(a[i][1], b[j][1])
+        if lo < hi:
+            out.append([lo, hi])
+        if a[i][1] <= b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
+def snapshot_log(out_dir: str, strict: bool = True) -> list[dict]:
+    """Entries of ``_snapshots.json`` in commit order (oldest first).
+    Missing log → [] (pre-snapshot dataset; the next commit starts one).
+    Corrupt log: ``strict=True`` raises (the caller asked for history that
+    cannot be read); ``strict=False`` warns and returns [] — data commits
+    must never be blocked by a damaged auxiliary lineage file."""
+    path = os.path.join(out_dir, SNAPSHOTS_FILE)
+    if not os.path.exists(path):
+        return []
+    try:
+        with open(path) as f:
+            log = json.load(f)["snapshots"]
+        assert isinstance(log, list)
+        return log
+    except (json.JSONDecodeError, OSError, KeyError, AssertionError) as e:
+        if strict:
+            raise ValueError(
+                f"corrupt snapshot log {path}: {e}; time travel/rollback is "
+                "unavailable until it is restored (current-state reads are "
+                "unaffected — delete the file to restart history)"
+            )
+        import warnings
+
+        warnings.warn(f"rugo_spark: corrupt snapshot log {path} ({e}); "
+                      "starting a fresh history")
+        return []
+
+
+def _write_snapshot_log(out_dir: str, log: list[dict]) -> None:
+    path = os.path.join(out_dir, SNAPSHOTS_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"snapshots": log}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def commit_snapshot(out_dir: str, op: str, extra: dict | None = None) -> dict | None:
+    """Append a snapshot entry describing the CURRENT visible state.  Cost:
+    one column-pruned manifest scan (n_rows/n_tokens/output_bytes), the
+    same order as the planning read — consolidate regularly so it stays a
+    few parquet reads at 10^5+ blocks.  Computing the FULL current set (not
+    an assumed delta) makes commits self-healing: a crash that lost the
+    previous snapshot append is absorbed by the next commit.  Idempotent:
+    an unchanged visible set (resume re-runs) appends nothing."""
+    rows = visible_partitions(
+        out_dir, cols=["n_rows", "n_tokens", "output_bytes"]
+    )
+    ranges = pids_to_ranges(r["partition_id"] for r in rows)
+    log = snapshot_log(out_dir, strict=False)
+    if log and log[-1].get("ranges") == ranges:
+        return None
+    entry = {
+        "id": (int(log[-1]["id"]) + 1) if log else 1,
+        "op": op,
+        "n_partitions": sum(b - a for a, b in ranges),
+        "n_rows": sum(int(r.get("n_rows") or 0) for r in rows),
+        "n_tokens": sum(int(r.get("n_tokens") or 0) for r in rows),
+        "output_bytes": sum(int(r.get("output_bytes") or 0) for r in rows),
+        "ranges": ranges,
+    }
+    if extra:
+        entry.update(extra)
+    _write_snapshot_log(out_dir, log + [entry])
+    return entry
+
+
+def snapshot_ranges(out_dir: str, snapshot_id: int) -> list:
+    """Ranges of one snapshot; raises with the available ids if unknown."""
+    log = snapshot_log(out_dir, strict=True)
+    entry = next((e for e in log if int(e["id"]) == int(snapshot_id)), None)
+    if entry is None:
+        raise ValueError(
+            f"unknown snapshot_id {snapshot_id} for {out_dir}; available: "
+            f"{[int(e['id']) for e in log] or 'none (no snapshot log yet)'}"
+        )
+    return entry["ranges"]
+
+
+def rollback_mask(out_dir: str) -> list | None:
+    """Target ranges of an in-progress rollback, or None.  While the marker
+    exists every reader treats pids OUTSIDE these ranges as gone (they are
+    condemned — cleanup deletes them).  A corrupt marker raises: the
+    condemned set is unknown, so no read can be answered safely."""
+    path = os.path.join(out_dir, ROLLBACK_MARKER)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            m = json.load(f)
+        ranges = m["ranges"]
+        assert isinstance(ranges, list)
+        return ranges
+    except (json.JSONDecodeError, OSError, KeyError, AssertionError) as e:
+        raise ValueError(
+            f"corrupt rollback marker {path}: {e}; the condemned partition "
+            "set is unknown — restore the marker or resolve manually before "
+            "reading this dataset"
+        )
+
+
+def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
+    """Drop all but the newest ``keep_last`` snapshot log entries.  Metadata
+    only: within one dataset dir partitions are append-only, so every block
+    is referenced by the LATEST snapshot and expiring history never orphans
+    data (rollback, the one remover, deletes its blocks eagerly).  Kept ids
+    keep their numbering, so lineage references stay stable."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    log = snapshot_log(out_dir, strict=True)
+    kept = log[-keep_last:]
+    if len(kept) != len(log):
+        _write_snapshot_log(out_dir, kept)
+    return {"expired": len(log) - len(kept), "kept": [int(e["id"]) for e in kept]}
+
+
+def rollback_to_snapshot(out_dir: str, snapshot_id: int) -> dict:
+    """Restore the dataset to exactly the state of ``snapshot_id``,
+    physically deleting every partition committed after it (the Iceberg
+    rollback analog; append bands are the only adders, so the drop set is
+    whole bands).
+
+    Protocol — atomic flip, resumable cleanup:
+
+    1. Write ``_rollback.json`` with the target ranges (temp + rename) —
+       THE commit point: every reader and resume path treats pids outside
+       the ranges as gone the instant the marker lands.
+    2. Truncate the snapshot log to entries ≤ the target id.
+    3. Delete condemned loose sidecars, then condemned block files.
+    4. Remove append markers whose band is entirely condemned.
+    5. Rewrite any cataloged segment containing condemned pids: kept rows
+       fold into a fresh segment, the catalog is replaced atomically, dirty
+       segment files are deleted.
+    6. Remove the marker LAST — a crash anywhere above leaves the view
+       rolled back (masked) and this function resumable.
+
+    Holds the consolidation lock throughout so a concurrent consolidation
+    cannot fold condemned sidecars into a segment mid-rollback.  Returns
+    ``{"kept_ranges", "sidecars_deleted", "blocks_deleted",
+    "append_markers_deleted", "segments_rewritten"}``."""
+    marker_path = os.path.join(out_dir, ROLLBACK_MARKER)
+    mask = rollback_mask(out_dir)
+    keep = snapshot_ranges(out_dir, snapshot_id)
+    if mask is not None and mask != keep:
+        raise ValueError(
+            f"{out_dir} has an in-progress rollback to different ranges "
+            f"({mask}); resume THAT rollback (call rollback_to_snapshot with "
+            "its snapshot id) before starting another"
+        )
+    lock = _acquire_consolidate_lock(out_dir)
+    try:
+        keep_set = RangeSet(keep)
+        if mask is None:
+            # anything to drop?  (read the pre-mask state directly)
+            current = {
+                int(r["partition_id"])
+                for r in completed_partitions(out_dir, cols=["partition_id"])
+            }
+            if all(p in keep_set for p in current):
+                log = snapshot_log(out_dir, strict=True)
+                trunc = [e for e in log if int(e["id"]) <= int(snapshot_id)]
+                if len(trunc) != len(log):
+                    _write_snapshot_log(out_dir, trunc)
+                return {"kept_ranges": keep, "sidecars_deleted": 0,
+                        "blocks_deleted": 0, "append_markers_deleted": 0,
+                        "segments_rewritten": 0}
+            tmp = marker_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"ranges": keep, "snapshot_id": int(snapshot_id)}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, marker_path)  # ← commit point
+        # ---- idempotent cleanup (every step safe to re-run) ----
+        log = snapshot_log(out_dir, strict=False)
+        trunc = [e for e in log if int(e["id"]) <= int(snapshot_id)]
+        if len(trunc) != len(log):
+            _write_snapshot_log(out_dir, trunc)
+        result = {"kept_ranges": keep, "sidecars_deleted": 0,
+                  "blocks_deleted": 0, "append_markers_deleted": 0,
+                  "segments_rewritten": 0}
+        mdir = os.path.join(out_dir, MANIFEST_DIR)
+        if os.path.isdir(mdir):
+            for name in loose_sidecar_names(out_dir):
+                try:
+                    pid = int(name[len("part-"):-len(".json")])
+                except ValueError:
+                    continue
+                if pid not in keep_set:
+                    try:
+                        os.remove(os.path.join(mdir, name))
+                        result["sidecars_deleted"] += 1
+                    except OSError:
+                        pass
+        bdir = os.path.join(out_dir, BLOCKS_DIR)
+        if os.path.isdir(bdir):
+            for name in os.listdir(bdir):
+                if not (name.startswith("part-") and name.endswith(".rgb")):
+                    continue
+                try:
+                    pid = int(name[len("part-"):-len(".rgb")])
+                except ValueError:
+                    continue
+                if pid not in keep_set:
+                    try:
+                        os.remove(os.path.join(bdir, name))
+                        result["blocks_deleted"] += 1
+                    except OSError:
+                        pass
+        for m in append_reservations(out_dir):
+            base = int(m.get("base", -1))
+            if base < 0:
+                continue
+            if not intersect_ranges([[base, base + APPEND_BAND]], keep):
+                try:
+                    os.remove(m["_path"])
+                    result["append_markers_deleted"] += 1
+                except OSError:
+                    pass
+        catalog = segment_catalog(out_dir)
+        sdir = os.path.join(out_dir, SEGMENTS_DIR)
+        # GC uncataloged segment files (safe under the consolidation lock,
+        # same as consolidate's step 1): a resume after a crash between the
+        # catalog swap and the dirty-file deletion finds the replaced
+        # segments uncataloged, not dirty — they are orphans
+        if os.path.isdir(sdir):
+            cataloged = {e["file"] for e in catalog}
+            for name in os.listdir(sdir):
+                if name.endswith(".parquet") and name not in cataloged:
+                    try:
+                        os.remove(os.path.join(sdir, name))
+                    except OSError:
+                        pass
+        dirty, clean = [], []
+        for e in catalog:
+            rows = read_segment_rows(
+                os.path.join(sdir, e["file"]), columns=["partition_id"]
+            )
+            if any(int(r["partition_id"]) not in keep_set for r in rows):
+                dirty.append(e)
+            else:
+                clean.append(e)
+        if dirty:
+            kept_rows = [
+                r
+                for e in dirty
+                for r in read_segment_rows(os.path.join(sdir, e["file"]))
+                if int(r["partition_id"]) in keep_set
+            ]
+            new_entries = (
+                [_write_segment_file(out_dir, sorted(
+                    kept_rows, key=lambda r: int(r["partition_id"])
+                ), len(catalog))]
+                if kept_rows
+                else []
+            )
+            _commit_catalog(out_dir, clean + new_entries)
+            for e in dirty:
+                try:
+                    os.remove(os.path.join(sdir, e["file"]))
+                except OSError:
+                    pass
+            result["segments_rewritten"] = len(dirty)
+        os.remove(marker_path)  # LAST: crash above stays masked + resumable
+        return result
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
