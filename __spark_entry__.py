@@ -70,6 +70,41 @@ def q_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(spark, out)
 
 
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot lineage (the Iceberg time-travel analog): encode the even
+    orderkeys (snapshot 1), append the odd ones (snapshot 2), then read the
+    dataset AS OF snapshot 1 — the append must be invisible.  Oracle: the
+    even half of the table."""
+    from rugo_spark.engine import append_table, decode_table, encode_table
+
+    df = _t(spark, sf_dir, "orders")
+    out = _fresh("tt_orders", sf_dir)
+    encode_table(
+        df.filter(F.col("o_orderkey") % 2 == 0), out,
+        key_col="o_orderkey", num_partitions=4,
+    )
+    append_table(df.filter(F.col("o_orderkey") % 2 == 1), out)
+    return decode_table(spark, out, snapshot_id=1)
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-column schema evolution (the Iceberg ADD COLUMN analog): encode
+    docs with doc_id % 3 != 0, then append the rest WITH a new nullable
+    `quality` column; blocks written before the column existed decode it as
+    NULL.  Oracle: the full table with quality defined only on the appended
+    third."""
+    from rugo_spark.engine import append_table, decode_table, encode_table_maponly
+
+    df = _t(spark, sf_dir, "documents")
+    out = _fresh("evo_docs", sf_dir)
+    encode_table_maponly(df.filter(F.col("doc_id") % 3 != 0), out)
+    late = df.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "quality", (F.col("n_chars") / F.lit(1000.0)).cast("double")
+    )
+    append_table(late, out, allow_new_columns=True)
+    return decode_table(spark, out)
+
+
 def _roundtrip(table: str, key: str, size_col: str | None):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from rugo_spark.engine import decode_table, encode_table
@@ -836,9 +871,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any two consecutive rounds all entries have a row — and (b) the
     # sacrificial tail is drawn from entries green in the previous round
     # whose code path an earlier entry already covers.
-    # r5 head: consolidated_roundtrip + streaming_late_data are new;
+    # r5 head: consolidated_roundtrip + streaming_late_data +
+    # snapshot_time_travel + schema_evolution_append are new;
     # quality_score/roundtrip_{orders,events,part} were r4's unmeasured tail.
     return {
+        "snapshot_time_travel": q_snapshot_time_travel,
+        "schema_evolution_append": q_schema_evolution,
         "consolidated_roundtrip": q_consolidated_roundtrip,
         "streaming_late_data": q_streaming_late_data,
         "quality_score": q_quality_score,
@@ -1064,6 +1102,13 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_documents": "SELECT * FROM documents",
         "roundtrip_lineitem": "SELECT * FROM lineitem",
         "append_roundtrip": "SELECT * FROM orders",
+        # time travel to the pre-append snapshot: only the even half exists
+        "snapshot_time_travel": "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
+        # add-column evolution: pre-evolution rows read the new column as NULL
+        "schema_evolution_append": (
+            "SELECT *, CASE WHEN doc_id % 3 = 0 THEN "
+            "CAST(n_chars AS DOUBLE) / 1000.0 END AS quality FROM documents"
+        ),
         "roundtrip_events": "SELECT * FROM events",
         "roundtrip_part": "SELECT * FROM part",
         "roundtrip_orders": "SELECT * FROM orders",

@@ -202,6 +202,12 @@ def merge_column_metas(metas_list: list[dict]) -> dict:
 def _decode_flat_block(buf: memoryview, schema: pa.Schema, columns: list[str] | None):
     magic, n_cols = _FHDR.unpack_from(buf, 0)
     assert magic == FILE_MAGIC, "bad block magic"
+    if n_cols > len(schema.names):
+        raise ValueError(
+            f"block stores {n_cols} columns but the dataset schema has only "
+            f"{len(schema.names)} — the _schema.json does not describe this "
+            "block (schema evolution only ADDS columns, never drops)"
+        )
     off = _FHDR.size
     arrays, names = [], []
     want = set(columns) if columns is not None else None
@@ -213,6 +219,29 @@ def _decode_flat_block(buf: memoryview, schema: pa.Schema, columns: list[str] | 
             arrays.append(decode_array(buf[off : off + ln], schema.field(name).type))
             names.append(name)
         off += ln
+    # schema evolution: a block written before a column was appended stores
+    # a PREFIX of the (append-only) union schema — the missing tail decodes
+    # as all-NULL.  Stored prefix order == schema prefix order, and evolved
+    # columns sit at the schema tail, so appending nulls last preserves the
+    # projected column order exactly.
+    missing = [
+        n for n in schema.names[n_cols:] if want is None or n in want
+    ]
+    if missing:
+        if arrays:
+            n_rows = len(arrays[0])
+        else:
+            # projection asked ONLY for post-evolution columns: decode the
+            # first stored column solely for its row count
+            (ln,) = _U64.unpack_from(buf, _FHDR.size)
+            first = decode_array(
+                buf[_FHDR.size + 8 : _FHDR.size + 8 + ln],
+                schema.field(schema.names[0]).type,
+            )
+            n_rows = len(first)
+        for n in missing:
+            arrays.append(pa.nulls(n_rows, type=schema.field(n).type))
+            names.append(n)
     return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
@@ -313,6 +342,27 @@ def _files_signature(df: DataFrame) -> list:
     return sig
 
 
+def _plan_signature(df: DataFrame) -> str:
+    """Cross-JVM-deterministic signature of the logical plan, computed
+    WITHOUT executing the query (df.rdd.getNumPartitions would finalize AQE
+    stages) — catches repartition()/filter/plan changes on the same files.
+
+    NOT ``df.semanticHash()``: that is the JVM ``hashCode`` of the
+    canonicalized plan, and plan nodes hash unstably across JVM instances
+    (measured: two processes reading the same parquet dir differ), which
+    silently breaks every cross-process crash-resume fingerprint match.
+    The canonicalized plan's *tree string* IS stable (exprIds normalized to
+    ``none#N``); we hash that, plus the schema JSON because wide attribute
+    lists truncate at spark.sql.debug.maxToStringFields in the string."""
+    import hashlib
+
+    try:  # classic py4j sessions; Spark Connect has no _jdf
+        text = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    except Exception:
+        text = ""
+    return hashlib.sha1((text + "\x00" + df.schema.json()).encode()).hexdigest()
+
+
 def _input_fingerprint(df: DataFrame) -> str:
     """Deterministic id of the input layout a map-only encode keys its
     partition ids on: file list + split-size conf + split count.  Resuming
@@ -323,15 +373,12 @@ def _input_fingerprint(df: DataFrame) -> str:
     sig = _files_signature(df)
     conf = df.sparkSession.conf
     max_bytes = _conf_get(conf, "spark.sql.files.maxPartitionBytes", "")
-    # semanticHash: canonicalized logical plan, computed WITHOUT executing the
-    # query (df.rdd.getNumPartitions would finalize AQE stages) — catches
-    # repartition()/plan changes on non-file inputs too
     blob = json.dumps(
         {
             "files": sig,
             "maxPartitionBytes": max_bytes,
             "defaultParallelism": df.sparkSession.sparkContext.defaultParallelism,
-            "plan": df.semanticHash(),
+            "plan": _plan_signature(df),
         }
     )
     return hashlib.sha1(blob.encode()).hexdigest()
@@ -499,7 +546,7 @@ def encode_table_sorted(
         json.dumps(
             {
                 "files": _files_signature(df),
-                "plan": df.semanticHash(),
+                "plan": _plan_signature(df),
                 "range": {"key_col": key_col, "n": n, "boundaries": bounds},
             }
         ).encode()
@@ -562,6 +609,7 @@ def append_table(
     plans: dict | None = None,
     consolidate: bool = False,
     reclaim_stale: bool = False,
+    allow_new_columns: bool = False,
 ) -> DataFrame:
     """Append rows to an EXISTING encoded dataset (the Iceberg-append /
     lakehouse-ingest analog): each input split becomes one new block in a
@@ -588,7 +636,17 @@ def append_table(
       and sharing it would lose rows on the first session's resume).
 
     Schema must match the dataset exactly on names/types (field metadata
-    ignored; nullability may only tighten).  Appending to a range-sorted
+    ignored; nullability may only tighten) — unless ``allow_new_columns``:
+    then the input may carry EXTRA nullable columns (add-column schema
+    evolution, the Iceberg ``ADD COLUMN`` analog).  New columns are appended
+    to the dataset schema tail at commit; blocks written before the column
+    existed store a prefix of the union schema and decode the missing tail
+    as all-NULL (``_decode_flat_block``), which is exactly the new column's
+    value for pre-existing rows — so the widening-then-commit sequence is
+    never observable as a torn state.  The schema widens BEFORE the
+    completion marker flips (a crash between the two resumes to the same
+    end state; ``reclaim_append`` restores the stashed pre-append schema).
+    Dropping or retyping columns is never allowed.  Appending to a range-sorted
     dataset keeps per-block min/max pruning correct but breaks dataset-wide
     key disjointness — run ``compact_dataset(sort_key=...)`` afterwards to
     restore clustering (compaction also rewrites ids densely, reclaiming
@@ -610,14 +668,55 @@ def append_table(
             f"{out_dir} is not an existing encoded dataset — use encode_table/"
             "encode_table_maponly to create one before appending"
         )
-    if not _append_schema_ok(prev.get("spark_schema"), json.loads(df.schema.json())):
-        raise ValueError(
-            f"append schema mismatch for {out_dir}: dataset has "
-            f"{json.dumps(prev.get('spark_schema'))[:200]}…, append input has "
-            f"{df.schema.json()[:200]}… (names/types must match exactly; the "
-            "append may be stricter on nullability, never looser)"
-        )
+    # fingerprint the CALLER's input before any canonicalizing select below:
+    # a resume of a crashed evolving append arrives after the schema already
+    # widened (new_names then resolves empty, no reorder happens), and the
+    # marker lookup must still land on the crashed session's band
     fp = _input_fingerprint(df)
+    ds_json = prev.get("spark_schema")
+    in_json = json.loads(df.schema.json())
+    ds_names = [f["name"] for f in ds_json.get("fields", [])]
+    in_names = [f["name"] for f in in_json.get("fields", [])]
+    new_names = [n for n in in_names if n not in ds_names]
+    if new_names and allow_new_columns:
+        missing_ds = [n for n in ds_names if n not in in_names]
+        if missing_ds:
+            raise ValueError(
+                f"append schema evolution only ADDS columns: input lacks "
+                f"dataset columns {missing_ds} of {out_dir}"
+            )
+        # canonical layout: dataset columns first (in dataset order), new
+        # columns at the tail — blocks then store the union-schema prefix
+        # invariant _decode_flat_block relies on
+        df = df.select(*ds_names, *new_names)
+        in_json = json.loads(df.schema.json())
+        not_nullable = [
+            f["name"] for f in in_json["fields"]
+            if f["name"] in new_names and not f.get("nullable", True)
+        ]
+        if not_nullable:
+            raise ValueError(
+                f"new columns must be nullable (pre-existing rows read them "
+                f"as NULL): {not_nullable}"
+            )
+        prefix = dict(in_json, fields=in_json["fields"][: len(ds_names)])
+        if not _append_schema_ok(ds_json, prefix):
+            raise ValueError(
+                f"append schema mismatch for {out_dir} on EXISTING columns: "
+                f"dataset has {json.dumps(ds_json)[:200]}…, append input has "
+                f"{json.dumps(prefix)[:200]}… (existing names/types must "
+                "match exactly; only NEW nullable columns may be added)"
+            )
+    else:
+        new_names = []
+        if not _append_schema_ok(ds_json, in_json):
+            raise ValueError(
+                f"append schema mismatch for {out_dir}: dataset has "
+                f"{json.dumps(ds_json)[:200]}…, append input has "
+                f"{df.schema.json()[:200]}… (names/types must match exactly; "
+                "the append may be stricter on nullability, never looser; "
+                "pass allow_new_columns=True to add new nullable columns)"
+            )
     appends_dir = os.path.join(out_dir, mf.APPENDS_DIR)
     os.makedirs(appends_dir, exist_ok=True)
     marker = os.path.join(appends_dir, f"append-{fp[:16]}.json")
@@ -667,9 +766,48 @@ def append_table(
                 "(compact_dataset rewrites ids densely and clears append "
                 "markers) to reclaim the id space"
             )
-        _atomic_write(marker, json.dumps({"base": base, "fingerprint": fp}).encode())
+        reservation = {"base": base, "fingerprint": fp}
+        if new_names:
+            # stash the pre-append schema so reclaim_append can restore it
+            # (the widening happens before the completion flip; rollback of
+            # the band must also roll back the schema)
+            reservation["schema_before"] = {
+                k: v for k, v in prev.items() if not k.startswith("_")
+            }
+        _atomic_write(marker, json.dumps(reservation).encode())
     encoder = _split_encoder(spark, out_dir, sort_key, size_col, plans, pid_base=base)
     df.mapInArrow(encoder, mf.MANIFEST_DDL).write.mode("append").format("noop").save()
+    if new_names:
+        # widen the dataset schema to the union, atomically, BEFORE the
+        # completion flip.  In the crash window between the two, readers see
+        # the widened schema with the band still invisible — which reads
+        # identically to the committed state minus the new rows, because the
+        # new column's value for every pre-existing row IS NULL.  A resume
+        # re-runs this (idempotent); reclaim restores the stashed schema.
+        import base64 as _b64
+
+        cur = mf.read_schema_payload(out_dir)
+        cur_names = [f["name"] for f in cur["spark_schema"]["fields"]]
+        add = [n for n in new_names if n not in cur_names]
+        if add:
+            ds_arrow = pa.ipc.read_schema(
+                pa.py_buffer(_b64.b64decode(cur["arrow_schema_b64"]))
+            )
+            in_arrow = _arrow_schema_of(df)
+            union_arrow = pa.schema(
+                list(ds_arrow) + [in_arrow.field(n) for n in add]
+            )
+            union_spark = dict(
+                cur["spark_schema"],
+                fields=cur["spark_schema"]["fields"]
+                + [f for f in in_json["fields"] if f["name"] in add],
+            )
+            extras = {
+                k: v
+                for k, v in cur.items()
+                if k not in ("arrow_schema_b64", "spark_schema")
+            }
+            mf.write_schema(out_dir, union_arrow, json.dumps(union_spark), extra=extras)
     # commit: flip the completion marker LAST — readers (visible_partitions)
     # surface the whole band atomically, never a torn prefix
     _atomic_write(
@@ -752,6 +890,12 @@ def reclaim_append(out_dir: str, fingerprint: str | None = None) -> dict:
                         base <= _pid_of(name, ".rgb") < hi:
                     os.remove(os.path.join(bdir, name))
                     result["blocks_deleted"] += 1
+        sb = m.get("schema_before")
+        if sb:
+            # the crashed evolving append may have widened the schema before
+            # dying — restore the stashed pre-append payload so the new
+            # column does not survive as a phantom all-NULL field
+            mf.write_schema_payload(out_dir, sb)
         os.remove(m["_path"])  # LAST: crash above leaves the band reclaimable
         result["reclaimed"].append({"base": base, "fingerprint": m.get("fingerprint")})
     return result
@@ -1343,15 +1487,25 @@ def _metadata_partials_distributed(
         for batch in batches:
             n_rows = n_tokens = 0
             metas_list = []
+            missing: dict[str, int] = {}
             for spec_json in batch.column(0).to_pylist():
                 for row in mf.iter_spec_rows(json.loads(spec_json)):
                     n_rows += int(row["n_rows"])
                     n_tokens += int(row.get("n_tokens") or 0)
-                    metas_list.append(
-                        {c: m for c, m in json.loads(row["codecs"]).items() if c in want}
-                    )
+                    cd = json.loads(row["codecs"])
+                    metas_list.append({c: m for c, m in cd.items() if c in want})
+                    # pre-evolution partitions: their rows are NULLs for the
+                    # columns they predate (see metadata_agg)
+                    for c in want:
+                        if c not in cd:
+                            missing[c] = missing.get(c, 0) + int(row["n_rows"])
             if metas_list:
                 merged = merge_column_metas(metas_list)
+                for c, n in missing.items():
+                    agg = merged.setdefault(
+                        c, {"min": None, "max": None, "null_count": 0}
+                    )
+                    agg["null_count"] = int(agg.get("null_count") or 0) + n
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array([n_rows], pa.int64()),
@@ -1478,9 +1632,20 @@ def metadata_agg(
     n_rows = sum(int(r["n_rows"]) for r in partials)
     n_tokens = sum(int(r.get("n_tokens") or 0) for r in partials)
     want = set(cols)
+    parsed = [(json.loads(r["codecs"]), int(r["n_rows"])) for r in partials]
     merged = merge_column_metas(
-        [{c: m for c, m in json.loads(r["codecs"]).items() if c in want} for r in partials]
+        [{c: m for c, m in cd.items() if c in want} for cd, _ in parsed]
     )
+    # schema evolution: a partition that predates a column has no meta for
+    # it — every one of its rows reads as NULL for that column, so its
+    # n_rows count as nulls (min/max untouched; nulls don't bound).
+    # Partials that are already merges (segment summaries, distributed
+    # slices) account for their INTERNAL missing rows themselves.
+    for cd, n in parsed:
+        for c in cols:
+            if c not in cd:
+                agg = merged.setdefault(c, {"min": None, "max": None, "null_count": 0})
+                agg["null_count"] = int(agg.get("null_count") or 0) + n
 
     fields = [pa.field("n_rows", pa.int64()), pa.field("n_tokens", pa.int64())]
     arrays: list[pa.Array] = [pa.array([n_rows], pa.int64()), pa.array([n_tokens], pa.int64())]

@@ -57,6 +57,16 @@ def write_schema(
     os.replace(tmp, os.path.join(out_dir, SCHEMA_FILE))
 
 
+def write_schema_payload(out_dir: str, payload: dict) -> None:
+    """Atomic raw replace of ``_schema.json`` — used by reclaim_append to
+    restore the stashed pre-append schema after a crashed evolving append."""
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, SCHEMA_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, os.path.join(out_dir, SCHEMA_FILE))
+
+
 def read_schema_payload(out_dir: str) -> dict | None:
     """Raw _schema.json payload (None if absent) — carries resume guards."""
     path = os.path.join(out_dir, SCHEMA_FILE)
@@ -551,12 +561,22 @@ def _write_segment_file(out_dir: str, fold: list[dict], seq: int) -> dict:
     os.replace(tmp, os.path.join(sdir, seg_name))
     from rugo_spark.engine import merge_column_metas
 
+    fold_codecs = [json.loads(r.get("codecs") or "{}") for r in fold]
+    summary_codecs = merge_column_metas(fold_codecs)
+    # schema evolution: folded rows that predate a column contribute their
+    # n_rows as nulls to that column's summary (the metadata_agg fast path
+    # reads ONLY this summary — without the adjustment an evolved column's
+    # null count would silently undercount pre-evolution rows)
+    for cd, r in zip(fold_codecs, fold):
+        for c in summary_codecs:
+            if c not in cd:
+                summary_codecs[c]["null_count"] = int(
+                    summary_codecs[c].get("null_count") or 0
+                ) + int(r["n_rows"])
     summary = {
         "n_rows": sum(int(r["n_rows"]) for r in fold),
         "n_tokens": sum(int(r.get("n_tokens") or 0) for r in fold),
-        "codecs": merge_column_metas(
-            [json.loads(r.get("codecs") or "{}") for r in fold]
-        ),
+        "codecs": summary_codecs,
     }
     return {
         "file": seg_name,

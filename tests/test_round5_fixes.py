@@ -189,3 +189,58 @@ def test_sorted_fingerprint_uses_stat_signature(spark, tmp_path):
     df2 = spark.read.parquet(str(src))
     sig2 = _files_signature(df2)
     assert sig1 != sig2, "in-place overwrite must change the signature"
+
+
+_FP_SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+from rugo_spark.session import get_spark
+from rugo_spark.engine import _input_fingerprint
+spark = get_spark(master="local[2]")
+df = spark.read.parquet({src!r}).filter("n_tok > 0").repartition(3)
+print("FP=" + _input_fingerprint(df))
+spark.stop()
+"""
+
+
+def test_input_fingerprint_stable_across_jvms(tmp_path):
+    """df.semanticHash() is the JVM hashCode of the canonicalized plan and
+    differs between JVM instances for the SAME parquet read (measured), so a
+    fingerprint built on it breaks every cross-process crash-resume match —
+    the resume session sees its own crashed append as a foreign writer and
+    refuses.  The fingerprint must hash the canonicalized plan *string*
+    instead, which is cross-JVM stable."""
+    import subprocess
+    import sys as _sys
+
+    from rugo_spark.tokengen import write_token_table
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = str(tmp_path / "tokens.parquet")
+    write_token_table(src, 200)
+    fps = []
+    for _ in range(2):
+        proc = subprocess.run(
+            [_sys.executable, "-c", _FP_SCRIPT.format(repo=repo, src=src)],
+            capture_output=True,
+            timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr.decode()[-800:]
+        line = [l for l in proc.stdout.decode().splitlines() if l.startswith("FP=")]
+        assert line, proc.stdout.decode()[-400:]
+        fps.append(line[0])
+    assert fps[0] == fps[1], f"fingerprint not cross-JVM stable: {fps}"
+
+
+def test_plan_signature_sees_plan_changes(spark, tmp_path):
+    """The stable signature must still distinguish different plans over the
+    same files (the reason semanticHash was there at all)."""
+    from rugo_spark.engine import _plan_signature
+    from rugo_spark.tokengen import write_token_table
+
+    src = str(tmp_path / "tokens.parquet")
+    write_token_table(src, 200)
+    base = spark.read.parquet(src)
+    assert _plan_signature(base) == _plan_signature(spark.read.parquet(src))
+    assert _plan_signature(base) != _plan_signature(base.filter("n_tok > 1"))
+    assert _plan_signature(base) != _plan_signature(base.repartition(5))
