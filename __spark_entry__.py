@@ -70,6 +70,23 @@ def q_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(spark, out)
 
 
+def q_delete_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE (the Iceberg position-delete / Delta
+    deletion-vector analog; the reference engine is read-only, so this
+    extends beyond-parity like append/snapshots): encode orders, commit TWO
+    delete predicates — each a pure-metadata commit, no block rewritten,
+    the second subtracting the first's already-deleted positions — and
+    decode the masked dataset.  Oracle: the surviving rows."""
+    from rugo_spark.engine import decode_table, delete_where, encode_table
+
+    df = _t(spark, sf_dir, "orders")
+    out = _fresh("delete_orders", sf_dir)
+    encode_table(df, out, key_col="o_orderkey", num_partitions=4)
+    delete_where(spark, out, [("o_totalprice", "<", 100000.0)])
+    delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    return decode_table(spark, out)
+
+
 def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot lineage (the Iceberg time-travel analog): encode the even
     orderkeys (snapshot 1), append the odd ones (snapshot 2), then read the
@@ -871,10 +888,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any two consecutive rounds all entries have a row — and (b) the
     # sacrificial tail is drawn from entries green in the previous round
     # whose code path an earlier entry already covers.
-    # r5 head: consolidated_roundtrip + streaming_late_data +
-    # snapshot_time_travel + schema_evolution_append are new;
-    # quality_score/roundtrip_{orders,events,part} were r4's unmeasured tail.
+    # r5 head: delete_where_roundtrip + consolidated_roundtrip +
+    # streaming_late_data + snapshot_time_travel + schema_evolution_append
+    # are new; quality_score/roundtrip_{orders,events,part} were r4's
+    # unmeasured tail.
     return {
+        "delete_where_roundtrip": q_delete_where_roundtrip,
         "snapshot_time_travel": q_snapshot_time_travel,
         "schema_evolution_append": q_schema_evolution,
         "consolidated_roundtrip": q_consolidated_roundtrip,
@@ -899,7 +918,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": q_agg_pricing,
         "join_top_revenue": q_join_revenue,
         "window_latest_order": q_window_latest_order,
-        "setop_inactive_customers": q_setop_inactive_customers,
         "semi_join_active_customers": q_semi_join_active_customers,
         "scalar_functions": q_scalar_functions,
         "dedup_exact": q_dedup_exact,
@@ -909,7 +927,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_bpe": q_token_counts,
         "embedding_cosine_topk": q_embedding_topk,
         "embedding_ann_topk": q_ann_topk,
-        "embedding_ivf_topk": q_ivf_topk,
         "embedding_ivf_indexed": q_ivf_indexed,
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -924,7 +941,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q_repetition_ratio,
         "pii_counts": q_pii_counts,
         "multimodal_features": q_multimodal_features,
-        "multimodal_resize": q_multimodal_resize,
         "pipeline_docs_to_encoded": q_pipeline_docs_to_encoded,
         "pack_sequences": q_pack_sequences,
         # sacrificial tail — entries past the driver's ~50-row artifact cap,
@@ -933,8 +949,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # roundtrip_documents shares roundtrip_lineitem's code path;
         # embedding_hybrid_topk is the union of ann+ivf (both measured);
         # dedup_minhash_lsh is the char-shingle sibling of dedup_lsh_words;
-        # date/cube share scalar_functions'/rollup_pricing's operator family
+        # date/cube share scalar_functions'/rollup_pricing's operator family;
+        # r5 demotions (all green r4, making head room for the new delete
+        # surface): multimodal_resize (features + its recompute oracle share
+        # the synth-media pipeline), embedding_ivf_topk (ivf_indexed runs
+        # the same kernel plus index persistence), setop_inactive_customers
+        # (trivial EXCEPT with a sibling semi-join measured)
         "quality_features_full": q_quality_features,
+        "multimodal_resize": q_multimodal_resize,
+        "embedding_ivf_topk": q_ivf_topk,
+        "setop_inactive_customers": q_setop_inactive_customers,
         "roundtrip_documents": _roundtrip("documents", "doc_id", "n_chars"),
         "embedding_hybrid_topk": q_hybrid_topk,
         "dedup_minhash_lsh": q_minhash_dedup,
@@ -1102,6 +1126,13 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_documents": "SELECT * FROM documents",
         "roundtrip_lineitem": "SELECT * FROM lineitem",
         "append_roundtrip": "SELECT * FROM orders",
+        # two composed position-delete commits mask these rows at read time
+        # (no o_totalprice/o_orderstatus NULLs in the synth table, so the
+        # NOT-matched set is the plain complement)
+        "delete_where_roundtrip": (
+            "SELECT * FROM orders "
+            "WHERE o_totalprice >= 100000 AND o_orderstatus <> 'F'"
+        ),
         # time travel to the pre-append snapshot: only the even half exists
         "snapshot_time_travel": "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
         # add-column evolution: pre-evolution rows read the new column as NULL

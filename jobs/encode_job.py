@@ -26,7 +26,8 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="rugo_spark encode job")
-    p.add_argument("--input", required=True, help="iceberg:<table> or parquet path")
+    p.add_argument("--input", help="iceberg:<table> or parquet path "
+                                   "(required except under --delete-where)")
     p.add_argument("--output", required=True, help="encoded dataset directory")
     p.add_argument("--key-col", default="doc_id")
     p.add_argument("--size-col", default="n_tok")
@@ -48,8 +49,44 @@ def main(argv: list[str] | None = None) -> int:
                    help="after the encode/append commits, fold loose manifest "
                         "sidecars into a parquet manifest segment (planning at "
                         "10^5-10^6 blocks reads segments, not per-block JSON)")
+    p.add_argument("--delete-where", metavar="PRED", action="append",
+                   help="row-level DELETE on --output instead of encoding: "
+                        "'col OP value' with OP in = < <= > >= ; repeatable "
+                        "(predicates AND together). Values parse as "
+                        "int/float when possible, else string. Pure metadata "
+                        "commit — no block is rewritten; a later compaction "
+                        "purges physically.")
     p.add_argument("--master", default=None, help="override master (local testing)")
     args = p.parse_args(argv)
+    if args.delete_where:
+        if args.input:
+            p.error("--delete-where operates on --output alone; drop --input")
+        from rugo_spark.engine import delete_where
+        from rugo_spark.session import get_spark
+
+        filters = []
+        for pred in args.delete_where:
+            parts = pred.split(None, 2)
+            if len(parts) != 3 or parts[1] not in ("=", "<", "<=", ">", ">="):
+                p.error(f"--delete-where {pred!r}: want 'col OP value'")
+            col, op, raw = parts
+            value: object
+            try:
+                value = int(raw)
+            except ValueError:
+                try:
+                    value = float(raw)
+                except ValueError:
+                    value = raw.strip("'\"")
+            filters.append((col, op, value))
+        spark = get_spark(master=args.master, app_name="rugo_spark_delete")
+        try:
+            print(json.dumps(delete_where(spark, args.output, filters)))
+        finally:
+            spark.stop()
+        return 0
+    if not args.input:
+        p.error("--input is required (except under --delete-where)")
     if args.append and (args.num_partitions is not None or args.target_tokens is not None):
         p.error("--append takes the input's split layout as-is: "
                 "--num-partitions/--target-tokens have no effect there — drop "

@@ -80,6 +80,9 @@ def _dataset_roots(path: str) -> list[str]:
 class RugoInputPartition(InputPartition):
     block_path: str
     checksum: int
+    # raw delete-mask entries for this block ((enc, data_b64, n_rows), …)
+    # — still zstd'd; the one task reading the block decodes them
+    mask: tuple = ()
 
 
 class RugoReader(DataSourceReader):
@@ -116,15 +119,26 @@ class RugoReader(DataSourceReader):
             yield f
 
     def partitions(self):
+        from rugo_spark import deletes as dl
         from rugo_spark import manifest as mf
         from rugo_spark.engine import _sidecar_keep
 
-        parts = [
-            RugoInputPartition(row["block_path"], int(row["checksum"]))
-            for root in self.roots
-            for row in mf.visible_partitions(root)
-            if _sidecar_keep(row, self.filters or None)
-        ]
+        parts = []
+        for root in self.roots:
+            masks: dict = {}
+            if os.path.isdir(os.path.join(root, dl.DELETES_DIR)):
+                masks = dl.load_raw(root, dl.visible_delete_files(root))
+            for row in mf.visible_partitions(root):
+                if not _sidecar_keep(row, self.filters or None):
+                    continue
+                raw = masks.get(int(row["partition_id"]))
+                parts.append(
+                    RugoInputPartition(
+                        row["block_path"],
+                        int(row["checksum"]),
+                        tuple(tuple(e) for e in raw) if raw else (),
+                    )
+                )
         # Spark requires ≥1 partition; an empty/full-pruned dataset reads as
         # a no-op partition (read() yields nothing for a missing path)
         return parts or [RugoInputPartition("", 0)]
@@ -139,6 +153,10 @@ class RugoReader(DataSourceReader):
 
         schema = pa.ipc.read_schema(pa.py_buffer(self._schema_bytes))
         order = self.columns if self.columns is not None else list(schema.names)
+        # a masked block decodes ALL stripes (delete positions are
+        # block-absolute; stripe skipping would shift offsets).  Safe:
+        # pushFilters returned every filter, so Spark re-applies them.
+        stripe_filters = None if partition.mask else (self.filters or None)
         if self.verify:
             # decode straight from the verified payload — no second file read
             with open(partition.block_path, "rb") as f:
@@ -147,12 +165,18 @@ class RugoReader(DataSourceReader):
                 raise IOError(f"checksum mismatch for {partition.block_path}")
             batches = decode_block_payload(
                 memoryview(payload), schema, columns=self.columns,
-                filters=self.filters or None,
+                filters=stripe_filters,
             )
         else:
             batches = read_block_file(
                 partition.block_path, schema, columns=self.columns,
-                filters=self.filters or None,
+                filters=stripe_filters,
+            )
+        if partition.mask:
+            from rugo_spark import deletes as dl
+
+            batches = dl.apply_mask(
+                batches, dl.union_positions(list(partition.mask))
             )
         for batch in batches:
             yield batch.select(order)

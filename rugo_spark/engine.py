@@ -423,7 +423,12 @@ def encode_table_maponly(
                     f"(fingerprint {prev.get('input_fingerprint')} != {fp}); "
                     "pass on_layout_change='clear' to re-encode from scratch"
                 )
-    mf.write_schema(out_dir, _arrow_schema_of(df), df.schema.json(), extra={"input_fingerprint": fp})
+    extra = {"input_fingerprint": fp}
+    if size_col is not None:
+        # recorded so later delete commits can account exact token mass
+        # (delete_where reads which column n_tokens summed)
+        extra["size_col"] = size_col
+    mf.write_schema(out_dir, _arrow_schema_of(df), df.schema.json(), extra=extra)
     encoder = _split_encoder(spark, out_dir, sort_key, size_col, plans)
     df.mapInArrow(encoder, mf.MANIFEST_DDL).write.mode("overwrite").format("noop").save()
     mf.commit_snapshot(out_dir, "encode")
@@ -896,9 +901,223 @@ def reclaim_append(out_dir: str, fingerprint: str | None = None) -> dict:
             # dying — restore the stashed pre-append payload so the new
             # column does not survive as a phantom all-NULL field
             mf.write_schema_payload(out_dir, sb)
+        for name in m.get("delete_files") or []:
+            # a crashed MERGE's delete file rides the (incomplete) marker —
+            # it was never visible; drop it with the band
+            from rugo_spark import deletes as dl
+
+            try:
+                os.remove(os.path.join(out_dir, dl.DELETES_DIR, name))
+            except OSError:
+                pass
         os.remove(m["_path"])  # LAST: crash above leaves the band reclaimable
         result["reclaimed"].append({"base": base, "fingerprint": m.get("fingerprint")})
     return result
+
+
+def _pid_of_block_path(path: str) -> int:
+    """partition id from a block file path (``…/part-<pid>.rgb``)."""
+    name = os.path.basename(path)
+    try:
+        return int(name[len("part-"):-len(".rgb")])
+    except ValueError:
+        return -1
+
+
+def _predicate_positions(batches, filters, offset_base: int = 0):
+    """Evaluate ANDed ``(col, op, value)`` triples over a stream of
+    RecordBatches (decoded WITHOUT stripe skipping) → block-absolute row
+    positions of matching rows, plus total rows seen.  NULL comparisons are
+    non-matches, matching Spark filter semantics."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    _OPS = {
+        "=": pc.equal, "<": pc.less, "<=": pc.less_equal,
+        ">": pc.greater, ">=": pc.greater_equal,
+    }
+    hits = []
+    off = offset_base
+    for b in batches:
+        m = None
+        for c, op, v in filters:
+            col = b.column(b.schema.get_field_index(c))
+            try:
+                scal = pa.scalar(v, type=col.type)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                scal = pa.scalar(v)
+            cur = pc.fill_null(_OPS[op](col, scal), False)
+            m = cur if m is None else pc.and_(m, cur)
+        idx = np.nonzero(m.to_numpy(zero_copy_only=False))[0]
+        if len(idx):
+            hits.append((idx + off).astype(np.uint32))
+        off += b.num_rows
+    if hits:
+        return np.concatenate(hits), off - offset_base
+    return np.empty(0, dtype=np.uint32), off - offset_base
+
+
+_DELETE_ENTRY_DDL = (
+    "pid long, n_rows long, n_deleted long, deleted_tokens long, "
+    "enc string, data string"
+)
+
+
+def delete_where(
+    spark: SparkSession,
+    out_dir: str,
+    filters: list[tuple],
+) -> dict:
+    """Row-level DELETE (the Iceberg position-delete / Delta
+    deletion-vector analog): mark every row matching the ANDed
+    ``(col, op, value)`` triples deleted, WITHOUT rewriting any block.
+
+    Plan-prune first — blocks whose min/max/bloom rule out the predicate
+    are never opened (a retention delete on a range-sorted key touches only
+    the matching blocks; their rows fold to a kilobyte ``"all"`` entry).
+    Surviving candidates decode ONLY the predicate columns (plus the
+    recorded ``size_col`` for exact token accounting) in one mapInArrow
+    pass, emit per-block position sets, and the driver commits ONE delete
+    file + snapshot entry.  Already-deleted positions are subtracted so
+    repeated deletes are no-ops and per-file counts stay exact.
+
+    Readers apply masks at decode; ``compact_dataset`` physically purges
+    them; ``rollback_to_snapshot`` past the delete un-deletes.  Commit is
+    single-writer (consolidation lock) to keep concurrent delete commits
+    from double-counting overlaps.  Returns ``{"n_deleted", "n_blocks",
+    "delete_file", "snapshot"}``."""
+    from rugo_spark import deletes as dl
+
+    if not filters:
+        raise ValueError("delete_where requires at least one (col, op, value) filter")
+    arrow_schema, _ = mf.read_schema(out_dir)
+    for c, op, _v in filters:
+        if c not in arrow_schema.names:
+            raise ValueError(f"unknown column {c!r} in delete predicate")
+        if op not in ("=", "<", "<=", ">", ">="):
+            raise ValueError(f"unsupported delete predicate op {op!r}")
+    payload_schema = mf.read_schema_payload(out_dir) or {}
+    size_col = payload_schema.get("size_col")
+    lock = mf._acquire_consolidate_lock(out_dir)
+    try:
+        import hashlib
+
+        prior_files = dl.visible_delete_files(out_dir)
+        cands = [
+            r
+            for r in mf.visible_partitions(
+                out_dir, cols=["partition_id", "block_path", "n_rows", "codecs",
+                               "bloom_col", "bloom"]
+            )
+            if _sidecar_keep(r, filters)
+        ]
+        fp = hashlib.sha1(
+            json.dumps(
+                {
+                    "predicate": [list(f) for f in filters],
+                    "prior": prior_files,
+                    "pids": sorted(int(r["partition_id"]) for r in cands),
+                }
+            ).encode()
+        ).hexdigest()
+        name = f"delete-{fp[:16]}.json"
+        summary = {"n_deleted": 0, "n_blocks": 0, "delete_file": None, "snapshot": None}
+        if not cands:
+            return summary
+        prior_raw = dl.load_raw(out_dir, prior_files)
+        prior_bc = spark.sparkContext.broadcast(prior_raw)
+        schema_bytes = arrow_schema.serialize().to_pybytes()
+        need_cols = sorted({c for c, _, _ in filters})
+        tok_col = size_col if size_col in arrow_schema.names else None
+        decode_cols = sorted(set(need_cols) | ({tok_col} if tok_col else set()))
+
+        import pandas as pd
+
+        src = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "pid": [int(r["partition_id"]) for r in cands],
+                    "block_path": [r["block_path"] for r in cands],
+                }
+            )
+        ).repartition(min(len(cands), spark.sparkContext.defaultParallelism * 4))
+
+        def masker(batches):
+            import numpy as np
+
+            schema = pa.ipc.read_schema(pa.py_buffer(schema_bytes))
+            for batch in batches:
+                out = []
+                pids = batch.column(0).to_pylist()
+                paths = batch.column(1).to_pylist()
+                for pid, path in zip(pids, paths):
+                    # ONE read of the predicate (+size) columns; NO stripe
+                    # skipping: positions are block-absolute
+                    tbl = pa.Table.from_batches(
+                        list(read_block_file(path, schema, decode_cols, None))
+                    )
+                    matched, n_rows = _predicate_positions(
+                        tbl.to_batches(), filters
+                    )
+                    prior_entries = prior_bc.value.get(int(pid))
+                    if prior_entries is not None and len(matched):
+                        matched = np.setdiff1d(
+                            matched, dl.union_positions(prior_entries)
+                        ).astype(np.uint32)
+                    if not len(matched):
+                        continue
+                    dtok = 0
+                    if tok_col is not None:
+                        sizes = tbl.column(tok_col).to_numpy(
+                            zero_copy_only=False
+                        )
+                        dtok = int(np.nansum(sizes[matched].astype("float64")))
+                    enc, data = dl.encode_positions(matched, n_rows)
+                    out.append(
+                        {
+                            "pid": int(pid),
+                            "n_rows": int(n_rows),
+                            "n_deleted": int(len(matched)),
+                            "deleted_tokens": dtok,
+                            "enc": enc,
+                            "data": data,
+                        }
+                    )
+                if out:
+                    yield pa.RecordBatch.from_pylist(out)
+
+        entries = [
+            {
+                "pid": int(r["pid"]),
+                "n_rows": int(r["n_rows"]),
+                "n_deleted": int(r["n_deleted"]),
+                "deleted_tokens": int(r["deleted_tokens"]),
+                "enc": r["enc"],
+                "data": r["data"],
+            }
+            for r in src.mapInArrow(masker, _DELETE_ENTRY_DDL).collect()
+        ]
+        if not entries:
+            return summary
+        dl.write_delete_file(out_dir, name, entries, [list(f) for f in filters])
+        snap = mf.commit_snapshot(
+            out_dir,
+            "delete",
+            extra={"predicate": [list(f) for f in filters]},
+            new_delete_files=[name],
+        )
+        dl.gc_orphans(out_dir)
+        return {
+            "n_deleted": sum(e["n_deleted"] for e in entries),
+            "n_blocks": len(entries),
+            "delete_file": name,
+            "snapshot": snap["id"] if snap else None,
+        }
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
 
 
 def encode_table(
@@ -989,6 +1208,7 @@ def encode_table(
         out_dir,
         _arrow_schema_of(df),
         df.schema.json(),
+        extra={"size_col": size_col} if size_col is not None else None,
     )
     sort_key = key_col
     blocks_dir = os.path.join(out_dir, mf.BLOCKS_DIR)
@@ -1631,6 +1851,19 @@ def metadata_agg(
 
     n_rows = sum(int(r["n_rows"]) for r in partials)
     n_tokens = sum(int(r.get("n_tokens") or 0) for r in partials)
+    # row-level deletes: subtract the exact deleted row/token mass (delete
+    # files are position-disjoint per pid, so totals sum exactly).  min/max
+    # and null counts stay PHYSICAL — a mask can't tighten them without a
+    # scan, the same conservatism Iceberg metadata tables have under
+    # position deletes; compaction restores exactness.
+    from rugo_spark import deletes as dl
+
+    if os.path.isdir(os.path.join(out_dir, dl.DELETES_DIR)):
+        del_rows, del_tokens = dl.deleted_totals(
+            out_dir, dl.visible_delete_files(out_dir, snapshot_id)
+        )
+        n_rows -= del_rows
+        n_tokens -= del_tokens
     want = set(cols)
     parsed = [(json.loads(r["codecs"]), int(r["n_rows"])) for r in partials]
     merged = merge_column_metas(
@@ -1738,6 +1971,11 @@ def compact_dataset(
     ``'auto'`` = ``'rewrite'`` when ``sort_key`` is given (a sort requires
     decoding), else ``'concat'``.  Row content is exactly preserved either
     way (pytest: decode equality + conserved n_rows/n_tokens).
+
+    Row-level deletes are PHYSICALLY PURGED here: ``dst_dir`` carries no
+    mask files.  A group containing a masked member falls back to the
+    rewrite kernel even under ``'concat'`` (a stripe copy would resurrect
+    its deleted rows); unmasked groups keep disk-copy speed.
     """
     if mode not in ("auto", "concat", "rewrite"):
         raise ValueError(f"mode must be auto|concat|rewrite, got {mode!r}")
@@ -1755,6 +1993,22 @@ def compact_dataset(
     rows = sorted(mf.visible_partitions(src_dir), key=lambda r: int(r["partition_id"]))
     if not rows:
         raise ValueError(f"nothing to compact: {src_dir} has no completed partitions")
+    # row-level delete masks: compaction is where deletes get PHYSICALLY
+    # purged (dst carries no mask files).  A masked member cannot concat —
+    # stripe copy would resurrect its deleted rows — so its whole group
+    # falls back to the rewrite kernel; unmasked groups keep disk-copy speed.
+    from rugo_spark import deletes as dl
+
+    src_masks: dict[int, dict] = {}
+    if os.path.isdir(os.path.join(src_dir, dl.DELETES_DIR)):
+        for name in dl.visible_delete_files(src_dir):
+            for e in dl.read_delete_file(src_dir, name).get("entries", []):
+                m = src_masks.setdefault(
+                    int(e["pid"]), {"entries": [], "tokens": 0, "rows": 0}
+                )
+                m["entries"].append((e["enc"], e.get("data", ""), int(e["n_rows"])))
+                m["tokens"] += int(e.get("deleted_tokens") or 0)
+                m["rows"] += int(e["n_deleted"])
     arrow_schema, spark_schema = mf.read_schema(src_dir)
     groups: list[list[dict]] = [[]]
     acc = 0
@@ -1773,7 +2027,16 @@ def compact_dataset(
     # loose sidecar may be gone, so executors resolve each pid through
     # mf.load_rows (loose first, else pid-filtered segment read)
     specs = [
-        {"gid": gid, "pids": [int(g["partition_id"]) for g in grp]}
+        {
+            "gid": gid,
+            "pids": [int(g["partition_id"]) for g in grp],
+            # masks ride the spec (zstd'd base64 — JSON-safe, kilobytes)
+            "masks": {
+                str(p): src_masks[p]
+                for g in grp
+                if (p := int(g["partition_id"])) in src_masks
+            },
+        }
         for gid, grp in enumerate(groups)
     ]
     mf.write_schema(dst_dir, arrow_schema, json.dumps(spark_schema))
@@ -1793,16 +2056,21 @@ def compact_dataset(
             for spec_json in batch.column(0).to_pylist():
                 spec = json.loads(spec_json)
                 gid = int(spec["gid"])
+                masks = {int(k): v for k, v in (spec.get("masks") or {}).items()}
                 by_pid = mf.load_rows(src_dir, spec["pids"])
                 members = [by_pid[p] for p in spec["pids"]]
                 path = os.path.join(blocks_dir, f"part-{gid:06d}.rgb")
                 row = {
                     "partition_id": gid,
-                    "n_rows": sum(int(m["n_rows"]) for m in members),
-                    "n_tokens": sum(int(m.get("n_tokens") or 0) for m in members),
+                    "n_rows": sum(int(m["n_rows"]) for m in members)
+                    - sum(int(m["rows"]) for m in masks.values()),
+                    "n_tokens": sum(int(m.get("n_tokens") or 0) for m in members)
+                    - sum(int(m["tokens"]) for m in masks.values()),
                     "block_path": path,
                 }
-                if mode == "concat":
+                if row["n_rows"] == 0 and masks:
+                    continue  # every row of the group deleted — no block
+                if mode == "concat" and not masks:
                     stripes = [s for m in members for s in _member_stripes(m)]
                     dir_blob = json.dumps([d for _, d in stripes], default=str).encode()
                     parts = [b"RGS2", struct.pack("<I", len(stripes))]
@@ -1826,12 +2094,18 @@ def compact_dataset(
                         row["bloom_col"] = bloom_col
                         row["bloom"] = _bloom.union(member_blooms)
                 else:
-                    parts = [
-                        b
-                        for m in members
-                        for b in read_block_file(m["block_path"], schema)
-                    ]
-                    tbl = pa.Table.from_batches(parts)
+                    from rugo_spark import deletes as _dl
+
+                    parts = []
+                    for m in members:
+                        mb = read_block_file(m["block_path"], schema)
+                        raw = masks.get(int(m["partition_id"]))
+                        if raw:  # block-absolute positions; no stripe skip
+                            mb = _dl.apply_mask(
+                                mb, _dl.union_positions(raw["entries"])
+                            )
+                        parts.extend(mb)
+                    tbl = pa.Table.from_batches(parts, schema=schema)
                     if sort_key is not None:
                         tbl = tbl.sort_by(sort_key)
                     crc, metas = write_block_file(path, tbl)
@@ -2109,6 +2383,16 @@ def decode_table(
     keep_ranges = (
         mf.snapshot_ranges(out_dir, snapshot_id) if snapshot_id is not None else None
     )
+    from rugo_spark import deletes as dl
+
+    # row-level delete masks (snapshot-aware): pid → raw compressed entries,
+    # broadcast once, decoded only by the task reading that block.  The
+    # common no-deletes dataset never lists/reads anything extra.
+    masks_raw: dict = {}
+    if os.path.isdir(os.path.join(out_dir, dl.DELETES_DIR)):
+        masks_raw = dl.load_raw(
+            out_dir, dl.visible_delete_files(out_dir, snapshot_id)
+        )
     arrow_schema, spark_schema_json = mf.read_schema(out_dir)
     from pyspark.sql.types import StructType
 
@@ -2172,11 +2456,22 @@ def decode_table(
         man = spark.createDataFrame(pdf).repartition(max(1, min(int(num_tasks), 4096)))
 
     decode_cols = (list(columns) + extra_filter_cols) if columns else None
+    masks_bc = (
+        spark.sparkContext.broadcast(masks_raw) if masks_raw else None
+    )
 
     def decoder(batches):
+        from rugo_spark import deletes as _dl
+
+        masks = masks_bc.value if masks_bc is not None else {}
         for batch in batches:
             crcs = batch.column(1).to_pylist()
             for i, path in enumerate(batch.column(0).to_pylist()):  # per-partition only
+                raw_mask = masks.get(_pid_of_block_path(path)) if masks else None
+                # a masked block decodes ALL stripes (positions are
+                # block-absolute; stripe skipping would shift offsets) —
+                # the driver-side exact filter still applies afterwards
+                stripe_filters = None if raw_mask is not None else filters
                 if verify_checksums:
                     # decode straight from the verified bytes — no 2nd read
                     with open(path, "rb") as f:
@@ -2194,11 +2489,18 @@ def decode_table(
                             print(f"rugo_spark: QUARANTINED {msg}", file=_sys.stderr)
                             continue
                         raise IOError(msg)
-                    yield from decode_block_payload(
-                        memoryview(payload), arrow_schema, decode_cols, filters
+                    out_batches = decode_block_payload(
+                        memoryview(payload), arrow_schema, decode_cols, stripe_filters
                     )
                 else:
-                    yield from read_block_file(path, arrow_schema, decode_cols, filters)
+                    out_batches = read_block_file(
+                        path, arrow_schema, decode_cols, stripe_filters
+                    )
+                if raw_mask is not None:
+                    out_batches = _dl.apply_mask(
+                        out_batches, _dl.union_positions(raw_mask)
+                    )
+                yield from out_batches
 
     out = man.mapInArrow(decoder, out_schema)
     if filters:

@@ -706,10 +706,13 @@ def clear_manifest(out_dir: str) -> None:
     whose data it never described (review r5)."""
     import shutil
 
+    from rugo_spark.deletes import DELETES_DIR
+
     shutil.rmtree(os.path.join(out_dir, MANIFEST_DIR), ignore_errors=True)
     shutil.rmtree(os.path.join(out_dir, BLOCKS_DIR), ignore_errors=True)
     shutil.rmtree(os.path.join(out_dir, SEGMENTS_DIR), ignore_errors=True)
     shutil.rmtree(os.path.join(out_dir, APPENDS_DIR), ignore_errors=True)
+    shutil.rmtree(os.path.join(out_dir, DELETES_DIR), ignore_errors=True)
     # SNAPSHOTS_FILE/ROLLBACK_MARKER too: a cleared layout must not inherit
     # the old dataset's lineage (stale ranges would poison time travel) or a
     # condemned-pid mask
@@ -939,7 +942,12 @@ def _write_snapshot_log(out_dir: str, log: list[dict]) -> None:
     os.replace(tmp, path)
 
 
-def commit_snapshot(out_dir: str, op: str, extra: dict | None = None) -> dict | None:
+def commit_snapshot(
+    out_dir: str,
+    op: str,
+    extra: dict | None = None,
+    new_delete_files: list[str] | None = None,
+) -> dict | None:
     """Append a snapshot entry describing the CURRENT visible state.  Cost:
     one column-pruned manifest scan (n_rows/n_tokens/output_bytes), the
     same order as the planning read — consolidate regularly so it stays a
@@ -947,22 +955,40 @@ def commit_snapshot(out_dir: str, op: str, extra: dict | None = None) -> dict | 
     an assumed delta) makes commits self-healing: a crash that lost the
     previous snapshot append is absorbed by the next commit.  Idempotent:
     an unchanged visible set (resume re-runs) appends nothing."""
+    from rugo_spark import deletes as dl
+
     rows = visible_partitions(
         out_dir, cols=["n_rows", "n_tokens", "output_bytes"]
     )
     ranges = pids_to_ranges(r["partition_id"] for r in rows)
+    # snapshot entries carry the CUMULATIVE visible delete-file list (the
+    # delete analog of `ranges` being the full pid set): self-healing across
+    # crashed commits, and time travel reads ONE entry, never a log replay.
+    # ``new_delete_files``: files THIS commit publishes (a plain DELETE's
+    # file is referenced by nothing until its snapshot entry lands — this
+    # parameter IS the reference)
+    delete_files = sorted(
+        set(dl.visible_delete_files(out_dir)) | set(new_delete_files or [])
+    )
     log = snapshot_log(out_dir, strict=False)
-    if log and log[-1].get("ranges") == ranges:
+    if (
+        log
+        and log[-1].get("ranges") == ranges
+        and sorted(log[-1].get("delete_files") or []) == delete_files
+    ):
         return None
+    del_rows, del_tokens = dl.deleted_totals(out_dir, delete_files)
     entry = {
         "id": (int(log[-1]["id"]) + 1) if log else 1,
         "op": op,
         "n_partitions": sum(b - a for a, b in ranges),
-        "n_rows": sum(int(r.get("n_rows") or 0) for r in rows),
-        "n_tokens": sum(int(r.get("n_tokens") or 0) for r in rows),
+        "n_rows": sum(int(r.get("n_rows") or 0) for r in rows) - del_rows,
+        "n_tokens": sum(int(r.get("n_tokens") or 0) for r in rows) - del_tokens,
         "output_bytes": sum(int(r.get("output_bytes") or 0) for r in rows),
         "ranges": ranges,
     }
+    if delete_files:
+        entry["delete_files"] = delete_files
     if extra:
         entry.update(extra)
     _write_snapshot_log(out_dir, log + [entry])
@@ -1065,9 +1091,14 @@ def rollback_to_snapshot(out_dir: str, snapshot_id: int) -> dict:
                 trunc = [e for e in log if int(e["id"]) <= int(snapshot_id)]
                 if len(trunc) != len(log):
                     _write_snapshot_log(out_dir, trunc)
+                # delete-only snapshots add no pids — truncating the log is
+                # the whole rollback, and it un-references their mask files
+                from rugo_spark import deletes as dl
+
                 return {"kept_ranges": keep, "sidecars_deleted": 0,
                         "blocks_deleted": 0, "append_markers_deleted": 0,
-                        "segments_rewritten": 0}
+                        "segments_rewritten": 0,
+                        "delete_files_removed": dl.gc_orphans(out_dir)}
             tmp = marker_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"ranges": keep, "snapshot_id": int(snapshot_id)}, f)
@@ -1164,6 +1195,12 @@ def rollback_to_snapshot(out_dir: str, snapshot_id: int) -> dict:
                 except OSError:
                     pass
             result["segments_rewritten"] = len(dirty)
+        # delete files referenced ONLY by truncated snapshot entries (or by
+        # just-removed merge markers) are unreferenced now — rolling back
+        # past a DELETE/MERGE un-deletes its rows, so drop the masks too
+        from rugo_spark import deletes as dl
+
+        result["delete_files_removed"] = dl.gc_orphans(out_dir)
         os.remove(marker_path)  # LAST: crash above stays masked + resumable
         return result
     finally:
