@@ -70,6 +70,26 @@ def q_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(spark, out)
 
 
+def q_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / upsert (the Delta MERGE / Iceberg MERGE INTO analog,
+    delete-then-insert form): encode orders, merge a source that rewrites
+    every seventh order (doubled price, status 'U') — matched rows are
+    position-deleted and the replacements appended in ONE atomic
+    marker-flip commit — then decode.  Oracle: unmatched rows ∪ source."""
+    from rugo_spark.engine import decode_table, encode_table, merge_table
+
+    df = _t(spark, sf_dir, "orders")
+    out = _fresh("merge_orders", sf_dir)
+    encode_table(df, out, key_col="o_orderkey", num_partitions=4)
+    src = (
+        df.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    merge_table(src, out, key_col="o_orderkey")
+    return decode_table(spark, out)
+
+
 def q_delete_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DELETE (the Iceberg position-delete / Delta
     deletion-vector analog; the reference engine is read-only, so this
@@ -893,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are new; quality_score/roundtrip_{orders,events,part} were r4's
     # unmeasured tail.
     return {
+        "merge_upsert_roundtrip": q_merge_upsert_roundtrip,
         "delete_where_roundtrip": q_delete_where_roundtrip,
         "snapshot_time_travel": q_snapshot_time_travel,
         "schema_evolution_append": q_schema_evolution,
@@ -921,7 +942,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_active_customers": q_semi_join_active_customers,
         "scalar_functions": q_scalar_functions,
         "dedup_exact": q_dedup_exact,
-        "token_count": q_token_count,
         "multimodal_frame_sample": q_frame_sample,
         "lang_id": q_lang_id,
         "token_counts_bpe": q_token_counts,
@@ -954,11 +974,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # surface): multimodal_resize (features + its recompute oracle share
         # the synth-media pipeline), embedding_ivf_topk (ivf_indexed runs
         # the same kernel plus index persistence), setop_inactive_customers
-        # (trivial EXCEPT with a sibling semi-join measured)
+        # (trivial EXCEPT with a sibling semi-join measured); token_count
+        # (whitespace counter, token_counts_bpe covers the family)
         "quality_features_full": q_quality_features,
         "multimodal_resize": q_multimodal_resize,
         "embedding_ivf_topk": q_ivf_topk,
         "setop_inactive_customers": q_setop_inactive_customers,
+        "token_count": q_token_count,
         "roundtrip_documents": _roundtrip("documents", "doc_id", "n_chars"),
         "embedding_hybrid_topk": q_hybrid_topk,
         "dedup_minhash_lsh": q_minhash_dedup,
@@ -1132,6 +1154,14 @@ def oracle_sql() -> dict[str, str]:
         "delete_where_roundtrip": (
             "SELECT * FROM orders "
             "WHERE o_totalprice >= 100000 AND o_orderstatus <> 'F'"
+        ),
+        # upsert: matched rows replaced by the transformed source, atomically
+        "merge_upsert_roundtrip": (
+            "SELECT * FROM orders WHERE o_orderkey % 7 <> 0 "
+            "UNION ALL "
+            "SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, "
+            "o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority "
+            "FROM orders WHERE o_orderkey % 7 = 0"
         ),
         # time travel to the pre-append snapshot: only the even half exists
         "snapshot_time_travel": "SELECT * FROM orders WHERE o_orderkey % 2 = 0",

@@ -56,6 +56,12 @@ def main(argv: list[str] | None = None) -> int:
                         "int/float when possible, else string. Pure metadata "
                         "commit — no block is rewritten; a later compaction "
                         "purges physically.")
+    p.add_argument("--merge-key", metavar="COL",
+                   help="MERGE INTO / upsert --input into --output on this "
+                        "key: existing rows whose key appears in the input "
+                        "are position-deleted and the whole input appended, "
+                        "in ONE atomic commit (no block rewritten). "
+                        "Excludes --append/--num-partitions/--target-tokens.")
     p.add_argument("--master", default=None, help="override master (local testing)")
     args = p.parse_args(argv)
     if args.delete_where:
@@ -87,6 +93,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if not args.input:
         p.error("--input is required (except under --delete-where)")
+    if args.merge_key and (args.append or args.num_partitions is not None
+                           or args.target_tokens is not None):
+        p.error("--merge-key is its own commit mode: drop --append/"
+                "--num-partitions/--target-tokens")
     if args.append and (args.num_partitions is not None or args.target_tokens is not None):
         p.error("--append takes the input's split layout as-is: "
                 "--num-partitions/--target-tokens have no effect there — drop "
@@ -111,6 +121,20 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: cannot read --input {args.input}: {e}", file=sys.stderr)
         spark.stop()
         return 2
+    if args.merge_key:
+        from rugo_spark.engine import merge_table
+
+        res = merge_table(df, args.output, key_col=args.merge_key)
+        if args.consolidate:
+            from rugo_spark import manifest as mf
+
+            mf.consolidate_manifest(args.output)
+        if args.decode_verify:
+            dec = decode_table(spark, args.output)
+            res["decode_verified_rows"] = dec.count()
+        print(json.dumps(res))
+        spark.stop()
+        return 0
     if args.append:
         man = append_table(
             df,

@@ -615,6 +615,8 @@ def append_table(
     consolidate: bool = False,
     reclaim_stale: bool = False,
     allow_new_columns: bool = False,
+    _ride_delete_files: list[str] | None = None,
+    _snapshot_op: str = "append",
 ) -> DataFrame:
     """Append rows to an EXISTING encoded dataset (the Iceberg-append /
     lakehouse-ingest analog): each input split becomes one new block in a
@@ -772,6 +774,11 @@ def append_table(
                 "markers) to reclaim the id space"
             )
         reservation = {"base": base, "fingerprint": fp}
+        if _ride_delete_files:
+            # a MERGE's delete file rides this marker: while incomplete,
+            # reclaim_append drops the file with the band; once complete,
+            # the flip publishes deletions and new rows in the same rename
+            reservation["delete_files"] = sorted(_ride_delete_files)
         if new_names:
             # stash the pre-append schema so reclaim_append can restore it
             # (the widening happens before the completion flip; rollback of
@@ -814,11 +821,21 @@ def append_table(
             }
             mf.write_schema(out_dir, union_arrow, json.dumps(union_spark), extra=extras)
     # commit: flip the completion marker LAST — readers (visible_partitions)
-    # surface the whole band atomically, never a torn prefix
-    _atomic_write(
-        marker, json.dumps({"base": base, "fingerprint": fp, "complete": True}).encode()
+    # surface the whole band atomically, never a torn prefix.  Delete files
+    # riding the marker UNION with any already on it: a resumed merge whose
+    # mask re-computation came up empty (its own file already committed)
+    # must not drop the reference — that would resurface the deleted rows
+    ride = sorted(
+        set(_ride_delete_files or [])
+        | set((mine.get("delete_files") if mine else None) or [])
     )
-    mf.commit_snapshot(out_dir, "append", extra={"band": base, "fingerprint": fp[:16]})
+    flip = {"base": base, "fingerprint": fp, "complete": True}
+    if ride:
+        flip["delete_files"] = ride
+    _atomic_write(marker, json.dumps(flip).encode())
+    mf.commit_snapshot(
+        out_dir, _snapshot_op, extra={"band": base, "fingerprint": fp[:16]}
+    )
     if consolidate:
         # append-commit is the natural consolidation point (VERDICT r4
         # item 2): fold every loose sidecar — the whole just-committed band
@@ -1120,6 +1137,272 @@ def delete_where(
             pass
 
 
+def _matched_key_mask_entries(
+    spark: SparkSession,
+    out_dir: str,
+    df: DataFrame,
+    key_col: str,
+    exclude_base: int | None = None,
+) -> list[dict]:
+    """Positions of LIVE rows in ``out_dir`` whose ``key_col`` value appears
+    in ``df`` — the delete side of a MERGE.  Fully distributed: candidate
+    blocks (min/max-pruned against the incoming key bounds) stream
+    ``(pid, pos, key)`` rows from one key-column decode; an inner join
+    against the incoming keys (Catalyst picks broadcast vs shuffle — the
+    incoming side of an upsert is usually small) keeps the matches; one
+    ``applyInArrow`` per pid folds them to compressed mask entries.  Only
+    the kilobyte entries ever reach the driver."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StructType
+
+    from rugo_spark import deletes as dl
+
+    arrow_schema, _ = mf.read_schema(out_dir)
+    payload_schema = mf.read_schema_payload(out_dir) or {}
+    ds_json = payload_schema.get("spark_schema") or {}
+    key_field = next(
+        (f for f in ds_json.get("fields", []) if f["name"] == key_col), None
+    )
+    if key_field is None or not isinstance(key_field.get("type"), str):
+        raise ValueError(
+            f"merge key {key_col!r} must be an atomic dataset column "
+            f"(string/numeric/date/timestamp), got "
+            f"{None if key_field is None else key_field.get('type')!r}"
+        )
+    bounds = df.agg(
+        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        return []
+    filters = [(key_col, ">=", bounds["lo"]), (key_col, "<=", bounds["hi"])]
+    cands = [
+        r
+        for r in mf.visible_partitions(
+            out_dir, cols=["partition_id", "block_path", "n_rows", "codecs",
+                           "bloom_col", "bloom"]
+        )
+        if _sidecar_keep(r, filters)
+        # a resumed/re-run merge must never target its OWN band: those are
+        # the replacement rows it appended, and re-masking them (under the
+        # same deterministic file name) would overwrite the original masks
+        # and resurface the replaced rows
+        and not (
+            exclude_base is not None
+            and exclude_base <= int(r["partition_id"]) < exclude_base + APPEND_BAND
+        )
+    ]
+    if not cands:
+        return []
+    prior_bc = spark.sparkContext.broadcast(
+        dl.load_raw(out_dir, dl.visible_delete_files(out_dir))
+    )
+    schema_bytes = arrow_schema.serialize().to_pybytes()
+    lo, hi = bounds["lo"], bounds["hi"]
+    size_col = payload_schema.get("size_col")
+    tok_col = size_col if size_col in arrow_schema.names else None
+    decode_cols = sorted({key_col} | ({tok_col} if tok_col else set()))
+    k_type = arrow_schema.field(key_col).type
+
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pid": [int(r["partition_id"]) for r in cands],
+                "block_path": [r["block_path"] for r in cands],
+            }
+        )
+    ).repartition(min(len(cands), spark.sparkContext.defaultParallelism * 4))
+
+    def scanner(batches):
+        schema = pa.ipc.read_schema(pa.py_buffer(schema_bytes))
+
+        def _flat(x, typ):
+            if isinstance(x, pa.ChunkedArray):
+                if x.num_chunks == 0:
+                    return pa.array([], type=typ)
+                x = x.combine_chunks()  # Array in pyarrow>=15, else 1-chunk
+                if isinstance(x, pa.ChunkedArray):
+                    x = x.chunk(0)
+            return x
+
+        for batch in batches:
+            for pid, path in zip(
+                batch.column(0).to_pylist(), batch.column(1).to_pylist()
+            ):
+                # ONE key-column read, NO stripe skipping (block-absolute pos)
+                tbl = pa.Table.from_batches(
+                    list(read_block_file(path, schema, decode_cols, None))
+                )
+                n_rows = tbl.num_rows
+                k = tbl.column(key_col).combine_chunks()
+                keep = pc.fill_null(
+                    pc.and_(
+                        pc.greater_equal(k, pa.scalar(lo, type=k_type)),
+                        pc.less_equal(k, pa.scalar(hi, type=k_type)),
+                    ),
+                    False,
+                ).to_numpy(zero_copy_only=False).copy()
+                prior = prior_bc.value.get(int(pid))
+                if prior is not None:
+                    keep[dl.union_positions(prior)] = False  # already deleted
+                pos = np.nonzero(keep)[0]
+                if not len(pos):
+                    continue
+                idx = pa.array(pos, type=pa.int64())
+                sz = (
+                    pc.fill_null(
+                        pc.cast(pc.take(tbl.column(tok_col), idx), pa.int64()), 0
+                    )
+                    if tok_col is not None
+                    else pa.array(np.zeros(len(pos), dtype=np.int64))
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.full(len(pos), int(pid), dtype=np.int64)),
+                        pa.array(np.full(len(pos), n_rows, dtype=np.int64)),
+                        idx,
+                        _flat(pc.take(k, idx), k_type),
+                        _flat(sz, pa.int64()),
+                    ],
+                    names=["pid", "n_rows", "pos", "k", "sz"],
+                )
+
+    scan_schema = StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "pid", "type": "long", "nullable": False, "metadata": {}},
+                {"name": "n_rows", "type": "long", "nullable": False, "metadata": {}},
+                {"name": "pos", "type": "long", "nullable": False, "metadata": {}},
+                dict(key_field, name="k", metadata={}),
+                {"name": "sz", "type": "long", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    decoded = src.mapInArrow(scanner, scan_schema)
+    keys = df.select(F.col(key_col).alias("k")).distinct()
+    matched = decoded.join(keys, "k", "inner")
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        pid = int(tbl.column("pid")[0].as_py())
+        n_rows = int(tbl.column("n_rows")[0].as_py())
+        pos = np.sort(
+            tbl.column("pos").to_numpy(zero_copy_only=False).astype(np.uint32)
+        )
+        enc, data = dl.encode_positions(pos, n_rows)
+        return pa.table(
+            {
+                "pid": pa.array([pid], type=pa.int64()),
+                "n_rows": pa.array([n_rows], type=pa.int64()),
+                "n_deleted": pa.array([len(pos)], type=pa.int64()),
+                "deleted_tokens": pa.array(
+                    [int(tbl.column("sz").to_numpy(zero_copy_only=False).sum())],
+                    type=pa.int64(),
+                ),
+                "enc": pa.array([enc]),
+                "data": pa.array([data]),
+            }
+        )
+
+    return [
+        {
+            "pid": int(r["pid"]),
+            "n_rows": int(r["n_rows"]),
+            "n_deleted": int(r["n_deleted"]),
+            "deleted_tokens": int(r["deleted_tokens"]),
+            "enc": r["enc"],
+            "data": r["data"],
+        }
+        for r in matched.groupBy("pid")
+        .applyInArrow(fold, _DELETE_ENTRY_DDL)
+        .collect()
+    ]
+
+
+def merge_table(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    sort_key: str | None = None,
+    size_col: str | None = None,
+    plans: dict | None = None,
+) -> dict:
+    """MERGE INTO / upsert (the Delta ``MERGE`` / Iceberg ``MERGE INTO``
+    analog, delete-then-insert form): every EXISTING live row whose
+    ``key_col`` value appears in ``df`` is deleted, and ALL of ``df`` is
+    appended — atomically.  The delete file rides the append band's marker,
+    so the single completion-flip rename publishes the replaced rows'
+    disappearance and their replacements together; readers never see both
+    versions, or neither.
+
+    No existing block is rewritten (position-delete masks, like
+    ``delete_where``); a later ``compact_dataset`` purges physically.
+    Crash-safe end-to-end: before the flip the band AND the delete file are
+    invisible (``reclaim_append`` drops both); a resume recomputes the same
+    deterministic mask file and band.  Idempotent: re-running with the same
+    input finds its own deletions already visible (mask recompute subtracts
+    them → empty) and its band complete — the marker-flip UNION keeps the
+    existing file referenced.
+
+    Holds the dataset's single-writer (consolidation) lock from mask
+    computation through commit so a concurrent ``delete_where`` cannot
+    double-count overlapping positions.  Incoming rows are appended as-is —
+    duplicate keys WITHIN ``df`` are the caller's responsibility.
+
+    Returns ``{"n_replaced", "n_appended", "delete_file", "snapshot"}``."""
+    from rugo_spark import deletes as dl
+
+    spark = df.sparkSession
+    arrow_schema, _ = mf.read_schema(out_dir)
+    if key_col not in arrow_schema.names:
+        raise ValueError(f"unknown merge key {key_col!r} for {out_dir}")
+    if size_col is None:
+        # inherit the dataset's token-mass column: the appended band must
+        # account n_tokens the same way the deleted rows are subtracted,
+        # or metadata_agg drifts from a scan after every merge
+        size_col = (mf.read_schema_payload(out_dir) or {}).get("size_col")
+    fp = _input_fingerprint(df)
+    lock = mf._acquire_consolidate_lock(out_dir)
+    try:
+        own_base = next(
+            (
+                int(m["base"])
+                for m in mf.append_reservations(out_dir)
+                if m.get("fingerprint") == fp and int(m.get("base", -1)) >= 0
+            ),
+            None,
+        )
+        entries = _matched_key_mask_entries(
+            spark, out_dir, df, key_col, exclude_base=own_base
+        )
+        name = None
+        if entries:
+            name = f"delete-merge-{fp[:16]}.json"
+            dl.write_delete_file(
+                out_dir, name, entries, predicate=["merge_keys", key_col]
+            )
+        man = append_table(
+            df, out_dir, sort_key=sort_key, size_col=size_col, plans=plans,
+            _ride_delete_files=[name] if name else None, _snapshot_op="merge",
+        )
+        n_appended = sum(int(r["n_rows"]) for r in man.collect())
+        dl.gc_orphans(out_dir)
+        snap = mf.snapshot_log(out_dir, strict=False)
+        return {
+            "n_replaced": sum(e["n_deleted"] for e in entries),
+            "n_appended": n_appended,
+            "delete_file": name,
+            "snapshot": int(snap[-1]["id"]) if snap else None,
+        }
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
+
+
 def encode_table(
     df: DataFrame,
     out_dir: str,
@@ -1169,8 +1452,19 @@ def encode_table(
                 "(mixing layouts would duplicate or drop rows)"
             )
         num_partitions = None  # persisted plan wins on resume
-    elif size_col is not None:
-        cache_key = (_input_fingerprint(df), size_col, key_col)
+    elif size_col is not None and _files_signature(df):
+        # cache ONLY inputs with a file identity: a foreachBatch micro-batch
+        # (or createDataFrame local) has no inputFiles and its canonicalized
+        # plan string is IDENTICAL across epochs — and across datasets with
+        # the same schema — so caching it replays the first epoch's split
+        # plan everywhere (found as a deterministic cross-test collision:
+        # a 200k-target plan hijacked a 30k-target encode).  target_tokens /
+        # num_partitions are part of the key: same input, different sizing
+        # knobs, different plan.
+        cache_key = (
+            _input_fingerprint(df), size_col, key_col,
+            int(target_tokens or 0), int(num_partitions or 0),
+        )
         prev_plan = _PLAN_CACHE.get(cache_key)
     planned, num_partitions, total_mass, plan_map = with_partition_id(
         df,

@@ -244,3 +244,29 @@ def test_plan_signature_sees_plan_changes(spark, tmp_path):
     assert _plan_signature(base) == _plan_signature(spark.read.parquet(src))
     assert _plan_signature(base) != _plan_signature(base.filter("n_tok > 1"))
     assert _plan_signature(base) != _plan_signature(base.repartition(5))
+
+
+def test_plan_cache_never_hijacks_identityless_inputs(spark, tmp_path):
+    """Session plan cache collision (found via a deterministic cross-test
+    streaming failure): a createDataFrame/foreachBatch input has NO
+    inputFiles and an epoch-invariant canonicalized plan string, so caching
+    its split plan replays the FIRST encode's partition count onto every
+    later same-schema encode — a 200k-token-target plan hijacked a
+    30k-target one.  Identity-less inputs must re-plan every time, and the
+    sizing knobs must be part of the cache key."""
+    from rugo_spark import manifest as mf
+    from rugo_spark.engine import encode_table
+    from rugo_spark.tokengen import token_batch
+
+    df = spark.createDataFrame(token_batch(400).to_pandas())
+    assert not df.inputFiles()  # the precondition the fix keys on
+    big = str(tmp_path / "one_part")
+    encode_table(df, big, key_col="doc_id", size_col="n_tok",
+                 target_tokens=10**9)
+    assert len(mf.completed_partitions(big)) == 1
+    small = str(tmp_path / "many_parts")
+    encode_table(df, small, key_col="doc_id", size_col="n_tok",
+                 target_tokens=20_000)
+    assert len(mf.completed_partitions(small)) > 1, (
+        "30k-target encode reused the 1-partition cached plan"
+    )

@@ -11,6 +11,14 @@ from rugo_spark.streaming import decode_batches, encode_stream, token_rate_monit
 from rugo_spark.tokengen import token_batch
 
 
+def _await(q, timeout=900):
+    """awaitTermination returns False on timeout WITHOUT raising — a loaded
+    box that blows past the budget then reads a PARTIAL epoch and fails on
+    an unrelated assert (seen twice in full-suite runs at minute-scale load
+    bursts).  Make the timeout explicit and loud."""
+    assert q.awaitTermination(timeout), f"streaming query still running after {timeout}s"
+
+
 @pytest.fixture()
 def token_files(tmp_path):
     import pyarrow.parquet as pq
@@ -31,7 +39,7 @@ def test_stream_encode_availablenow(spark, token_files, tmp_path):
         .parquet(token_files)
     )
     q = encode_stream(stream, out, ck, target_tokens=200_000).trigger(availableNow=True).start()
-    q.awaitTermination(300)
+    _await(q)
     dec = decode_batches(spark, out)
     assert dec.count() == 900
     ids = dec.select("doc_id").distinct().count()
@@ -56,7 +64,7 @@ def test_token_rate_monitor(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await(q)
     # append mode only emits closed windows; with availableNow + watermark the
     # final window may be held back — verify the batch-mode equivalent instead
     batch = spark.read.parquet(src)
@@ -98,7 +106,7 @@ def test_streaming_stateful_dedup(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await(q)
     out = spark.sql("SELECT doc_id FROM dedup_out").toPandas()
     assert sorted(out["doc_id"].tolist()) == [1, 2, 3, 4, 5]
 
@@ -162,7 +170,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await(q)
     emitted = {
         r["window_start"]: (r["docs"], r["tokens"])
         for r in spark.sql("SELECT * FROM late_rates").collect()
@@ -198,7 +206,7 @@ def test_stream_mid_epoch_kill_and_resume(spark, token_files, tmp_path):
         q = encode_stream(stream, out, ck, target_tokens=30_000).trigger(
             availableNow=True
         ).start()
-        q.awaitTermination(300)
+        _await(q)
 
     run()
     epoch_dirs = sorted(d for d in os.listdir(out) if d.startswith("batch="))
