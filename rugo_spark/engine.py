@@ -1015,6 +1015,14 @@ def delete_where(
             raise ValueError(f"unsupported delete predicate op {op!r}")
     payload_schema = mf.read_schema_payload(out_dir) or {}
     size_col = payload_schema.get("size_col")
+    # JSON-safe rendering of the predicate for every serialization point
+    # (fingerprint, delete file, snapshot entry) — retention deletes carry
+    # date/timestamp/Decimal values, which json.dumps rejects raw.  The
+    # EVALUATION still uses the raw values (pa.scalar typed to the column).
+    filters_json = [
+        [c, op, v if isinstance(v, (int, float, str, bool, type(None))) else str(v)]
+        for c, op, v in filters
+    ]
     lock = mf._acquire_consolidate_lock(out_dir)
     try:
         import hashlib
@@ -1031,7 +1039,7 @@ def delete_where(
         fp = hashlib.sha1(
             json.dumps(
                 {
-                    "predicate": [list(f) for f in filters],
+                    "predicate": filters_json,
                     "prior": prior_files,
                     "pids": sorted(int(r["partition_id"]) for r in cands),
                 }
@@ -1116,11 +1124,11 @@ def delete_where(
         ]
         if not entries:
             return summary
-        dl.write_delete_file(out_dir, name, entries, [list(f) for f in filters])
+        dl.write_delete_file(out_dir, name, entries, filters_json)
         snap = mf.commit_snapshot(
             out_dir,
             "delete",
-            extra={"predicate": [list(f) for f in filters]},
+            extra={"predicate": filters_json},
             new_delete_files=[name],
         )
         dl.gc_orphans(out_dir)

@@ -166,6 +166,29 @@ def test_delete_prunes_blocks(spark, token_df, encoded):
     assert res["n_blocks"] < n_blocks_total  # min/max pruning worked
 
 
+def test_delete_timestamp_retention(spark, tmp_path):
+    """The headline retention shape — DELETE WHERE ts < cutoff on a
+    timestamp column.  Pins the JSON-safe predicate rendering (raw
+    datetime values crashed every serialization point) while evaluation
+    stays typed (pa.scalar against the column type)."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = str(tmp_path / "orders_enc")
+    encode_table(df, out, key_col="o_orderkey", num_partitions=3)
+    cutoff = datetime.datetime(1998, 1, 1)
+    res = delete_where(spark, out, [("o_orderdate", "<", cutoff)])
+    want = df.filter(F.col("o_orderdate") >= F.lit(cutoff))
+    assert res["n_deleted"] == df.count() - want.count() > 0
+    assert decode_table(spark, out).count() == want.count()
+    assert metadata_agg(spark, out).first()["n_rows"] == want.count()
+    # the recorded predicate is the stringified value, round-trippable JSON
+    payload = dl.read_delete_file(out, res["delete_file"])
+    assert payload["predicate"] == [["o_orderdate", "<", str(cutoff)]]
+
+
 def test_delete_validation(spark, encoded):
     with pytest.raises(ValueError, match="at least one"):
         delete_where(spark, encoded, [])
