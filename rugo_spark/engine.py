@@ -1329,6 +1329,74 @@ def _matched_key_mask_entries(
     ]
 
 
+def delete_keys(
+    spark: SparkSession,
+    out_dir: str,
+    key_col: str,
+    keys_df: DataFrame,
+) -> dict:
+    """Row-level DELETE by key LIST (the GDPR / takedown shape: "remove
+    these N document ids from the corpus"): every live row whose
+    ``key_col`` value appears in ``keys_df``'s first column is
+    position-deleted — pure metadata, no block rewritten, same mask files
+    and read-side behavior as ``delete_where``.
+
+    The key match is the MERGE's distributed kernel
+    (:func:`_matched_key_mask_entries`): min/max-pruned key-column scan
+    joined against the key set, per-block masks folded executor-side — so a
+    10⁶-id takedown against a 100-TB corpus reads one column of the
+    candidate blocks and commits kilobytes.  Idempotent: already-deleted
+    positions are subtracted, so re-running (or overlapping a prior
+    predicate delete) never double-counts.  Returns ``{"n_deleted",
+    "n_blocks", "delete_file", "snapshot"}``."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from rugo_spark import deletes as dl
+
+    arrow_schema, _ = mf.read_schema(out_dir)
+    if key_col not in arrow_schema.names:
+        raise ValueError(f"unknown delete key {key_col!r} for {out_dir}")
+    src = keys_df.select(F.col(keys_df.columns[0]).alias(key_col)).distinct()
+    lock = mf._acquire_consolidate_lock(out_dir)
+    try:
+        entries = _matched_key_mask_entries(spark, out_dir, src, key_col)
+        summary = {"n_deleted": 0, "n_blocks": 0, "delete_file": None,
+                   "snapshot": None}
+        if not entries:
+            return summary
+        # deterministic name: prior files + touched pids + the entry content
+        # (the key SET itself may be huge; its effect — the masks — is the
+        # identity that matters for resume overwrites)
+        fp = hashlib.sha1(
+            json.dumps({
+                "prior": dl.visible_delete_files(out_dir),
+                "entries": [[e["pid"], e["n_deleted"], e["enc"], e["data"]]
+                            for e in sorted(entries, key=lambda e: e["pid"])],
+            }).encode()
+        ).hexdigest()
+        name = f"delete-keys-{fp[:16]}.json"
+        dl.write_delete_file(out_dir, name, entries, ["keys", key_col])
+        snap = mf.commit_snapshot(
+            out_dir, "delete",
+            extra={"predicate": ["keys", key_col]},
+            new_delete_files=[name],
+        )
+        dl.gc_orphans(out_dir)
+        return {
+            "n_deleted": sum(e["n_deleted"] for e in entries),
+            "n_blocks": len(entries),
+            "delete_file": name,
+            "snapshot": snap["id"] if snap else None,
+        }
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
+
+
 def merge_table(
     df: DataFrame,
     out_dir: str,

@@ -189,6 +189,29 @@ def test_delete_timestamp_retention(spark, tmp_path):
     assert payload["predicate"] == [["o_orderdate", "<", str(cutoff)]]
 
 
+def test_delete_keys_takedown(spark, token_df, encoded):
+    """GDPR/takedown shape: delete an explicit id list.  Shares the
+    merge's distributed key-match kernel; idempotent and composable with
+    predicate deletes."""
+    import pyspark.sql.functions as F
+
+    from rugo_spark.engine import delete_keys
+
+    ids = token_df.select("doc_id").orderBy("doc_id").limit(37)
+    res = delete_keys(spark, encoded, "doc_id", ids)
+    assert res["n_deleted"] == 37 and res["n_blocks"] >= 1
+    want = token_df.join(ids, "doc_id", "left_anti")
+    _assert_matches(decode_table(spark, encoded), want)
+    assert metadata_agg(spark, encoded).first()["n_rows"] == want.count()
+    # idempotent: same ids again → nothing new
+    res2 = delete_keys(spark, encoded, "doc_id", ids)
+    assert res2["n_deleted"] == 0 and res2["delete_file"] is None
+    # composes with a predicate delete without double-counting
+    d = delete_where(spark, encoded, [("n_tok", "<", 10**9)])  # delete the rest
+    assert res["n_deleted"] + d["n_deleted"] == N_DOCS
+    assert decode_table(spark, encoded).count() == 0
+
+
 def test_delete_validation(spark, encoded):
     with pytest.raises(ValueError, match="at least one"):
         delete_where(spark, encoded, [])
