@@ -125,10 +125,22 @@ class RugoReader(DataSourceReader):
 
         parts = []
         for root in self.roots:
-            masks: dict = {}
-            if os.path.isdir(os.path.join(root, dl.DELETES_DIR)):
-                masks = dl.load_raw(root, dl.visible_delete_files(root))
-            for row in mf.visible_partitions(root):
+            # consistent lifecycle view (decode_table's loop): the mask list
+            # and the partition listing must come from one commit state — a
+            # MERGE flip between the two reads would surface its band
+            # without its riding masks, or the masks without the band
+            def _names() -> list[str]:
+                if not os.path.isdir(os.path.join(root, dl.DELETES_DIR)):
+                    return []
+                return dl.visible_delete_files(root)
+
+            for _ in range(4):
+                names = _names()
+                rows = mf.visible_partitions(root)
+                if _names() == names:
+                    break
+            masks: dict = dl.load_raw(root, names) if names else {}
+            for row in rows:
                 if not _sidecar_keep(row, self.filters or None):
                     continue
                 raw = masks.get(int(row["partition_id"]))

@@ -2156,68 +2156,86 @@ def metadata_agg(
             )
         cols = list(columns)
 
-    # torn append bands are invisible to stats, like every reader — band
-    # filtering happens below (summary fast path), inside visible_partitions
-    # (local) or the scan specs (distributed)
-    bands = mf.incomplete_append_bands(out_dir)
-    loose_names = [
-        n for n in mf.loose_sidecar_names(out_dir)
-        if not any(lo <= _name_pid(n) < hi for lo, hi in bands)
-    ]
-    catalog = mf.segment_catalog(out_dir)
-    # summary fast path: every cataloged segment carries a pre-merged stats
-    # summary, and no loose pid can shadow a segment row (loose outside all
-    # [min_pid, max_pid] ranges) — stats come from the catalog alone plus
-    # the loose tail, with ZERO segment-file opens.  A 10⁶-block dataset
-    # answers in catalog-read time — the whole point of consolidation.
-    # catalog summaries describe the CURRENT visible set — unusable while a
-    # rollback mask condemns pids or a snapshot read wants an older set
-    summaries_ok = (
-        bool(catalog)
-        and all(e.get("summary") for e in catalog)
-        and keep_ranges is None
-        and mf.rollback_mask(out_dir) is None
-    )
-    if summaries_ok and loose_names:
-        loose_pids = [_name_pid(n) for n in loose_names]
-        summaries_ok = not any(
-            int(e["min_pid"]) <= p <= int(e["max_pid"])
-            for e in catalog
-            for p in loose_pids
-        )
-    if summaries_ok and len(loose_names) <= 20_000 and distributed is not True:
-        partials = [
-            {
-                "n_rows": int(e["summary"]["n_rows"]),
-                "n_tokens": int(e["summary"]["n_tokens"]),
-                "codecs": json.dumps(e["summary"]["codecs"]),
-            }
-            for e in catalog
+    from rugo_spark import deletes as dl
+
+    def _visible_names() -> list[str]:
+        if not os.path.isdir(os.path.join(out_dir, dl.DELETES_DIR)):
+            return []
+        return dl.visible_delete_files(out_dir, snapshot_id)
+
+    def _collect_partials(distributed):
+        # torn append bands are invisible to stats, like every reader — band
+        # filtering happens below (summary fast path), inside
+        # visible_partitions (local) or the scan specs (distributed)
+        bands = mf.incomplete_append_bands(out_dir)
+        loose_names = [
+            n for n in mf.loose_sidecar_names(out_dir)
+            if not any(lo <= _name_pid(n) < hi for lo, hi in bands)
         ]
-        mdir = os.path.join(out_dir, mf.MANIFEST_DIR)
-        for name in loose_names:
-            try:
-                with open(os.path.join(mdir, name)) as f:
-                    partials.append(json.load(f))
-            except (json.JSONDecodeError, OSError):
-                continue
-    else:
+        catalog = mf.segment_catalog(out_dir)
+        # summary fast path: every cataloged segment carries a pre-merged
+        # stats summary, and no loose pid can shadow a segment row (loose
+        # outside all [min_pid, max_pid] ranges) — stats come from the
+        # catalog alone plus the loose tail, with ZERO segment-file opens.
+        # A 10⁶-block dataset answers in catalog-read time — the whole point
+        # of consolidation.  Catalog summaries describe the CURRENT visible
+        # set — unusable while a rollback mask condemns pids or a snapshot
+        # read wants an older set
+        summaries_ok = (
+            bool(catalog)
+            and all(e.get("summary") for e in catalog)
+            and keep_ranges is None
+            and mf.rollback_mask(out_dir) is None
+        )
+        if summaries_ok and loose_names:
+            loose_pids = [_name_pid(n) for n in loose_names]
+            summaries_ok = not any(
+                int(e["min_pid"]) <= p <= int(e["max_pid"])
+                for e in catalog
+                for p in loose_pids
+            )
+        if summaries_ok and len(loose_names) <= 20_000 and distributed is not True:
+            partials = [
+                {
+                    "n_rows": int(e["summary"]["n_rows"]),
+                    "n_tokens": int(e["summary"]["n_tokens"]),
+                    "codecs": json.dumps(e["summary"]["codecs"]),
+                }
+                for e in catalog
+            ]
+            mdir = os.path.join(out_dir, mf.MANIFEST_DIR)
+            for name in loose_names:
+                try:
+                    with open(os.path.join(mdir, name)) as f:
+                        partials.append(json.load(f))
+                except (json.JSONDecodeError, OSError):
+                    continue
+            return partials
         n_planned = len(loose_names) + sum(int(e["n_rows"]) for e in catalog)
         if distributed is None:
             distributed = n_planned > 20_000
         if distributed:
-            partials = _metadata_partials_distributed(
+            return _metadata_partials_distributed(
                 spark, out_dir, cols, keep_ranges=keep_ranges
             )
-        else:
-            _rs = mf.RangeSet(keep_ranges) if keep_ranges is not None else None
-            partials = [
-                r
-                for r in mf.visible_partitions(
-                    out_dir, cols=["n_rows", "n_tokens", "codecs"]
-                )
-                if _rs is None or int(r["partition_id"]) in _rs
-            ]
+        _rs = mf.RangeSet(keep_ranges) if keep_ranges is not None else None
+        return [
+            r
+            for r in mf.visible_partitions(
+                out_dir, cols=["n_rows", "n_tokens", "codecs"]
+            )
+            if _rs is None or int(r["partition_id"]) in _rs
+        ]
+
+    # consistent lifecycle view (same loop as decode_table): the partial
+    # stats and the delete-file list must reflect one commit state, or a
+    # MERGE flip mid-read double-counts (new band counted, riding masks
+    # unsubtracted) or under-counts (masks subtracted, band missing)
+    for _ in range(4):
+        names = _visible_names()
+        partials = _collect_partials(distributed)
+        if _visible_names() == names:
+            break
 
     n_rows = sum(int(r["n_rows"]) for r in partials)
     n_tokens = sum(int(r.get("n_tokens") or 0) for r in partials)
@@ -2226,12 +2244,8 @@ def metadata_agg(
     # and null counts stay PHYSICAL — a mask can't tighten them without a
     # scan, the same conservatism Iceberg metadata tables have under
     # position deletes; compaction restores exactness.
-    from rugo_spark import deletes as dl
-
-    if os.path.isdir(os.path.join(out_dir, dl.DELETES_DIR)):
-        del_rows, del_tokens = dl.deleted_totals(
-            out_dir, dl.visible_delete_files(out_dir, snapshot_id)
-        )
+    if names:
+        del_rows, del_tokens = dl.deleted_totals(out_dir, names)
         n_rows -= del_rows
         n_tokens -= del_tokens
     want = set(cols)
@@ -2755,14 +2769,6 @@ def decode_table(
     )
     from rugo_spark import deletes as dl
 
-    # row-level delete masks (snapshot-aware): pid → raw compressed entries,
-    # broadcast once, decoded only by the task reading that block.  The
-    # common no-deletes dataset never lists/reads anything extra.
-    masks_raw: dict = {}
-    if os.path.isdir(os.path.join(out_dir, dl.DELETES_DIR)):
-        masks_raw = dl.load_raw(
-            out_dir, dl.visible_delete_files(out_dir, snapshot_id)
-        )
     arrow_schema, spark_schema_json = mf.read_schema(out_dir)
     from pyspark.sql.types import StructType
 
@@ -2782,24 +2788,32 @@ def decode_table(
         out_schema = full
     import pandas as pd
 
-    sidecar_names = mf.loose_sidecar_names(out_dir)
-    catalog = mf.segment_catalog(out_dir)
-    n_seg_rows = sum(int(e["n_rows"]) for e in catalog)
-    if not sidecar_names and not n_seg_rows:
-        return spark.createDataFrame([], out_schema)
-    if plan == "auto":
-        # a consolidated row costs ~50× less to plan than a loose JSON open
-        # (column-pruned parquet read vs per-file syscall + full parse), so
-        # the local/distributed switch weighs them accordingly
-        eff = len(sidecar_names) + n_seg_rows // 50
-        plan = "distributed" if eff > _DISTRIBUTED_PLAN_THRESHOLD else "local"
+    def _visible_names() -> list[str]:
+        if not os.path.isdir(os.path.join(out_dir, dl.DELETES_DIR)):
+            return []
+        return dl.visible_delete_files(out_dir, snapshot_id)
 
-    par = spark.sparkContext.defaultParallelism
-    if plan == "distributed":
-        man = _plan_df_distributed(spark, out_dir, filters, keep_ranges=keep_ranges)
-        if num_tasks:  # else decode runs on the planner's partitioning (no shuffle)
-            man = man.repartition(max(1, min(int(num_tasks), 4096)))
-    else:
+    def _build_plan(requested_tasks):
+        """Driver-side capture of the partition view (both plan paths list
+        pids inside this call).  Returns (man_df_or_None, empty_schema_df?)."""
+        nonlocal plan
+        sidecar_names = mf.loose_sidecar_names(out_dir)
+        catalog = mf.segment_catalog(out_dir)
+        n_seg_rows = sum(int(e["n_rows"]) for e in catalog)
+        if not sidecar_names and not n_seg_rows:
+            return None
+        if plan == "auto":
+            # a consolidated row costs ~50× less to plan than a loose JSON
+            # open (column-pruned parquet read vs per-file syscall + full
+            # parse), so the local/distributed switch weighs them accordingly
+            eff = len(sidecar_names) + n_seg_rows // 50
+            plan = "distributed" if eff > _DISTRIBUTED_PLAN_THRESHOLD else "local"
+        par = spark.sparkContext.defaultParallelism
+        if plan == "distributed":
+            man = _plan_df_distributed(spark, out_dir, filters, keep_ranges=keep_ranges)
+            if requested_tasks:  # else decode runs on the planner's partitioning
+                man = man.repartition(max(1, min(int(requested_tasks), 4096)))
+            return man
         plan_cols = ["block_path", "checksum", "output_bytes"]
         if filters:
             plan_cols += ["codecs", "bloom_col", "bloom"]
@@ -2810,20 +2824,41 @@ def decode_table(
             if (rs is None or int(r["partition_id"]) in rs) and _sidecar_keep(r, filters)
         ]
         if not completed:
-            return spark.createDataFrame([], out_schema)
+            return None
         pdf = pd.DataFrame(
             {
                 "block_path": [r["block_path"] for r in completed],
                 "checksum": [int(r["checksum"]) for r in completed],
             }
         )
-        if num_tasks is None:
+        if requested_tasks is None:
             # one task per block is right for few big blocks, pathological
             # for many small ones (task overhead ~10-20 ms): target ≥4 waves
             # per core OR ~32 MB per task, whichever gives more tasks
             total_bytes = sum(int(r.get("output_bytes") or 0) for r in completed)
-            num_tasks = min(len(completed), max(par * 4, total_bytes // (32 << 20)))
-        man = spark.createDataFrame(pdf).repartition(max(1, min(int(num_tasks), 4096)))
+            requested_tasks = min(
+                len(completed), max(par * 4, total_bytes // (32 << 20))
+            )
+        return spark.createDataFrame(pdf).repartition(
+            max(1, min(int(requested_tasks), 4096))
+        )
+
+    # consistent lifecycle view: the delete-mask list and the partition
+    # listing must come from the same commit state — a MERGE flip between
+    # the two would surface its new band WITHOUT its riding masks (both row
+    # versions) or the masks WITHOUT the band (neither).  Both plan paths
+    # capture the pid universe driver-side inside _build_plan, so re-reading
+    # the visible file list after planning detects any commit that landed
+    # mid-read; retry until stable (bounded — lifecycle commits are rare).
+    # Snapshot reads are frozen entries: stable by construction.
+    for _ in range(4):
+        names = _visible_names()
+        man = _build_plan(num_tasks)
+        if _visible_names() == names:
+            break
+    if man is None:
+        return spark.createDataFrame([], out_schema)
+    masks_raw: dict = dl.load_raw(out_dir, names) if names else {}
 
     decode_cols = (list(columns) + extra_filter_cols) if columns else None
     masks_bc = (

@@ -247,6 +247,38 @@ def test_missing_referenced_file_raises(spark, encoded):
         decode_table(spark, encoded).count()
 
 
+def test_reader_retries_on_mid_read_lifecycle_commit(
+    spark, token_df, encoded, monkeypatch
+):
+    """Consistent-view loop: if a lifecycle commit lands between the mask
+    read and the partition listing (simulated by a stale first read), the
+    reader must detect the change on the re-read and retry — never plan
+    with masks from one commit state and partitions from another (a MERGE
+    flip would otherwise surface both row versions, or neither)."""
+    import pyspark.sql.functions as F
+
+    med = token_df.approxQuantile("n_tok", [0.5], 0.0)[0]
+    delete_where(spark, encoded, [("n_tok", "<", int(med))])
+    want = token_df.filter(~(F.col("n_tok") < int(med))).count()
+
+    real = dl.visible_delete_files
+    calls = {"n": 0}
+
+    def stale_first(out_dir, snapshot_id=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return []  # the view before the delete committed
+        return real(out_dir, snapshot_id)
+
+    monkeypatch.setattr(dl, "visible_delete_files", stale_first)
+    assert decode_table(spark, encoded).count() == want
+    assert calls["n"] >= 3, "reader did not re-validate the lifecycle view"
+    # metadata_agg runs the same loop
+    calls["n"] = 0
+    assert metadata_agg(spark, encoded).first()["n_rows"] == want
+    assert calls["n"] >= 3
+
+
 # ------------------------------------------------------------- read paths
 
 
