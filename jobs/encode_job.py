@@ -56,6 +56,11 @@ def main(argv: list[str] | None = None) -> int:
                         "int/float when possible, else string. Pure metadata "
                         "commit — no block is rewritten; a later compaction "
                         "purges physically.")
+    p.add_argument("--delete-keys", metavar="PARQUET",
+                   help="row-level DELETE by key list on --output: a parquet "
+                        "file whose first column holds the keys (GDPR/"
+                        "takedown shape); matches on --key-col. Pure "
+                        "metadata commit, same masks as --delete-where.")
     p.add_argument("--merge-key", metavar="COL",
                    help="MERGE INTO / upsert --input into --output on this "
                         "key: existing rows whose key appears in the input "
@@ -91,8 +96,21 @@ def main(argv: list[str] | None = None) -> int:
         finally:
             spark.stop()
         return 0
+    if args.delete_keys:
+        if args.input:
+            p.error("--delete-keys operates on --output alone; drop --input")
+        from rugo_spark.engine import delete_keys
+        from rugo_spark.session import get_spark
+
+        spark = get_spark(master=args.master, app_name="rugo_spark_delete_keys")
+        try:
+            keys = spark.read.parquet(args.delete_keys)
+            print(json.dumps(delete_keys(spark, args.output, args.key_col, keys)))
+        finally:
+            spark.stop()
+        return 0
     if not args.input:
-        p.error("--input is required (except under --delete-where)")
+        p.error("--input is required (except under --delete-where/--delete-keys)")
     if args.merge_key and (args.append or args.num_partitions is not None
                            or args.target_tokens is not None):
         p.error("--merge-key is its own commit mode: drop --append/"

@@ -315,6 +315,33 @@ def test_snapshot_time_travel_and_rollback_undelete(spark, token_df, encoded):
     assert dl.visible_delete_files(encoded) == []
 
 
+def test_delete_and_merge_on_consolidated_dataset(spark, token_df, encoded):
+    """Lifecycle ops against a SEGMENT-planned dataset: after
+    consolidate_manifest folds the loose sidecars into parquet segments,
+    delete_where / merge_table must still see every block (candidate
+    listing reads segments), and metadata_agg's summary fast path must
+    subtract the masks."""
+    import pyspark.sql.functions as F
+
+    from rugo_spark.engine import merge_table
+
+    assert mf.consolidate_manifest(encoded)["folded"] > 0
+    med = token_df.approxQuantile("n_tok", [0.5], 0.0)[0]
+    res = delete_where(spark, encoded, [("n_tok", "<", int(med))])
+    want = token_df.filter(~(F.col("n_tok") < int(med)))
+    assert res["n_deleted"] == N_DOCS - want.count() > 0
+    _assert_matches(decode_table(spark, encoded), want)
+    assert metadata_agg(spark, encoded).first()["n_rows"] == want.count()
+    # merge against the consolidated + masked dataset
+    src = token_df.limit(30).withColumn("source", F.lit("upserted"))
+    mres = merge_table(src, encoded, key_col="doc_id")
+    still_live = src.join(want.select("doc_id"), "doc_id", "left_semi")
+    assert mres["n_replaced"] == still_live.count()
+    final = want.join(src.select("doc_id"), "doc_id", "left_anti").unionByName(src)
+    _assert_matches(decode_table(spark, encoded), final)
+    assert metadata_agg(spark, encoded).first()["n_rows"] == final.count()
+
+
 # ---------------------------------------------------------------- purge
 
 
