@@ -70,6 +70,22 @@ def q_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(spark, out)
 
 
+def q_update_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE … SET … WHERE (completes the DML triad): encode orders,
+    double o_totalprice on every 'F' row — matched originals
+    position-deleted + transformed replacements appended in ONE atomic
+    marker-flip commit — then decode.  ×2 is exact in binary, so the
+    oracle's CASE expression hashes identically."""
+    from rugo_spark.engine import decode_table, encode_table, update_where
+
+    df = _t(spark, sf_dir, "orders")
+    out = _fresh("update_orders", sf_dir)
+    encode_table(df, out, key_col="o_orderkey", num_partitions=4)
+    update_where(spark, out, [("o_orderstatus", "=", "F")],
+                 {"o_totalprice": "o_totalprice * 2"})
+    return decode_table(spark, out)
+
+
 def q_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO / upsert (the Delta MERGE / Iceberg MERGE INTO analog,
     delete-then-insert form): encode orders, merge a source that rewrites
@@ -913,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are new; quality_score/roundtrip_{orders,events,part} were r4's
     # unmeasured tail.
     return {
+        "update_where_roundtrip": q_update_where_roundtrip,
         "merge_upsert_roundtrip": q_merge_upsert_roundtrip,
         "delete_where_roundtrip": q_delete_where_roundtrip,
         "snapshot_time_travel": q_snapshot_time_travel,
@@ -958,7 +975,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_pricing": q_rollup_pricing,
         "array_functions": q_array_functions,
         "doc_fingerprint": q_fingerprint,
-        "repetition_ratio": q_repetition_ratio,
         "pii_counts": q_pii_counts,
         "multimodal_features": q_multimodal_features,
         "pipeline_docs_to_encoded": q_pipeline_docs_to_encoded,
@@ -975,12 +991,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the synth-media pipeline), embedding_ivf_topk (ivf_indexed runs
         # the same kernel plus index persistence), setop_inactive_customers
         # (trivial EXCEPT with a sibling semi-join measured); token_count
-        # (whitespace counter, token_counts_bpe covers the family)
+        # (whitespace counter, token_counts_bpe covers the family);
+        # repetition_ratio (textstats sibling of measured lang_id/
+        # quality_score/pii_counts)
         "quality_features_full": q_quality_features,
         "multimodal_resize": q_multimodal_resize,
         "embedding_ivf_topk": q_ivf_topk,
         "setop_inactive_customers": q_setop_inactive_customers,
         "token_count": q_token_count,
+        "repetition_ratio": q_repetition_ratio,
         "roundtrip_documents": _roundtrip("documents", "doc_id", "n_chars"),
         "embedding_hybrid_topk": q_hybrid_topk,
         "dedup_minhash_lsh": q_minhash_dedup,
@@ -1154,6 +1173,14 @@ def oracle_sql() -> dict[str, str]:
         "delete_where_roundtrip": (
             "SELECT * FROM orders "
             "WHERE o_totalprice >= 100000 AND o_orderstatus <> 'F'"
+        ),
+        # UPDATE: originals masked + transformed replacements appended; ×2
+        # is exact in float64, so values hash identically to the CASE oracle
+        "update_where_roundtrip": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus, "
+            "CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2 "
+            "ELSE o_totalprice END AS o_totalprice, "
+            "o_orderdate, o_orderpriority FROM orders"
         ),
         # upsert: matched rows replaced by the transformed source, atomically
         "merge_upsert_roundtrip": (

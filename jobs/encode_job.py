@@ -56,6 +56,15 @@ def main(argv: list[str] | None = None) -> int:
                         "int/float when possible, else string. Pure metadata "
                         "commit — no block is rewritten; a later compaction "
                         "purges physically.")
+    p.add_argument("--update-where", metavar="PRED", action="append",
+                   help="UPDATE predicate on --output ('col OP value', "
+                        "repeatable, ANDed); pair with --update-set. Matched "
+                        "originals are position-deleted and transformed "
+                        "replacements appended in ONE atomic commit.")
+    p.add_argument("--update-set", metavar="COL=EXPR", action="append",
+                   help="assignment for --update-where: column = SQL "
+                        "expression (repeatable), e.g. "
+                        "\"o_totalprice=o_totalprice*1.1\"")
     p.add_argument("--delete-keys", metavar="PARQUET",
                    help="row-level DELETE by key list on --output: a parquet "
                         "file whose first column holds the keys (GDPR/"
@@ -69,17 +78,13 @@ def main(argv: list[str] | None = None) -> int:
                         "Excludes --append/--num-partitions/--target-tokens.")
     p.add_argument("--master", default=None, help="override master (local testing)")
     args = p.parse_args(argv)
-    if args.delete_where:
-        if args.input:
-            p.error("--delete-where operates on --output alone; drop --input")
-        from rugo_spark.engine import delete_where
-        from rugo_spark.session import get_spark
 
+    def _parse_preds(preds, flag):
         filters = []
-        for pred in args.delete_where:
+        for pred in preds:
             parts = pred.split(None, 2)
             if len(parts) != 3 or parts[1] not in ("=", "<", "<=", ">", ">="):
-                p.error(f"--delete-where {pred!r}: want 'col OP value'")
+                p.error(f"{flag} {pred!r}: want 'col OP value'")
             col, op, raw = parts
             value: object
             try:
@@ -90,6 +95,39 @@ def main(argv: list[str] | None = None) -> int:
                 except ValueError:
                     value = raw.strip("'\"")
             filters.append((col, op, value))
+        return filters
+
+    if args.update_where or args.update_set:
+        if not (args.update_where and args.update_set):
+            p.error("--update-where and --update-set go together")
+        if args.input:
+            p.error("--update-where operates on --output alone; drop --input")
+        assignments = {}
+        for a in args.update_set:
+            col, eq, expr = a.partition("=")
+            if not eq or not col.strip() or not expr.strip():
+                p.error(f"--update-set {a!r}: want 'col=expression'")
+            assignments[col.strip()] = expr.strip()
+        from rugo_spark.engine import update_where
+        from rugo_spark.session import get_spark
+
+        spark = get_spark(master=args.master, app_name="rugo_spark_update")
+        try:
+            print(json.dumps(update_where(
+                spark, args.output,
+                _parse_preds(args.update_where, "--update-where"),
+                assignments,
+            )))
+        finally:
+            spark.stop()
+        return 0
+    if args.delete_where:
+        if args.input:
+            p.error("--delete-where operates on --output alone; drop --input")
+        from rugo_spark.engine import delete_where
+        from rugo_spark.session import get_spark
+
+        filters = _parse_preds(args.delete_where, "--delete-where")
         spark = get_spark(master=args.master, app_name="rugo_spark_delete")
         try:
             print(json.dumps(delete_where(spark, args.output, filters)))

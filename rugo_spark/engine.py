@@ -980,6 +980,113 @@ _DELETE_ENTRY_DDL = (
 )
 
 
+def _predicate_mask_entries(
+    spark: SparkSession,
+    out_dir: str,
+    filters: list[tuple],
+    size_col: str | None,
+    prior_files: list[str],
+    exclude_base: int | None = None,
+) -> tuple[list[dict], list[int]]:
+    """The predicate-delete kernel shared by ``delete_where`` and
+    ``update_where``: min/max/bloom-pruned candidate blocks → ONE read of
+    the predicate (+size) columns per block → per-block position sets,
+    already-deleted positions subtracted.  Returns ``(entries,
+    candidate_pids)`` — only kilobyte entries reach the driver.
+    ``exclude_base``: an UPDATE's own append band (its replacement rows
+    match the predicate by construction and must never be re-masked)."""
+    from rugo_spark import deletes as dl
+
+    arrow_schema, _ = mf.read_schema(out_dir)
+    payload_schema = mf.read_schema_payload(out_dir) or {}
+    if size_col is None:
+        size_col = payload_schema.get("size_col")
+    cands = [
+        r
+        for r in mf.visible_partitions(
+            out_dir, cols=["partition_id", "block_path", "n_rows", "codecs",
+                           "bloom_col", "bloom"]
+        )
+        if _sidecar_keep(r, filters)
+        and not (
+            exclude_base is not None
+            and exclude_base <= int(r["partition_id"]) < exclude_base + APPEND_BAND
+        )
+    ]
+    pids = sorted(int(r["partition_id"]) for r in cands)
+    if not cands:
+        return [], pids
+    prior_bc = spark.sparkContext.broadcast(dl.load_raw(out_dir, prior_files))
+    schema_bytes = arrow_schema.serialize().to_pybytes()
+    need_cols = sorted({c for c, _, _ in filters})
+    tok_col = size_col if size_col in arrow_schema.names else None
+    decode_cols = sorted(set(need_cols) | ({tok_col} if tok_col else set()))
+
+    import pandas as pd
+
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pid": [int(r["partition_id"]) for r in cands],
+                "block_path": [r["block_path"] for r in cands],
+            }
+        )
+    ).repartition(min(len(cands), spark.sparkContext.defaultParallelism * 4))
+
+    def masker(batches):
+        import numpy as np
+
+        schema = pa.ipc.read_schema(pa.py_buffer(schema_bytes))
+        for batch in batches:
+            out = []
+            pids_ = batch.column(0).to_pylist()
+            paths = batch.column(1).to_pylist()
+            for pid, path in zip(pids_, paths):
+                # ONE read of the predicate (+size) columns; NO stripe
+                # skipping: positions are block-absolute
+                tbl = pa.Table.from_batches(
+                    list(read_block_file(path, schema, decode_cols, None))
+                )
+                matched, n_rows = _predicate_positions(tbl.to_batches(), filters)
+                prior_entries = prior_bc.value.get(int(pid))
+                if prior_entries is not None and len(matched):
+                    matched = np.setdiff1d(
+                        matched, dl.union_positions(prior_entries)
+                    ).astype(np.uint32)
+                if not len(matched):
+                    continue
+                dtok = 0
+                if tok_col is not None:
+                    sizes = tbl.column(tok_col).to_numpy(zero_copy_only=False)
+                    dtok = int(np.nansum(sizes[matched].astype("float64")))
+                enc, data = dl.encode_positions(matched, n_rows)
+                out.append(
+                    {
+                        "pid": int(pid),
+                        "n_rows": int(n_rows),
+                        "n_deleted": int(len(matched)),
+                        "deleted_tokens": dtok,
+                        "enc": enc,
+                        "data": data,
+                    }
+                )
+            if out:
+                yield pa.RecordBatch.from_pylist(out)
+
+    entries = [
+        {
+            "pid": int(r["pid"]),
+            "n_rows": int(r["n_rows"]),
+            "n_deleted": int(r["n_deleted"]),
+            "deleted_tokens": int(r["deleted_tokens"]),
+            "enc": r["enc"],
+            "data": r["data"],
+        }
+        for r in src.mapInArrow(masker, _DELETE_ENTRY_DDL).collect()
+    ]
+    return entries, pids
+
+
 def delete_where(
     spark: SparkSession,
     out_dir: str,
@@ -1028,100 +1135,20 @@ def delete_where(
         import hashlib
 
         prior_files = dl.visible_delete_files(out_dir)
-        cands = [
-            r
-            for r in mf.visible_partitions(
-                out_dir, cols=["partition_id", "block_path", "n_rows", "codecs",
-                               "bloom_col", "bloom"]
-            )
-            if _sidecar_keep(r, filters)
-        ]
+        entries, pids = _predicate_mask_entries(
+            spark, out_dir, filters, size_col, prior_files
+        )
         fp = hashlib.sha1(
             json.dumps(
                 {
                     "predicate": filters_json,
                     "prior": prior_files,
-                    "pids": sorted(int(r["partition_id"]) for r in cands),
+                    "pids": pids,
                 }
             ).encode()
         ).hexdigest()
         name = f"delete-{fp[:16]}.json"
         summary = {"n_deleted": 0, "n_blocks": 0, "delete_file": None, "snapshot": None}
-        if not cands:
-            return summary
-        prior_raw = dl.load_raw(out_dir, prior_files)
-        prior_bc = spark.sparkContext.broadcast(prior_raw)
-        schema_bytes = arrow_schema.serialize().to_pybytes()
-        need_cols = sorted({c for c, _, _ in filters})
-        tok_col = size_col if size_col in arrow_schema.names else None
-        decode_cols = sorted(set(need_cols) | ({tok_col} if tok_col else set()))
-
-        import pandas as pd
-
-        src = spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "pid": [int(r["partition_id"]) for r in cands],
-                    "block_path": [r["block_path"] for r in cands],
-                }
-            )
-        ).repartition(min(len(cands), spark.sparkContext.defaultParallelism * 4))
-
-        def masker(batches):
-            import numpy as np
-
-            schema = pa.ipc.read_schema(pa.py_buffer(schema_bytes))
-            for batch in batches:
-                out = []
-                pids = batch.column(0).to_pylist()
-                paths = batch.column(1).to_pylist()
-                for pid, path in zip(pids, paths):
-                    # ONE read of the predicate (+size) columns; NO stripe
-                    # skipping: positions are block-absolute
-                    tbl = pa.Table.from_batches(
-                        list(read_block_file(path, schema, decode_cols, None))
-                    )
-                    matched, n_rows = _predicate_positions(
-                        tbl.to_batches(), filters
-                    )
-                    prior_entries = prior_bc.value.get(int(pid))
-                    if prior_entries is not None and len(matched):
-                        matched = np.setdiff1d(
-                            matched, dl.union_positions(prior_entries)
-                        ).astype(np.uint32)
-                    if not len(matched):
-                        continue
-                    dtok = 0
-                    if tok_col is not None:
-                        sizes = tbl.column(tok_col).to_numpy(
-                            zero_copy_only=False
-                        )
-                        dtok = int(np.nansum(sizes[matched].astype("float64")))
-                    enc, data = dl.encode_positions(matched, n_rows)
-                    out.append(
-                        {
-                            "pid": int(pid),
-                            "n_rows": int(n_rows),
-                            "n_deleted": int(len(matched)),
-                            "deleted_tokens": dtok,
-                            "enc": enc,
-                            "data": data,
-                        }
-                    )
-                if out:
-                    yield pa.RecordBatch.from_pylist(out)
-
-        entries = [
-            {
-                "pid": int(r["pid"]),
-                "n_rows": int(r["n_rows"]),
-                "n_deleted": int(r["n_deleted"]),
-                "deleted_tokens": int(r["deleted_tokens"]),
-                "enc": r["enc"],
-                "data": r["data"],
-            }
-            for r in src.mapInArrow(masker, _DELETE_ENTRY_DDL).collect()
-        ]
         if not entries:
             return summary
         dl.write_delete_file(out_dir, name, entries, filters_json)
@@ -1389,6 +1416,100 @@ def delete_keys(
             "n_blocks": len(entries),
             "delete_file": name,
             "snapshot": snap["id"] if snap else None,
+        }
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
+
+
+def update_where(
+    spark: SparkSession,
+    out_dir: str,
+    filters: list[tuple],
+    assignments: dict[str, str],
+) -> dict:
+    """UPDATE … SET … WHERE (completing the DML triad with
+    ``delete_where`` and ``merge_table``): decode the matched rows
+    (block-pruned), apply the SQL-expression ``assignments``, and commit —
+    matched originals position-deleted, transformed replacements appended,
+    both published by ONE atomic marker-flip (the delete file rides the
+    band's marker, exactly the merge protocol).
+
+    SQL re-run semantics, not idempotence: running the same UPDATE twice
+    applies the assignments twice (the first run's replacement rows match
+    the predicate again and are updated again) — same as Delta/Spark SQL.
+    A crash before the flip leaves nothing visible; ``reclaim_append``
+    rolls the band and its riding delete file back.
+
+    ``assignments``: ``{column: sql_expression}``; expressions may
+    reference any dataset column (``{"o_totalprice": "o_totalprice * 1.1"}``).
+    New columns are not allowed (use append-evolution for that).
+
+    Returns ``{"n_updated", "delete_file", "snapshot"}``."""
+    import pyspark.sql.functions as F
+
+    from rugo_spark import deletes as dl
+
+    if not filters:
+        raise ValueError("update_where requires at least one (col, op, value) filter")
+    if not assignments:
+        raise ValueError("update_where requires at least one column assignment")
+    arrow_schema, _ = mf.read_schema(out_dir)
+    for c, op, _v in filters:
+        if c not in arrow_schema.names:
+            raise ValueError(f"unknown column {c!r} in update predicate")
+        if op not in ("=", "<", "<=", ">", ">="):
+            raise ValueError(f"unsupported update predicate op {op!r}")
+    bad = [c for c in assignments if c not in arrow_schema.names]
+    if bad:
+        raise ValueError(
+            f"unknown assignment columns {bad}; UPDATE cannot add columns "
+            "(use append_table(..., allow_new_columns=True) to evolve)"
+        )
+    payload_schema = mf.read_schema_payload(out_dir) or {}
+    size_col = payload_schema.get("size_col")
+    lock = mf._acquire_consolidate_lock(out_dir)
+    try:
+        # matched rows, transformed — the append side.  Decoded under the
+        # lock so the source snapshot matches the masks computed below.
+        src = decode_table(spark, out_dir, filters=filters)
+        for c, expr in assignments.items():
+            src = src.withColumn(c, F.expr(expr).cast(dict(src.dtypes)[c]))
+        src = src.select(*[f.name for f in arrow_schema])  # dataset order
+        fp = _input_fingerprint(src)
+        own_base = next(
+            (
+                int(m["base"])
+                for m in mf.append_reservations(out_dir)
+                if m.get("fingerprint") == fp and int(m.get("base", -1)) >= 0
+            ),
+            None,
+        )
+        prior_files = dl.visible_delete_files(out_dir)
+        entries, _pids = _predicate_mask_entries(
+            spark, out_dir, filters, size_col, prior_files, exclude_base=own_base
+        )
+        summary = {"n_updated": 0, "delete_file": None, "snapshot": None}
+        if not entries:
+            return summary
+        name = f"delete-update-{fp[:16]}.json"
+        filters_json = [
+            [c, op, v if isinstance(v, (int, float, str, bool, type(None))) else str(v)]
+            for c, op, v in filters
+        ]
+        dl.write_delete_file(out_dir, name, entries, ["update", filters_json])
+        append_table(
+            src, out_dir, size_col=size_col,
+            _ride_delete_files=[name], _snapshot_op="update",
+        )
+        dl.gc_orphans(out_dir)
+        snap = mf.snapshot_log(out_dir, strict=False)
+        return {
+            "n_updated": sum(e["n_deleted"] for e in entries),
+            "delete_file": name,
+            "snapshot": int(snap[-1]["id"]) if snap else None,
         }
     finally:
         try:
