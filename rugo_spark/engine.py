@@ -617,6 +617,7 @@ def append_table(
     allow_new_columns: bool = False,
     _ride_delete_files: list[str] | None = None,
     _snapshot_op: str = "append",
+    _fingerprint: str | None = None,
 ) -> DataFrame:
     """Append rows to an EXISTING encoded dataset (the Iceberg-append /
     lakehouse-ingest analog): each input split becomes one new block in a
@@ -678,8 +679,11 @@ def append_table(
     # fingerprint the CALLER's input before any canonicalizing select below:
     # a resume of a crashed evolving append arrives after the schema already
     # widened (new_names then resolves empty, no reorder happens), and the
-    # marker lookup must still land on the crashed session's band
-    fp = _input_fingerprint(df)
+    # marker lookup must still land on the crashed session's band.
+    # _fingerprint: an UPDATE passes a state-bound fingerprint (its source
+    # derives from the dataset; the plain plan hash can collide across
+    # lifecycle states)
+    fp = _fingerprint if _fingerprint is not None else _input_fingerprint(df)
     ds_json = prev.get("spark_schema")
     in_json = json.loads(df.schema.json())
     ds_names = [f["name"] for f in ds_json.get("fields", [])]
@@ -1478,7 +1482,26 @@ def update_where(
         for c, expr in assignments.items():
             src = src.withColumn(c, F.expr(expr).cast(dict(src.dtypes)[c]))
         src = src.select(*[f.name for f in arrow_schema])  # dataset order
-        fp = _input_fingerprint(src)
+        # the source derives FROM the dataset, so the resume fingerprint
+        # must pin the lifecycle state it was decoded from: if another
+        # commit (a delete, another update) lands between a crash and the
+        # resume, the plan string alone can match while the source ROWS
+        # differ — adopting the stale band would mix two source versions.
+        # Binding the visible delete files + snapshot tip makes such a
+        # resume read as a foreign band (loud single-writer error →
+        # reclaim), never a silent mix.
+        import hashlib
+
+        log = mf.snapshot_log(out_dir, strict=False)
+        fp = hashlib.sha1(
+            json.dumps(
+                {
+                    "src": _input_fingerprint(src),
+                    "deletes": dl.visible_delete_files(out_dir),
+                    "tip": int(log[-1]["id"]) if log else 0,
+                }
+            ).encode()
+        ).hexdigest()
         own_base = next(
             (
                 int(m["base"])
@@ -1502,7 +1525,7 @@ def update_where(
         dl.write_delete_file(out_dir, name, entries, ["update", filters_json])
         append_table(
             src, out_dir, size_col=size_col,
-            _ride_delete_files=[name], _snapshot_op="update",
+            _ride_delete_files=[name], _snapshot_op="update", _fingerprint=fp,
         )
         dl.gc_orphans(out_dir)
         snap = mf.snapshot_log(out_dir, strict=False)

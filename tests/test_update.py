@@ -126,6 +126,42 @@ def test_update_crash_before_flip(spark, token_df, encoded, monkeypatch):
     assert decode_table(spark, encoded).count() == N_DOCS
 
 
+def test_update_resume_refuses_after_state_change(
+    spark, token_df, encoded, monkeypatch
+):
+    """The update fingerprint binds the lifecycle state its source was
+    decoded from: crash an update, commit an unrelated DELETE, re-run the
+    update — it must read its own crashed band as FOREIGN (loud
+    single-writer error; reclaim is the documented recovery), never adopt
+    a band whose completed rows came from a different source snapshot."""
+    from rugo_spark import engine as eng
+    from rugo_spark.engine import delete_where
+
+    real = eng._atomic_write
+
+    def dying(path, payload):
+        if path.endswith(".json") and b'"complete": true' in payload:
+            raise RuntimeError("simulated crash before completion flip")
+        return real(path, payload)
+
+    monkeypatch.setattr(eng, "_atomic_write", dying)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        update_where(spark, encoded, [("n_tok", ">=", 100)], {"source": "'v2'"})
+    monkeypatch.setattr(eng, "_atomic_write", real)
+    delete_where(spark, encoded, [("n_tok", "<", 100)])  # state moved on
+    with pytest.raises(ValueError, match="incomplete append session"):
+        update_where(spark, encoded, [("n_tok", ">=", 100)], {"source": "'v2'"})
+    reclaim_append(encoded)
+    res = update_where(spark, encoded, [("n_tok", ">=", 100)], {"source": "'v2'"})
+    import pyspark.sql.functions as F
+
+    survivors = token_df.filter(F.col("n_tok") >= 100)
+    assert res["n_updated"] == survivors.count()
+    got = decode_table(spark, encoded)
+    assert got.count() == survivors.count()
+    assert got.filter("source = 'v2'").count() == survivors.count()
+
+
 def test_update_validation(spark, token_df, encoded):
     with pytest.raises(ValueError, match="at least one .col, op, value."):
         update_where(spark, encoded, [], {"source": "'x'"})
