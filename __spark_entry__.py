@@ -70,6 +70,24 @@ def q_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(spark, out)
 
 
+def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering (the Delta OPTIMIZE ZORDER analog): encode
+    lineitem, rewrite it Morton-clustered on (l_orderkey, l_partkey) —
+    manifest min/max pruning then bites on BOTH columns (pytest pins
+    >=50% blocks skipped per dimension) — and decode.  Oracle: the table
+    (the stored z_order key is dropped; layout is invisible to content)."""
+    from rugo_spark.engine import decode_table, encode_table
+    from rugo_spark.ops.zorder import zorder_dataset
+
+    df = _t(spark, sf_dir, "lineitem")
+    src = _fresh("z_src_lineitem", sf_dir)
+    dst = _fresh("z_dst_lineitem", sf_dir)
+    encode_table(df, src, key_col="l_orderkey", num_partitions=8)
+    meta = zorder_dataset(spark, src, dst, ["l_orderkey", "l_partkey"],
+                          num_partitions=8)
+    return decode_table(spark, dst).drop(meta["z_col"])
+
+
 def q_update_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE … SET … WHERE (completes the DML triad): encode orders,
     double o_totalprice on every 'F' row — matched originals
@@ -929,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are new; quality_score/roundtrip_{orders,events,part} were r4's
     # unmeasured tail.
     return {
+        "zorder_roundtrip": q_zorder_roundtrip,
         "update_where_roundtrip": q_update_where_roundtrip,
         "merge_upsert_roundtrip": q_merge_upsert_roundtrip,
         "delete_where_roundtrip": q_delete_where_roundtrip,
@@ -968,7 +987,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_clusters": q_dedup_clusters,
         "dedup_lsh_verified": q_lsh_verified,
-        "dedup_jaccard_verify": q_jaccard_verify,
         "dedup_simhash": q_simhash,
         "asof_join_latest_order": q_asof_join,
         "range_join_value_bands": q_range_join,
@@ -993,13 +1011,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (trivial EXCEPT with a sibling semi-join measured); token_count
         # (whitespace counter, token_counts_bpe covers the family);
         # repetition_ratio (textstats sibling of measured lang_id/
-        # quality_score/pii_counts)
+        # quality_score/pii_counts); dedup_jaccard_verify (the verify
+        # kernel runs inside measured dedup_lsh_verified)
         "quality_features_full": q_quality_features,
         "multimodal_resize": q_multimodal_resize,
         "embedding_ivf_topk": q_ivf_topk,
         "setop_inactive_customers": q_setop_inactive_customers,
         "token_count": q_token_count,
         "repetition_ratio": q_repetition_ratio,
+        "dedup_jaccard_verify": q_jaccard_verify,
         "roundtrip_documents": _roundtrip("documents", "doc_id", "n_chars"),
         "embedding_hybrid_topk": q_hybrid_topk,
         "dedup_minhash_lsh": q_minhash_dedup,
@@ -1174,6 +1194,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM orders "
             "WHERE o_totalprice >= 100000 AND o_orderstatus <> 'F'"
         ),
+        # z-order rewrite is pure layout: content equals the source table
+        "zorder_roundtrip": "SELECT * FROM lineitem",
         # UPDATE: originals masked + transformed replacements appended; ×2
         # is exact in float64, so values hash identically to the CASE oracle
         "update_where_roundtrip": (

@@ -366,7 +366,7 @@ def main() -> None:
     # must stay ~flat as the table grows, which is the 100-TB story.  Each
     # run rolls back to the pre-lifecycle snapshot so the second sample (and
     # nothing else in the bench) sees a mutated dataset.
-    from rugo_spark.engine import delete_where, merge_table
+    from rugo_spark.engine import delete_where, merge_table, update_where
 
     pre_snap = int(mf.snapshot_log(out_hi)[-1]["id"])
     del_thresh = int(tok_df.approxQuantile("n_tok", [0.1], 0.01)[0])
@@ -397,8 +397,20 @@ def main() -> None:
             ),
         )
         mf.rollback_to_snapshot(out_hi, pre_snap)
+        _timed(
+            "update_commit",
+            lambda: state.__setitem__(
+                "n_updated",
+                update_where(
+                    spark, out_hi, [("n_tok", ">", int(del_thresh * 9))],
+                    {"source": "'requeued'"},
+                )["n_updated"],
+            ),
+        )
+        mf.rollback_to_snapshot(out_hi, pre_snap)
     extra["delete_commit_rows"] = int(state["n_del"])
     extra["merge_replaced_rows"] = int(state["n_replaced"])
+    extra["update_rows"] = int(state["n_updated"])
     extra["decode_masked_ratio_vs_decode"] = round(
         min(SAMPLES["decode_masked"]) / min(SAMPLES["decode"]), 2
     )
