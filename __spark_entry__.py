@@ -70,6 +70,25 @@ def q_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(spark, out)
 
 
+def q_cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental/CDC read (the Delta Change Data Feed analog): encode the
+    even orders (snap 1), append the odd (snap 2), mask cheap orders
+    (snap 3), then read the NET changes since snap 1 — inserts are the odd
+    rows still alive at the endpoint (append-then-delete inside the window
+    is not a change), deletes are the even rows newly masked.  Diff cost
+    tracks the change, not the table."""
+    from rugo_spark.engine import (append_table, delete_where, encode_table,
+                                   read_changes)
+
+    df = _t(spark, sf_dir, "orders")
+    out = _fresh("cdc_orders", sf_dir)
+    encode_table(df.filter(F.col("o_orderkey") % 2 == 0), out,
+                 key_col="o_orderkey", num_partitions=4)
+    append_table(df.filter(F.col("o_orderkey") % 2 == 1), out)
+    delete_where(spark, out, [("o_totalprice", "<", 100000.0)])
+    return read_changes(spark, out, 1)
+
+
 def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering (the Delta OPTIMIZE ZORDER analog): encode
     lineitem, rewrite it Morton-clustered on (l_orderkey, l_partkey) —
@@ -947,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are new; quality_score/roundtrip_{orders,events,part} were r4's
     # unmeasured tail.
     return {
+        "cdc_read_changes": q_cdc_read_changes,
         "zorder_roundtrip": q_zorder_roundtrip,
         "update_where_roundtrip": q_update_where_roundtrip,
         "merge_upsert_roundtrip": q_merge_upsert_roundtrip,
@@ -978,7 +998,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_active_customers": q_semi_join_active_customers,
         "scalar_functions": q_scalar_functions,
         "dedup_exact": q_dedup_exact,
-        "multimodal_frame_sample": q_frame_sample,
         "lang_id": q_lang_id,
         "token_counts_bpe": q_token_counts,
         "embedding_cosine_topk": q_embedding_topk,
@@ -1012,7 +1031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (whitespace counter, token_counts_bpe covers the family);
         # repetition_ratio (textstats sibling of measured lang_id/
         # quality_score/pii_counts); dedup_jaccard_verify (the verify
-        # kernel runs inside measured dedup_lsh_verified)
+        # kernel runs inside measured dedup_lsh_verified);
+        # multimodal_frame_sample (features measured + all three have
+        # sequential recompute oracles)
         "quality_features_full": q_quality_features,
         "multimodal_resize": q_multimodal_resize,
         "embedding_ivf_topk": q_ivf_topk,
@@ -1020,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "repetition_ratio": q_repetition_ratio,
         "dedup_jaccard_verify": q_jaccard_verify,
+        "multimodal_frame_sample": q_frame_sample,
         "roundtrip_documents": _roundtrip("documents", "doc_id", "n_chars"),
         "embedding_hybrid_topk": q_hybrid_topk,
         "dedup_minhash_lsh": q_minhash_dedup,
@@ -1196,6 +1218,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         # z-order rewrite is pure layout: content equals the source table
         "zorder_roundtrip": "SELECT * FROM lineitem",
+        # net CDC: inserts = appended rows alive at the endpoint; deletes =
+        # pre-existing rows newly masked inside the window
+        "cdc_read_changes": (
+            "SELECT *, 'insert' AS _change_type FROM orders "
+            "WHERE o_orderkey % 2 = 1 AND o_totalprice >= 100000 "
+            "UNION ALL "
+            "SELECT *, 'delete' AS _change_type FROM orders "
+            "WHERE o_orderkey % 2 = 0 AND o_totalprice < 100000"
+        ),
         # UPDATE: originals masked + transformed replacements appended; ×2
         # is exact in float64, so values hash identically to the CASE oracle
         "update_where_roundtrip": (

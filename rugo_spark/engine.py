@@ -2887,6 +2887,7 @@ def decode_table(
     plan: str = "auto",
     on_corrupt: str = "error",
     snapshot_id: int | None = None,
+    _restrict_ranges: list | None = None,
 ) -> DataFrame:
     """Reconstruct the original DataFrame from blocks. One task per block file,
     no shuffle; column pruning skips undecoded columns entirely; ``filters``
@@ -2911,6 +2912,14 @@ def decode_table(
     keep_ranges = (
         mf.snapshot_ranges(out_dir, snapshot_id) if snapshot_id is not None else None
     )
+    if _restrict_ranges is not None:
+        # internal (read_changes): intersect an extra pid-range restriction
+        # into the plan — e.g. "only the pids added between two snapshots"
+        keep_ranges = (
+            _restrict_ranges
+            if keep_ranges is None
+            else mf.intersect_ranges(keep_ranges, _restrict_ranges)
+        )
     from rugo_spark import deletes as dl
 
     arrow_schema, spark_schema_json = mf.read_schema(out_dir)
@@ -3062,4 +3071,171 @@ def decode_table(
             )
     if extra_filter_cols:
         out = out.select(*columns)
+    return out
+
+
+def _subtract_ranges(a: list, b: list) -> list[list[int]]:
+    """Half-open pid ranges in ``a`` not covered by ``b`` (boundary sweep)."""
+    out: list[list[int]] = []
+    b_sorted = sorted((int(lo), int(hi)) for lo, hi in b)
+    for lo, hi in sorted((int(lo), int(hi)) for lo, hi in a):
+        cur = lo
+        for blo, bhi in b_sorted:
+            if bhi <= cur or blo >= hi:
+                continue
+            if blo > cur:
+                out.append([cur, blo])
+            cur = max(cur, bhi)
+            if cur >= hi:
+                break
+        if cur < hi:
+            out.append([cur, hi])
+    return out
+
+
+def read_changes(
+    spark: SparkSession,
+    out_dir: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """Incremental / CDC read (the Iceberg incremental-scan / Delta Change
+    Data Feed analog): the NET row changes between two snapshots, as the
+    dataset's columns plus ``_change_type`` ('insert' | 'delete').
+
+    Everything derives from two snapshot entries — each carries its
+    cumulative pid ranges and delete-file list — so the diff costs two log
+    reads plus decodes proportional to the CHANGE, not the table:
+
+    - inserts: blocks in pid ranges added between the snapshots, decoded
+      under the TO state's masks (a row appended then deleted inside the
+      window was never visible at either endpoint — not a change);
+    - deletes: per-pid mask-position diffs on pre-existing blocks,
+      materialized by decoding ONLY the touched blocks and taking exactly
+      the newly-masked positions.
+
+    Raises if the window crosses a rollback (pid ranges or mask positions
+    shrank — the log was rewritten, the diff is undefined)."""
+    import base64 as _b64
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from rugo_spark import deletes as dl
+
+    log = mf.snapshot_log(out_dir, strict=True)
+    if not log:
+        raise ValueError(f"{out_dir} has no snapshot log")
+    by_id = {int(e["id"]): e for e in log}
+    if to_snapshot is None:
+        to_snapshot = int(log[-1]["id"])
+    for s in (from_snapshot, to_snapshot):
+        if int(s) not in by_id:
+            raise ValueError(
+                f"unknown snapshot_id {s} for {out_dir}; available: {sorted(by_id)}"
+            )
+    if int(from_snapshot) > int(to_snapshot):
+        raise ValueError(
+            f"from_snapshot {from_snapshot} is newer than to_snapshot {to_snapshot}"
+        )
+    e_from, e_to = by_id[int(from_snapshot)], by_id[int(to_snapshot)]
+    fr, tr = e_from.get("ranges") or [], e_to.get("ranges") or []
+    if _subtract_ranges(fr, tr):
+        raise ValueError(
+            f"snapshot {from_snapshot}→{to_snapshot} of {out_dir} loses pid "
+            "ranges — the window crosses a rollback; CDC across a rewritten "
+            "log is undefined"
+        )
+    arrow_schema, spark_schema_json = mf.read_schema(out_dir)
+    from pyspark.sql.types import StructType as _ST
+
+    full = _ST.fromJson(spark_schema_json)
+    out_schema = StructType(
+        list(full.fields) + [StructField("_change_type", StringType(), False)]
+    )
+    import pyspark.sql.functions as F
+
+    parts: list[DataFrame] = []
+    if int(from_snapshot) == int(to_snapshot):
+        return spark.createDataFrame([], out_schema)
+
+    new_ranges = _subtract_ranges(tr, fr)
+    if new_ranges:
+        parts.append(
+            decode_table(
+                spark, out_dir, snapshot_id=int(to_snapshot),
+                _restrict_ranges=new_ranges,
+            ).withColumn("_change_type", F.lit("insert"))
+        )
+
+    # newly-masked positions on PRE-EXISTING blocks
+    import numpy as np
+
+    raw_from = dl.load_raw(out_dir, sorted(e_from.get("delete_files") or []))
+    raw_to = dl.load_raw(out_dir, sorted(e_to.get("delete_files") or []))
+    fr_set = mf.RangeSet(fr)
+    diff: dict[int, np.ndarray] = {}
+    for pid in sorted(set(raw_to) | set(raw_from)):
+        to_pos = (
+            dl.union_positions(raw_to[pid])
+            if pid in raw_to
+            else np.empty(0, dtype=np.uint32)
+        )
+        from_pos = (
+            dl.union_positions(raw_from[pid])
+            if pid in raw_from
+            else np.empty(0, dtype=np.uint32)
+        )
+        if len(np.setdiff1d(from_pos, to_pos)):
+            raise ValueError(
+                f"snapshot {from_snapshot}→{to_snapshot} of {out_dir} "
+                f"un-deletes positions on pid {pid} — the window crosses a "
+                "rollback; CDC across a rewritten log is undefined"
+            )
+        if pid not in fr_set:
+            continue  # masks on in-window pids: never visible at either end
+        d = np.setdiff1d(to_pos, from_pos).astype(np.uint32)
+        if len(d):
+            diff[pid] = d
+    if diff:
+        rows_by_pid = mf.load_rows(out_dir, sorted(diff))
+        schema_bytes = arrow_schema.serialize().to_pybytes()
+        import pandas as pd
+
+        spec_pdf = pd.DataFrame(
+            {
+                "block_path": [rows_by_pid[p]["block_path"] for p in sorted(diff)],
+                "pos_b64": [
+                    _b64.b64encode(diff[p].astype("<u4").tobytes()).decode()
+                    for p in sorted(diff)
+                ],
+            }
+        )
+        src = spark.createDataFrame(spec_pdf).repartition(
+            min(len(spec_pdf), spark.sparkContext.defaultParallelism * 4)
+        )
+
+        def deleted_rows(batches):
+            schema = pa.ipc.read_schema(pa.py_buffer(schema_bytes))
+            for batch in batches:
+                for path, pos_b64 in zip(
+                    batch.column(0).to_pylist(), batch.column(1).to_pylist()
+                ):
+                    pos = np.frombuffer(_b64.b64decode(pos_b64), dtype="<u4")
+                    tbl = pa.Table.from_batches(
+                        list(read_block_file(path, schema, None, None))
+                    )
+                    taken = tbl.take(pa.array(pos.astype("int64")))
+                    taken = taken.append_column(
+                        "_change_type",
+                        pa.array(["delete"] * taken.num_rows, type=pa.string()),
+                    )
+                    yield from taken.to_batches()
+
+        parts.append(src.mapInArrow(deleted_rows, out_schema))
+
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out
