@@ -3201,13 +3201,21 @@ def read_changes(
         schema_bytes = arrow_schema.serialize().to_pybytes()
         import pandas as pd
 
+        # positions ride COMPRESSED (pos32/bitmap/all, zstd'd) — a mass
+        # retention delete of 1M-row blocks would otherwise put ~4 MB of
+        # raw uint32 per block on the driver and in every task payload
+        enc_specs = [
+            (rows_by_pid[p]["block_path"],
+             *dl.encode_positions(diff[p], int(rows_by_pid[p]["n_rows"])),
+             int(rows_by_pid[p]["n_rows"]))
+            for p in sorted(diff)
+        ]
         spec_pdf = pd.DataFrame(
             {
-                "block_path": [rows_by_pid[p]["block_path"] for p in sorted(diff)],
-                "pos_b64": [
-                    _b64.b64encode(diff[p].astype("<u4").tobytes()).decode()
-                    for p in sorted(diff)
-                ],
+                "block_path": [s[0] for s in enc_specs],
+                "enc": [s[1] for s in enc_specs],
+                "data": [s[2] for s in enc_specs],
+                "n_rows": [s[3] for s in enc_specs],
             }
         )
         src = spark.createDataFrame(spec_pdf).repartition(
@@ -3215,12 +3223,15 @@ def read_changes(
         )
 
         def deleted_rows(batches):
+            from rugo_spark import deletes as _dl
+
             schema = pa.ipc.read_schema(pa.py_buffer(schema_bytes))
             for batch in batches:
-                for path, pos_b64 in zip(
-                    batch.column(0).to_pylist(), batch.column(1).to_pylist()
+                for path, enc, data, n_rows in zip(
+                    batch.column(0).to_pylist(), batch.column(1).to_pylist(),
+                    batch.column(2).to_pylist(), batch.column(3).to_pylist(),
                 ):
-                    pos = np.frombuffer(_b64.b64decode(pos_b64), dtype="<u4")
+                    pos = _dl.decode_positions(enc, data, int(n_rows))
                     tbl = pa.Table.from_batches(
                         list(read_block_file(path, schema, None, None))
                     )
