@@ -69,3 +69,38 @@ def test_grouped_encode_single_data_shuffle(spark):
     assert plan.count("Exchange hashpartitioning(doc_id") == 0, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "BroadcastExchange" in plan  # the cum-mass map ships broadcast
+
+
+def test_zorder_key_stays_jvm_side(spark):
+    """The Morton bucket+interleave must be one codegen'd column expression —
+    no Python evaluation node anywhere in the plan."""
+    from rugo_spark.ops.zorder import zorder_key
+
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    z = df.withColumn(
+        "z", zorder_key(df, ["l_orderkey", "l_partkey"],
+                        {"l_orderkey": (1, 60000), "l_partkey": (1, 20000)})
+    )
+    plan = _plan(z.select("z"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # '*(' prefixes whole-stage-codegen'd operators in executedPlan strings
+    assert "*(1) Project" in plan and "shiftleft" in plan
+
+
+def test_cdc_insert_side_restricts_plan(spark, tmp_out):
+    """read_changes' insert decode plans ONLY the added pid ranges — the
+    manifest rows feeding the decoder shrink to the appended band."""
+    import pyspark.sql.functions as F
+
+    from rugo_spark.engine import append_table, encode_table, read_changes
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    encode_table(df.filter(F.col("o_orderkey") % 2 == 0), tmp_out,
+                 key_col="o_orderkey", num_partitions=4)
+    append_table(df.filter(F.col("o_orderkey") % 2 == 1), tmp_out)
+    ch = read_changes(spark, tmp_out, 1, 2)
+    # everything the diff returns is the appended half — and the decode that
+    # produced it planned 1 band's blocks, not 5 (4 base + band)
+    assert ch.count() == df.filter(F.col("o_orderkey") % 2 == 1).count()
+    plan = _plan(ch)
+    assert plan.count("MapInArrow") == 1  # one decoder, no delete side
