@@ -728,6 +728,11 @@ def append_table(
                 "the append may be stricter on nullability, never looser; "
                 "pass allow_new_columns=True to add new nullable columns)"
             )
+    # CHECK constraints: one early-exit pass over the incoming rows,
+    # BEFORE any band is reserved (a violation leaves nothing to reclaim).
+    # SQL CHECK semantics: only rows where a constraint is FALSE violate
+    # (NULL passes).  Merge and update route through here too.
+    _enforce_constraints(df, out_dir)
     appends_dir = os.path.join(out_dir, mf.APPENDS_DIR)
     os.makedirs(appends_dir, exist_ok=True)
     marker = os.path.join(appends_dir, f"append-{fp[:16]}.json")
@@ -1174,6 +1179,76 @@ def delete_where(
             os.remove(lock)
         except OSError:
             pass
+
+
+def set_constraint(out_dir: str, name: str, expr: str) -> dict:
+    """Register a CHECK constraint (the Delta ``ALTER TABLE … ADD
+    CONSTRAINT`` analog): a SQL boolean expression every FUTURE write must
+    satisfy — enforced at the single write choke-point (``append_table``,
+    which merge/update also route through) against the incoming rows only,
+    so the check costs one pass over the WRITE, never the table.  The
+    expression is validated against the current schema here; existing rows
+    are NOT retro-checked (same as Delta).  Returns the constraint map."""
+    import pyspark.sql.functions as F
+
+    payload = mf.read_schema_payload(out_dir)
+    if payload is None:
+        raise ValueError(f"{out_dir} is not an encoded dataset")
+    # fail fast on typos: the expression must parse and reference only
+    # dataset columns (resolution happens against an empty frame)
+    from pyspark.sql import SparkSession as _SS
+
+    spark = _SS.getActiveSession()
+    if spark is not None:
+        from pyspark.sql.types import StructType
+
+        probe = spark.createDataFrame(
+            [], StructType.fromJson(payload["spark_schema"])
+        )
+        try:
+            probe.filter(F.expr(expr)).schema
+        except Exception as e:  # noqa: BLE001 — surface the parser's message
+            raise ValueError(f"constraint {name!r} does not resolve: {e}") from e
+    cons = dict(payload.get("constraints") or {})
+    cons[name] = expr
+    payload["constraints"] = cons
+    mf.write_schema_payload(out_dir, payload)
+    return cons
+
+
+def drop_constraint(out_dir: str, name: str) -> dict:
+    payload = mf.read_schema_payload(out_dir) or {}
+    cons = dict(payload.get("constraints") or {})
+    if name not in cons:
+        raise ValueError(
+            f"no constraint {name!r} on {out_dir}; have {sorted(cons)}"
+        )
+    del cons[name]
+    payload["constraints"] = cons
+    mf.write_schema_payload(out_dir, payload)
+    return cons
+
+
+def _enforce_constraints(df: DataFrame, out_dir: str) -> None:
+    """One early-exit pass over the incoming rows: ANY constraint violation
+    aborts the write BEFORE a band is reserved (nothing to reclaim)."""
+    import pyspark.sql.functions as F
+
+    cons = (mf.read_schema_payload(out_dir) or {}).get("constraints") or {}
+    if not cons:
+        return
+    names = sorted(cons)
+    # one combined filter + limit(1): Spark stops at the first offender
+    viol = df.filter(
+        ~F.expr(" AND ".join(f"({cons[n]})" for n in names))
+    ).limit(1).collect()
+    if viol:
+        row = viol[0].asDict()
+        shown = {k: (str(v)[:80] if v is not None else None) for k, v in row.items()}
+        raise ValueError(
+            f"write to {out_dir} violates CHECK constraint(s) {names}: "
+            f"first offending row {shown}"
+        )
 
 
 def _matched_key_mask_entries(
