@@ -2773,15 +2773,27 @@ def _block_may_match(codecs: dict, col: str, op: str, value) -> bool:
         return True
     lo, hi = meta["min"], meta["max"]
     if isinstance(lo, str) and not isinstance(value, str):
-        # decimal128 min/max serialize as strings in the JSON sidecar
-        # (json.dumps(default=str)); compare numerically via Decimal so
-        # decimal stats actually prune instead of TypeError-ing to a scan
-        try:
-            from decimal import Decimal
+        # temporal min/max ALSO serialize as strings (same default=str);
+        # str(datetime/date) is zero-padded ISO, so rendering the probe the
+        # same way makes lexicographic comparison equal value order — without
+        # this every timestamp/date predicate degraded to a full scan (the
+        # Decimal fallback below raises InvalidOperation on '2024-01-03 …')
+        import datetime as _dt
 
-            lo, hi, value = Decimal(lo), Decimal(hi), Decimal(str(value))
-        except ArithmeticError:
-            return True
+        if isinstance(value, (_dt.datetime, _dt.date)):
+            if getattr(value, "tzinfo", None) is not None:
+                return True  # tz-aware probe vs naive stats: scan, don't guess
+            value = str(value)
+        else:
+            # decimal128 min/max serialize as strings in the JSON sidecar
+            # (json.dumps(default=str)); compare numerically via Decimal so
+            # decimal stats actually prune instead of TypeError-ing to a scan
+            try:
+                from decimal import Decimal
+
+                lo, hi, value = Decimal(lo), Decimal(hi), Decimal(str(value))
+            except ArithmeticError:
+                return True
     try:
         if op == "=":
             return lo <= value <= hi

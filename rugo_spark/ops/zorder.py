@@ -25,22 +25,40 @@ compute the same key (bounds persist in the schema payload).
 """
 from __future__ import annotations
 
-import json
-
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 _NUMERIC = {"byte", "short", "int", "integer", "bigint", "long", "float",
             "double", "date", "timestamp", "timestamp_ntz"}
+_TEMPORAL = {"date", "timestamp", "timestamp_ntz"}
 
 
 def _as_double(col: Column, dtype: str) -> Column:
     if dtype in ("timestamp", "timestamp_ntz"):
-        # microseconds keep sub-second resolution through the double mantissa
+        # microseconds keep sub-second resolution through the double mantissa.
+        # unix_micros rejects TIMESTAMP_NTZ (Spark 4); the cast applies the
+        # session tz to data column AND bounds identically, so the bucket
+        # mapping stays monotone-consistent
+        if dtype == "timestamp_ntz":
+            col = col.cast("timestamp")
         return F.unix_micros(col).cast("double")
     if dtype == "date":
         return F.datediff(col, F.lit("1970-01-01")).cast("double")
     return col.cast("double")
+
+
+def _bound_as_double(value, dtype: str) -> Column:
+    """A bound (lo/hi) as the SAME double the data column maps to.
+
+    Temporal bounds arrive as datetime/date objects (metadata_agg) or as
+    strings (the persisted z-order spec round-trips bounds via ``str``);
+    routing them through ``F.lit(str(v)).cast(dtype)`` and then the same
+    ``_as_double`` expression as the column guarantees bucket consistency
+    under whatever timezone semantics the session applies — a Python-side
+    ``float(bound)`` would crash on datetimes and drift on tz."""
+    if dtype in _TEMPORAL:
+        return _as_double(F.lit(str(value)).cast(dtype), dtype)
+    return F.lit(float(value)).cast("double")
 
 
 def zorder_key(
@@ -76,9 +94,11 @@ def zorder_key(
                 f"numeric/date/timestamp columns interleave ({sorted(_NUMERIC)})"
             )
         lo, hi = bounds[c]
-        lo_d, hi_d = float(lo), float(hi)
-        span = (hi_d - lo_d) or 1.0
-        scaled = (_as_double(F.col(c), dtypes[c]) - F.lit(lo_d)) / F.lit(span)
+        lo_d = _bound_as_double(lo, dtypes[c])
+        hi_d = _bound_as_double(hi, dtypes[c])
+        raw_span = hi_d - lo_d
+        span = F.when(raw_span == 0, F.lit(1.0)).otherwise(raw_span)
+        scaled = (_as_double(F.col(c), dtypes[c]) - lo_d) / span
         b = F.least(
             F.greatest((scaled * max_bucket).cast("long"), F.lit(0)),
             F.lit(max_bucket),
@@ -156,6 +176,15 @@ def zorder_dataset(
         "z_col": z_col,
         "n_blocks": int(n_blocks),
     }
+
+
+def zorder_key_from_spec(df: DataFrame, spec: dict) -> Column:
+    """Reproduce the Morton key of a persisted z-order spec (the
+    ``"zorder"`` entry ``zorder_dataset`` writes into the schema payload)
+    on NEW rows — the append path: compute the same key, append sorted,
+    and the new blocks prune on the same dimensions as the rewrite."""
+    bounds = {c: tuple(b) for c, b in spec["bounds"].items()}
+    return zorder_key(df, list(spec["cols"]), bounds, bits=int(spec["bits"]))
 
 
 def pruned_fraction(out_dir: str, filters: list[tuple]) -> float:

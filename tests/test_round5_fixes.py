@@ -270,3 +270,37 @@ def test_plan_cache_never_hijacks_identityless_inputs(spark, tmp_path):
     assert len(mf.completed_partitions(small)) > 1, (
         "30k-target encode reused the 1-partition cached plan"
     )
+
+
+# --------------------------------------------------------------- review find:
+# timestamp/date min/max serialize as strings in sidecars (default=str) but
+# probe values are datetime objects; the Decimal fallback raised
+# InvalidOperation -> every temporal predicate degraded to a full scan.
+
+
+def test_temporal_stats_prune_blocks():
+    import datetime as dt
+
+    from rugo_spark.engine import _block_may_match
+
+    codecs = {"ts": {"min": "2024-01-05 00:00:00", "max": "2024-01-06 12:30:00"},
+              "d": {"min": "2024-01-05", "max": "2024-01-06"}}
+    inside = dt.datetime(2024, 1, 5, 10, 0)
+    before = dt.datetime(2024, 1, 1)
+    after = dt.datetime(2024, 2, 1)
+    assert _block_may_match(codecs, "ts", "=", inside)
+    assert not _block_may_match(codecs, "ts", "=", before)
+    assert not _block_may_match(codecs, "ts", "=", after)
+    assert not _block_may_match(codecs, "ts", "<", dt.datetime(2024, 1, 5))
+    assert _block_may_match(codecs, "ts", "<=", dt.datetime(2024, 1, 5))
+    assert not _block_may_match(codecs, "ts", ">", dt.datetime(2024, 1, 6, 12, 30))
+    assert _block_may_match(codecs, "ts", ">=", dt.datetime(2024, 1, 6, 12, 30))
+    # fractional-second probes compare correctly against whole-second stats
+    assert _block_may_match(codecs, "ts", ">", dt.datetime(2024, 1, 6, 12, 29, 59, 500000))
+    assert not _block_may_match(codecs, "ts", ">", dt.datetime(2024, 1, 6, 12, 30, 0, 1))
+    # dates
+    assert _block_may_match(codecs, "d", "=", dt.date(2024, 1, 5))
+    assert not _block_may_match(codecs, "d", "=", dt.date(2024, 1, 7))
+    # tz-aware probe vs naive stats: conservative scan, never a wrong skip
+    aware = dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc)
+    assert _block_may_match(codecs, "ts", "=", aware)

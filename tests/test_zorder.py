@@ -92,3 +92,61 @@ def test_zorder_validation(spark, grid_df, tmp_path):
         zorder_key(grid_df, ["x", "y"], {"x": (0, 1), "y": (0, 1)}, bits=32)
     with pytest.raises(ValueError, match="unknown z-order column"):
         zorder_key(grid_df, ["nope"], {"nope": (0, 1)})
+
+def test_zorder_temporal_columns_and_spec_roundtrip(spark, tmp_path):
+    """Date/timestamp z-order columns work end-to-end (the type gate allows
+    them; bounds from metadata_agg arrive as datetime objects and the
+    persisted spec round-trips them as strings — both must map to the SAME
+    bucket expression as the data column), and zorder_key_from_spec
+    reproduces the rewrite's key bit-identically on new rows."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from rugo_spark.ops.zorder import zorder_key_from_spec
+
+    n = 4096
+    rng = np.random.default_rng(7)
+    base = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame({
+        "ts": [base + dt.timedelta(minutes=int(m)) for m in rng.integers(0, 60 * 24 * 30, n)],
+        "k": rng.integers(0, 1000, n).astype("int64"),
+        "v": np.arange(n, dtype="int64"),
+    })
+    df = spark.createDataFrame(pdf)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    encode_table(df, src, key_col="v", num_partitions=8)
+    meta = zorder_dataset(spark, src, dst, ["ts", "k"], num_partitions=8)
+    got = decode_table(spark, dst)
+    assert got.count() == n
+    # pruning bites on the timestamp dimension
+    lo = base + dt.timedelta(days=3)
+    hi = base + dt.timedelta(days=4)
+    f_ts = pruned_fraction(dst, [("ts", ">=", lo), ("ts", "<=", hi)])
+    assert f_ts >= 0.25, f"ts-range pruned only {f_ts:.2f}"
+    # the persisted spec (string bounds) reproduces the key on new rows
+    spec = (mf.read_schema_payload(dst) or {})["zorder"]
+    with_key = df.withColumn("z2", zorder_key_from_spec(df, spec))
+    direct = df.withColumn(
+        "z1", zorder_key(df, meta["cols"],
+                         {c: tuple(b) for c, b in meta["bounds"].items()},
+                         bits=meta["bits"]))
+    a = with_key.select("v", "z2").toPandas().sort_values("v")
+    b = direct.select("v", "z1").toPandas().sort_values("v")
+    assert a["z2"].tolist() == b["z1"].tolist()
+
+
+def test_zorder_degenerate_span(spark, tmp_path):
+    """A constant z-order column (span 0) buckets to 0 instead of
+    dividing by zero / NaN-flooding the key."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"a": np.full(100, 7, dtype="int64"),
+                        "b": np.arange(100, dtype="int64")})
+    df = spark.createDataFrame(pdf)
+    z = zorder_key(df, ["a", "b"], {"a": (7, 7), "b": (0, 99)}, bits=6)
+    out = df.withColumn("z", z).toPandas()
+    assert (out["z"] >= 0).all()
+    # 'a' contributes nothing; key is monotone in b's buckets
+    assert out.sort_values("b")["z"].is_monotonic_increasing
