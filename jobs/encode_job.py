@@ -70,6 +70,19 @@ def main(argv: list[str] | None = None) -> int:
                         "file whose first column holds the keys (GDPR/"
                         "takedown shape); matches on --key-col. Pure "
                         "metadata commit, same masks as --delete-where.")
+    p.add_argument("--consolidate-deletes", action="store_true",
+                   help="maintenance on --output instead of encoding: fold "
+                        "every visible position-delete file into one "
+                        "(rewrite-position-deletes analog). Readers then "
+                        "load one mask file instead of one per DML commit.")
+    p.add_argument("--expire-snapshots", metavar="KEEP_LAST", type=int,
+                   help="maintenance on --output instead of encoding: drop "
+                        "expired snapshot history, keeping the newest N "
+                        "entries, and GC delete files they were the last "
+                        "reference to. Combine with --expire-older-than-s.")
+    p.add_argument("--expire-older-than-s", metavar="SECONDS", type=float,
+                   help="with --expire-snapshots: also keep every entry "
+                        "younger than now minus SECONDS")
     p.add_argument("--merge-key", metavar="COL",
                    help="MERGE INTO / upsert --input into --output on this "
                         "key: existing rows whose key appears in the input "
@@ -134,6 +147,25 @@ def main(argv: list[str] | None = None) -> int:
         finally:
             spark.stop()
         return 0
+    if args.consolidate_deletes or args.expire_snapshots is not None:
+        if args.input:
+            p.error("maintenance flags operate on --output alone; drop --input")
+        out: dict = {}
+        if args.consolidate_deletes:
+            from rugo_spark.deletes import consolidate_delete_files
+
+            out["consolidate_deletes"] = consolidate_delete_files(args.output)
+        if args.expire_snapshots is not None:
+            from rugo_spark import manifest as mf
+
+            out["expire_snapshots"] = mf.expire_snapshots(
+                args.output, keep_last=args.expire_snapshots,
+                older_than_s=args.expire_older_than_s,
+            )
+        print(json.dumps(out))
+        return 0
+    if args.expire_older_than_s is not None:
+        p.error("--expire-older-than-s requires --expire-snapshots")
     if args.delete_keys:
         if args.input:
             p.error("--delete-keys operates on --output alone; drop --input")
@@ -227,10 +259,12 @@ def main(argv: list[str] | None = None) -> int:
         n = dec.count()
         if args.append:
             # the summary counts only this append's band; verify against the
-            # WHOLE dataset's manifest accounting
-            from rugo_spark.engine import manifest_df
+            # WHOLE dataset's accounting — metadata_agg, not raw manifest
+            # sums, so position-delete masks subtract (appending to a
+            # dataset with live deletes would otherwise always trip this)
+            from rugo_spark.engine import metadata_agg
 
-            want = int(manifest_df(spark, args.output).agg(F.sum("n_rows")).first()[0])
+            want = int(metadata_agg(spark, args.output).first()["n_rows"])
         else:
             want = summary["rows"]
         assert n == want, f"decode rows {n} != manifest {want}"

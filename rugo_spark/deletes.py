@@ -129,12 +129,22 @@ def visible_delete_files(out_dir: str, snapshot_id: int | None = None) -> list[s
         if entry is None:
             raise ValueError(f"unknown snapshot_id {snapshot_id} for {out_dir}")
         return sorted(entry.get("delete_files") or [])
-    names: set[str] = set()
-    for e in mf.snapshot_log(out_dir, strict=False):
-        names.update(e.get("delete_files") or [])
+    # Current state = the LAST entry's list (cumulative — or exactly the
+    # consolidated file after a replace-mode commit) plus completed-marker
+    # files no entry has folded yet (the heal window: a marker flip whose
+    # follow-up snapshot append crashed).  Files referenced only by OLDER
+    # entries are history, not current state — that's what lets a
+    # consolidation supersede its inputs without touching them.
+    log = mf.snapshot_log(out_dir, strict=False)
+    names: set[str] = set(log[-1].get("delete_files") or []) if log else set()
+    in_any_entry: set[str] = set()
+    for e in log:
+        in_any_entry.update(e.get("delete_files") or [])
     for m in mf.append_reservations(out_dir):
         if m.get("complete"):
-            names.update(m.get("delete_files") or [])
+            names.update(
+                n for n in (m.get("delete_files") or []) if n not in in_any_entry
+            )
     return sorted(names)
 
 
@@ -231,3 +241,107 @@ def gc_orphans(out_dir: str) -> int:
             except OSError:
                 pass
     return removed
+
+
+def consolidate_delete_files(out_dir: str) -> dict:
+    """Union every visible position-delete file into ONE (the Iceberg
+    rewrite-position-deletes analog).  Each DML commit adds a file that
+    every reader must open and union forever; after thousands of commits
+    the mask read, not the data, paces planning.  This folds them:
+
+    1. Under the writer lock (all DML commits take it — the input set
+       cannot move), read the visible files and union positions per pid.
+       Files are position-disjoint per pid by construction (writers
+       subtract already-visible positions), so unions concatenate and
+       row/token totals sum exactly.
+    2. Write one consolidated file (deterministic name from the input set
+       — a re-run after a crash rewrites the same bytes).
+    3. Commit a snapshot entry referencing EXACTLY the new file
+       (``replace_delete_files``) — the atomic supersede point.  Older
+       entries keep the inputs alive for time travel until
+       ``expire_snapshots`` drops them; then the orphan GC reclaims.
+    4. Strip the folded names from completed append markers (a merge's
+       file rides its marker) so expiry actually orphans them.  A crash
+       mid-strip is harmless: masks union idempotently, and the next
+       consolidation strips the rest.
+
+    Returns ``{"files_before", "files_after", "n_deleted",
+    "snapshot_id"}``; fewer than two visible files is a no-op."""
+    import hashlib
+
+    from rugo_spark import manifest as mf
+
+    lock = mf._acquire_consolidate_lock(out_dir)
+    try:
+        names = visible_delete_files(out_dir)
+        if len(names) < 2:
+            return {"files_before": len(names), "files_after": len(names),
+                    "n_deleted": 0, "snapshot_id": None}
+        per_pid: dict[int, dict] = {}
+        for name in names:
+            payload = read_delete_file(out_dir, name)
+            for e in payload.get("entries", []):
+                pid = int(e["pid"])
+                cur = per_pid.setdefault(
+                    pid, {"n_rows": int(e["n_rows"]), "raw": [], "tokens": 0}
+                )
+                if cur["n_rows"] != int(e["n_rows"]):
+                    raise ValueError(
+                        f"delete files disagree on pid {pid} row count "
+                        f"({cur['n_rows']} vs {e['n_rows']}) — refusing to "
+                        "consolidate inconsistent masks"
+                    )
+                cur["raw"].append((e["enc"], e.get("data", ""), int(e["n_rows"])))
+                cur["tokens"] += int(e.get("deleted_tokens") or 0)
+        entries = []
+        for pid in sorted(per_pid):
+            m = per_pid[pid]
+            pos = union_positions(m["raw"])
+            enc, data = encode_positions(pos, m["n_rows"])
+            entries.append({
+                "pid": pid, "n_rows": m["n_rows"], "n_deleted": int(len(pos)),
+                "deleted_tokens": int(m["tokens"]), "enc": enc, "data": data,
+            })
+        fp = hashlib.sha256("\n".join(names).encode()).hexdigest()[:16]
+        new_name = f"delete-consolidated-{fp}.json"
+        write_delete_file(out_dir, new_name, entries,
+                          predicate=[["consolidates", names]])
+        entry = mf.commit_snapshot(
+            out_dir, "consolidate-deletes",
+            extra={"consolidated_files": len(names)},
+            replace_delete_files=[new_name],
+        )
+        # Strip folded names — and any name a snapshot entry already
+        # references durably (the marker's copy is redundant once an entry
+        # carries it; leaving it would resurrect the file into the visible
+        # set after expiry drops the entries, blocking GC forever) — from
+        # completed markers.
+        folded = set(names)
+        for e in mf.snapshot_log(out_dir, strict=False):
+            folded.update(e.get("delete_files") or [])
+        for m in mf.append_reservations(out_dir):
+            have = m.get("delete_files") or []
+            keep = [n for n in have if n not in folded]
+            if m.get("complete") and len(keep) != len(have):
+                path = m["_path"]
+                clean = {k: v for k, v in m.items() if k != "_path"}
+                if keep:
+                    clean["delete_files"] = keep
+                else:
+                    clean.pop("delete_files", None)
+                tmp = path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(clean, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, path)
+        return {
+            "files_before": len(names), "files_after": 1,
+            "n_deleted": int(sum(e["n_deleted"] for e in entries)),
+            "snapshot_id": int(entry["id"]) if entry else None,
+        }
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass

@@ -1006,7 +1006,10 @@ def _predicate_mask_entries(
     match the predicate by construction and must never be re-masked)."""
     from rugo_spark import deletes as dl
 
-    arrow_schema, _ = mf.read_schema(out_dir)
+    arrow_schema, spark_schema_json = mf.read_schema(out_dir)
+    from pyspark.sql.types import StructType as _ST
+
+    filters = _normalize_temporal_filters(_ST.fromJson(spark_schema_json), filters)
     payload_schema = mf.read_schema_payload(out_dir) or {}
     if size_col is None:
         size_col = payload_schema.get("size_col")
@@ -2764,6 +2767,73 @@ def decode_dataset(spark: SparkSession, dataset_dir: str, **kwargs) -> DataFrame
 
 # ------------------------------------------------------------- decode job
 
+def _parse_temporal_stat(s: str):
+    """A sidecar temporal stat string back to a datetime, else None.
+    Handles space/'T' separators, offsets, and over-long fractions."""
+    import datetime as _dt
+    import re as _re
+
+    try:
+        return _dt.datetime.fromisoformat(s)
+    except (ValueError, TypeError):
+        pass
+    try:  # trim >6 fractional digits (numpy datetime64 renders nanoseconds)
+        trimmed = _re.sub(r"(\.\d{6})\d+", r"\1", s)
+        return _dt.datetime.fromisoformat(trimmed)
+    except (ValueError, TypeError):
+        return None
+
+
+def _session_tz_name() -> str | None:
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is None:
+            return None
+        return s.conf.get("spark.sql.session.timeZone")
+    except Exception:  # noqa: BLE001 — planning must never crash on conf reads
+        return None
+
+
+def _normalize_temporal_filters(schema, filters: list | None) -> list | None:
+    """Driver-side: render naive datetime probes for ltz timestamp columns
+    as UTC-aware instants (the session-timezone interpretation Spark itself
+    applies to naive literals).  Stats for ltz columns serialize tz-aware,
+    so normalized probes compare exactly — including on EXECUTORS, where
+    the distributed planner and stripe-skip tests cannot reach the session
+    conf.  ntz/date probes stay naive (their stats are naive wall times)."""
+    if not filters:
+        return filters
+    import datetime as _dt
+
+    from pyspark.sql.types import TimestampType
+
+    types = {f.name: f.dataType for f in schema.fields}
+    tz = None
+    out = []
+    for c, op, v in filters:
+        if isinstance(types.get(c), TimestampType) and isinstance(v, _dt.datetime):
+            if v.tzinfo is None:
+                if tz is None:
+                    tzname = _session_tz_name()
+                    if tzname is not None:
+                        try:
+                            from zoneinfo import ZoneInfo
+
+                            tz = ZoneInfo(tzname)
+                        except (KeyError, ValueError, OSError):
+                            tz = False
+                    else:
+                        tz = False
+                if tz:
+                    v = v.replace(tzinfo=tz).astimezone(_dt.timezone.utc)
+            else:
+                v = v.astimezone(_dt.timezone.utc)
+        out.append((c, op, v))
+    return out
+
+
 def _block_may_match(codecs: dict, col: str, op: str, value) -> bool:
     """Conservative block-skip test from manifest min/max stats (the rugo
     min/max external-pruning pattern, metadata.cpp:430-463).  True = must
@@ -2773,17 +2843,37 @@ def _block_may_match(codecs: dict, col: str, op: str, value) -> bool:
         return True
     lo, hi = meta["min"], meta["max"]
     if isinstance(lo, str) and not isinstance(value, str):
-        # temporal min/max ALSO serialize as strings (same default=str);
-        # str(datetime/date) is zero-padded ISO, so rendering the probe the
-        # same way makes lexicographic comparison equal value order — without
-        # this every timestamp/date predicate degraded to a full scan (the
-        # Decimal fallback below raises InvalidOperation on '2024-01-03 …')
+        # temporal min/max ALSO serialize as strings (same default=str) —
+        # tz-AWARE for ltz timestamp columns (Arrow stores them as UTC
+        # instants: '… 03:00:00+00:00'), naive for ntz/date.  Parse them
+        # back to datetimes and compare as instants; a naive probe against
+        # aware stats is interpreted in the session timezone (exactly what
+        # Spark itself does with a naive literal) and conservatively scans
+        # when no session is reachable (executor-side planners receive
+        # probes already normalized by _normalize_temporal_filters).
+        # Without this branch every timestamp/date predicate degraded to a
+        # full scan (the Decimal fallback raises InvalidOperation on dates).
         import datetime as _dt
 
         if isinstance(value, (_dt.datetime, _dt.date)):
-            if getattr(value, "tzinfo", None) is not None:
-                return True  # tz-aware probe vs naive stats: scan, don't guess
-            value = str(value)
+            plo, phi = _parse_temporal_stat(lo), _parse_temporal_stat(hi)
+            if plo is None or phi is None:
+                return True
+            if not isinstance(value, _dt.datetime):
+                value = _dt.datetime(value.year, value.month, value.day)
+            if (plo.tzinfo is None) != (value.tzinfo is None):
+                if value.tzinfo is not None:
+                    return True  # aware probe vs ntz stats: wall clock unknown
+                tzname = _session_tz_name()
+                if tzname is None:
+                    return True
+                try:
+                    from zoneinfo import ZoneInfo
+
+                    value = value.replace(tzinfo=ZoneInfo(tzname))
+                except (KeyError, ValueError, OSError):
+                    return True
+            lo, hi = plo, phi
         else:
             # decimal128 min/max serialize as strings in the JSON sidecar
             # (json.dumps(default=str)); compare numerically via Decimal so
@@ -3013,6 +3103,7 @@ def decode_table(
     from pyspark.sql.types import StructType
 
     full = StructType.fromJson(spark_schema_json)
+    filters = _normalize_temporal_filters(full, filters)
     # filters referencing non-projected columns: decode them too, filter
     # exactly, then drop them (otherwise the exact re-apply would hit an
     # unresolved column)

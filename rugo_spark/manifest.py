@@ -947,6 +947,7 @@ def commit_snapshot(
     op: str,
     extra: dict | None = None,
     new_delete_files: list[str] | None = None,
+    replace_delete_files: list[str] | None = None,
 ) -> dict | None:
     """Append a snapshot entry describing the CURRENT visible state.  Cost:
     one column-pruned manifest scan (n_rows/n_tokens/output_bytes), the
@@ -966,10 +967,16 @@ def commit_snapshot(
     # crashed commits, and time travel reads ONE entry, never a log replay.
     # ``new_delete_files``: files THIS commit publishes (a plain DELETE's
     # file is referenced by nothing until its snapshot entry lands — this
-    # parameter IS the reference)
-    delete_files = sorted(
-        set(dl.visible_delete_files(out_dir)) | set(new_delete_files or [])
-    )
+    # parameter IS the reference).  ``replace_delete_files``: the entry
+    # references EXACTLY this list — delete-file consolidation commits the
+    # union file this way, superseding the inputs for current-state reads
+    # while older entries keep them alive for time travel until expiry.
+    if replace_delete_files is not None:
+        delete_files = sorted(replace_delete_files)
+    else:
+        delete_files = sorted(
+            set(dl.visible_delete_files(out_dir)) | set(new_delete_files or [])
+        )
     log = snapshot_log(out_dir, strict=False)
     if (
         log
@@ -978,8 +985,11 @@ def commit_snapshot(
     ):
         return None
     del_rows, del_tokens = dl.deleted_totals(out_dir, delete_files)
+    import time as _time
+
     entry = {
         "id": (int(log[-1]["id"]) + 1) if log else 1,
+        "ts": int(_time.time()),
         "op": op,
         "n_partitions": sum(b - a for a, b in ranges),
         "n_rows": sum(int(r.get("n_rows") or 0) for r in rows) - del_rows,
@@ -1029,19 +1039,60 @@ def rollback_mask(out_dir: str) -> list | None:
         )
 
 
-def expire_snapshots(out_dir: str, keep_last: int = 1) -> dict:
-    """Drop all but the newest ``keep_last`` snapshot log entries.  Metadata
-    only: within one dataset dir partitions are append-only, so every block
-    is referenced by the LATEST snapshot and expiring history never orphans
-    data (rollback, the one remover, deletes its blocks eagerly).  Kept ids
-    keep their numbering, so lineage references stay stable."""
+def expire_snapshots(
+    out_dir: str, keep_last: int = 1, older_than_s: float | None = None
+) -> dict:
+    """Drop expired snapshot log entries and GC delete files they were the
+    last reference to (the Iceberg ``expireSnapshots`` analog).
+
+    Retention: with only ``keep_last``, keep exactly the newest N entries.
+    With ``older_than_s``, keep every entry younger than ``now -
+    older_than_s`` AND at least the newest ``keep_last`` (entries from
+    before the ``ts`` field existed count as infinitely old).  Kept ids
+    keep their numbering, so lineage references stay stable; time travel
+    to an expired id raises with the surviving ids.
+
+    Blocks are never orphaned by expiry (partitions are append-only within
+    a dataset dir; rollback, the one remover, deletes its blocks eagerly)
+    — but POSITION-DELETE files superseded by a consolidation are kept
+    alive only by expired entries, so expiry runs the orphan GC.  Holds the
+    writer lock: racing a consolidation or rollback while rewriting the
+    log would lose one side's commit."""
+    import time as _time
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    log = snapshot_log(out_dir, strict=True)
-    kept = log[-keep_last:]
-    if len(kept) != len(log):
-        _write_snapshot_log(out_dir, kept)
-    return {"expired": len(log) - len(kept), "kept": [int(e["id"]) for e in kept]}
+    if rollback_mask(out_dir) is not None:
+        raise ValueError(
+            f"{out_dir} has an in-progress rollback; resume it before "
+            "expiring snapshots (the log is being rewritten)"
+        )
+    lock = _acquire_consolidate_lock(out_dir)
+    try:
+        log = snapshot_log(out_dir, strict=True)
+        if older_than_s is None:
+            kept = log[-keep_last:]
+        else:
+            cutoff = _time.time() - float(older_than_s)
+            tail_ids = {int(e["id"]) for e in log[-keep_last:]}
+            kept = [
+                e for e in log
+                if int(e["id"]) in tail_ids or float(e.get("ts") or 0) >= cutoff
+            ]
+        if len(kept) != len(log):
+            _write_snapshot_log(out_dir, kept)
+        from rugo_spark import deletes as dl
+
+        return {
+            "expired": len(log) - len(kept),
+            "kept": [int(e["id"]) for e in kept],
+            "delete_files_removed": dl.gc_orphans(out_dir),
+        }
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
 
 
 def rollback_to_snapshot(out_dir: str, snapshot_id: int) -> dict:

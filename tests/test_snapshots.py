@@ -251,7 +251,9 @@ def test_clear_manifest_removes_snapshot_state(spark, tmp_path, two_inputs):
 def test_expire_snapshots(spark, tmp_path, two_inputs):
     out = str(tmp_path / "ds")
     _encode_and_append(spark, out, two_inputs)
-    assert mf.expire_snapshots(out, keep_last=1) == {"expired": 1, "kept": [2]}
+    assert mf.expire_snapshots(out, keep_last=1) == {
+        "expired": 1, "kept": [2], "delete_files_removed": 0,
+    }
     with pytest.raises(ValueError, match="unknown snapshot_id 1"):
         eng.decode_table(spark, out, snapshot_id=1)
     # ids stay stable: snapshot 2 still addressable
