@@ -160,6 +160,36 @@ def q_delete_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(spark, out)
 
 
+def q_retention_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-file consolidation + snapshot retention (the Iceberg
+    rewrite-position-deletes / expireSnapshots analogs): encode orders,
+    commit TWO predicate deletes (two position-delete files), fold them
+    into ONE consolidated file, expire all history but the newest entry —
+    which physically GCs the superseded inputs — and decode.  The masked
+    row set must be IDENTICAL through the whole maintenance pipeline.
+    Oracle: the surviving rows."""
+    import os
+
+    from rugo_spark import deletes as dl
+    from rugo_spark import manifest as mf
+    from rugo_spark.engine import decode_table, delete_where, encode_table
+
+    df = _t(spark, sf_dir, "orders")
+    out = _fresh("retention_orders", sf_dir)
+    encode_table(df, out, key_col="o_orderkey", num_partitions=4)
+    delete_where(spark, out, [("o_totalprice", "<", 100000.0)])
+    delete_where(spark, out, [("o_orderstatus", "=", "F")])
+    res = dl.consolidate_delete_files(out)
+    assert res["files_before"] == 2 and res["files_after"] == 1
+    exp = mf.expire_snapshots(out, keep_last=1)
+    assert exp["delete_files_removed"] == 2, exp
+    on_disk = os.listdir(os.path.join(out, dl.DELETES_DIR))
+    assert [n for n in on_disk if not n.endswith(".tmp")] == [
+        n for n in dl.visible_delete_files(out)
+    ]
+    return decode_table(spark, out)
+
+
 def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot lineage (the Iceberg time-travel analog): encode the even
     orderkeys (snapshot 1), append the odd ones (snapshot 2), then read the
@@ -966,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are new; quality_score/roundtrip_{orders,events,part} were r4's
     # unmeasured tail.
     return {
+        "retention_maintenance": q_retention_maintenance,
         "cdc_read_changes": q_cdc_read_changes,
         "zorder_roundtrip": q_zorder_roundtrip,
         "update_where_roundtrip": q_update_where_roundtrip,
@@ -1213,6 +1244,11 @@ def oracle_sql() -> dict[str, str]:
         # (no o_totalprice/o_orderstatus NULLs in the synth table, so the
         # NOT-matched set is the plain complement)
         "delete_where_roundtrip": (
+            "SELECT * FROM orders "
+            "WHERE o_totalprice >= 100000 AND o_orderstatus <> 'F'"
+        ),
+        # same survivors through consolidate-deletes + expire + GC
+        "retention_maintenance": (
             "SELECT * FROM orders "
             "WHERE o_totalprice >= 100000 AND o_orderstatus <> 'F'"
         ),
