@@ -160,6 +160,25 @@ def q_delete_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(spark, out)
 
 
+def q_rename_drop_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column rename/drop evolution (the Iceberg RENAME/DROP COLUMN analog,
+    metadata-only — blocks are positional, so the dataset keeps its
+    physical namespace and readers apply a logical view): encode orders,
+    RENAME o_totalprice→price and DROP o_orderpriority, then filter + project
+    through the new names — stats pruning and block decode must work
+    through the translation.  Oracle: the same filter/projection in SQL."""
+    from rugo_spark import evolution as evo
+    from rugo_spark.engine import decode_table, encode_table
+
+    df = _t(spark, sf_dir, "orders")
+    out = _fresh("evolve_orders", sf_dir)
+    encode_table(df, out, key_col="o_orderkey", num_partitions=4)
+    evo.rename_column(out, "o_totalprice", "price")
+    evo.drop_column(out, "o_orderpriority")
+    got = decode_table(spark, out, filters=[("price", ">=", 200000.0)])
+    return got.select("o_orderkey", "price", "o_orderstatus")
+
+
 def q_retention_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete-file consolidation + snapshot retention (the Iceberg
     rewrite-position-deletes / expireSnapshots analogs): encode orders,
@@ -996,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are new; quality_score/roundtrip_{orders,events,part} were r4's
     # unmeasured tail.
     return {
+        "rename_drop_evolution": q_rename_drop_evolution,
         "retention_maintenance": q_retention_maintenance,
         "cdc_read_changes": q_cdc_read_changes,
         "zorder_roundtrip": q_zorder_roundtrip,
@@ -1246,6 +1266,11 @@ def oracle_sql() -> dict[str, str]:
         "delete_where_roundtrip": (
             "SELECT * FROM orders "
             "WHERE o_totalprice >= 100000 AND o_orderstatus <> 'F'"
+        ),
+        # rename o_totalprice→price + drop o_comment, filter via new name
+        "rename_drop_evolution": (
+            "SELECT o_orderkey, o_totalprice AS price, o_orderstatus "
+            "FROM orders WHERE o_totalprice >= 200000"
         ),
         # same survivors through consolidate-deletes + expire + GC
         "retention_maintenance": (

@@ -97,7 +97,13 @@ class RugoReader(DataSourceReader):
         # ship the schema as IPC bytes (picklable) — workers rebuild it
         self._schema_bytes = arrow_schema.serialize().to_pybytes()
         self.columns: list[str] | None = None
-        wanted = [f.name for f in schema.fields]
+        # rename/drop evolution: Spark speaks the LOGICAL view; pruning,
+        # stats and block decode run physically, batches rename on yield
+        from rugo_spark import evolution as evo
+
+        view = evo.column_view(mf.read_schema_payload(self.roots[0]))
+        self._l2p, self._p2l = evo.maps(view) if view else ({}, {})
+        wanted = [self._l2p.get(f.name, f.name) for f in schema.fields]
         # ordered compare: block decode is positional, so a reordered full
         # projection still needs an explicit column list
         if wanted != list(arrow_schema.names):
@@ -115,7 +121,9 @@ class RugoReader(DataSourceReader):
                 and len(f.attribute) == 1
                 and isinstance(f.value, (int, float, str, bool))
             ):
-                self.filters.append((f.attribute[0], op, f.value))
+                self.filters.append(
+                    (self._l2p.get(f.attribute[0], f.attribute[0]), op, f.value)
+                )
             yield f
 
     def partitions(self):
@@ -191,7 +199,12 @@ class RugoReader(DataSourceReader):
                 batches, dl.union_positions(list(partition.mask))
             )
         for batch in batches:
-            yield batch.select(order)
+            batch = batch.select(order)
+            if self._p2l:
+                batch = batch.rename_columns(
+                    [self._p2l.get(c, c) for c in batch.schema.names]
+                )
+            yield batch
 
 
 @dataclass
@@ -227,6 +240,15 @@ class RugoWriter(DataSourceArrowWriter):
             except FileNotFoundError:
                 existing = None
             if existing is not None:
+                from rugo_spark import evolution as evo
+
+                view = evo.column_view(mf.read_schema_payload(self.out_dir))
+                if view and any(e.get("as") or e.get("dropped") for e in view):
+                    raise ValueError(
+                        f"{self.out_dir} has renamed/dropped columns; "
+                        "format('rugo') append does not translate the "
+                        "logical view — use engine.append_table, which does"
+                    )
                 import pyarrow as pa
 
                 incoming = pa.ipc.read_schema(pa.py_buffer(self._arrow_schema_bytes))
@@ -425,10 +447,23 @@ class RugoDataSource(DataSource):
         return "rugo"
 
     def schema(self):
+        from rugo_spark import evolution as evo
         from rugo_spark import manifest as mf
 
-        _, spark_schema = mf.read_schema(_dataset_roots(_dataset_dir(self.options))[0])
+        root = _dataset_roots(_dataset_dir(self.options))[0]
+        _, spark_schema = mf.read_schema(root)
         st = StructType.fromJson(spark_schema)
+        view = evo.column_view(mf.read_schema_payload(root))
+        if view:
+            # expose the LOGICAL view: dropped columns hidden, renames applied
+            from pyspark.sql.types import StructField
+
+            by_name = {f.name: f for f in st.fields}
+            st = StructType([
+                StructField(evo.logical_name(e), by_name[e["name"]].dataType,
+                            by_name[e["name"]].nullable)
+                for e in view if not e.get("dropped")
+            ])
         cols = self.options.get("columns")
         if cols:
             want = [c.strip() for c in cols.split(",")]

@@ -428,6 +428,13 @@ def encode_table_maponly(
         # recorded so later delete commits can account exact token mass
         # (delete_where reads which column n_tokens summed)
         extra["size_col"] = size_col
+    # a RESUME must not blow away durable payload state the user added
+    # after the first run (CHECK constraints, a rename/drop column view,
+    # a z-order spec) — the schema rewrite below is unconditional
+    prior = mf.read_schema_payload(out_dir) or {}
+    for k in ("constraints", "column_view", "zorder"):
+        if k in prior and k not in extra:
+            extra[k] = prior[k]
     mf.write_schema(out_dir, _arrow_schema_of(df), df.schema.json(), extra=extra)
     encoder = _split_encoder(spark, out_dir, sort_key, size_col, plans)
     df.mapInArrow(encoder, mf.MANIFEST_DDL).write.mode("overwrite").format("noop").save()
@@ -684,6 +691,49 @@ def append_table(
     # derives from the dataset; the plain plan hash can collide across
     # lifecycle states)
     fp = _fingerprint if _fingerprint is not None else _input_fingerprint(df)
+    # column rename/drop evolution: incoming frames speak LOGICAL names —
+    # map them onto the physical layout (dropped positions get all-null
+    # placeholders: blocks are positional, the slot must stay) so the
+    # block format and the schema check below operate purely physically.
+    # Constraint exprs only ever reference columns whose logical name ==
+    # physical name (rename/drop refuse otherwise), so the enforcement
+    # pass below still resolves on the translated frame.
+    from rugo_spark import evolution as evo
+
+    _view = evo.column_view(prev)
+    if _view:
+        import pyspark.sql.functions as F
+        from pyspark.sql.types import StructType as _ST
+
+        _l2p, _ = evo.maps(_view)
+        phys = _ST.fromJson(prev["spark_schema"])
+        used, exprs = set(), []
+        for e in _view:
+            pn = e["name"]
+            if e.get("dropped"):
+                exprs.append(F.lit(None).cast(phys[pn].dataType).alias(pn))
+                continue
+            ln = evo.logical_name(e)
+            if ln not in df.columns:
+                raise ValueError(
+                    f"append input lacks dataset column {ln!r} of {out_dir}"
+                )
+            exprs.append(F.col(ln).alias(pn))
+            used.add(ln)
+        _extra_in = [c for c in df.columns if c not in used]
+        _taken = {e["name"] for e in _view}
+        for c in _extra_in:
+            if c in _taken:
+                raise ValueError(
+                    f"new column {c!r} collides with a historical column "
+                    f"name of {out_dir} (physical names are permanent); "
+                    "pick a fresh name"
+                )
+        df = df.select(*exprs, *[F.col(c) for c in _extra_in])
+        if sort_key is not None:
+            sort_key = _l2p.get(sort_key, sort_key)
+        if size_col is not None:
+            size_col = _l2p.get(size_col, size_col)
     ds_json = prev.get("spark_schema")
     in_json = json.loads(df.schema.json())
     ds_names = [f["name"] for f in ds_json.get("fields", [])]
@@ -828,6 +878,11 @@ def append_table(
                 for k, v in cur.items()
                 if k not in ("arrow_schema_b64", "spark_schema")
             }
+            if extras.get("column_view") is not None:
+                # the logical view must cover every physical position
+                extras["column_view"] = list(extras["column_view"]) + [
+                    {"name": n} for n in add
+                ]
             mf.write_schema(out_dir, union_arrow, json.dumps(union_spark), extra=extras)
     # commit: flip the completion marker LAST — readers (visible_partitions)
     # surface the whole band atomically, never a torn prefix.  Delete files
@@ -1127,6 +1182,11 @@ def delete_where(
     if not filters:
         raise ValueError("delete_where requires at least one (col, op, value) filter")
     arrow_schema, _ = mf.read_schema(out_dir)
+    from rugo_spark import evolution as evo
+
+    _view = evo.column_view(mf.read_schema_payload(out_dir))
+    if _view:
+        filters = evo.translate_filters(filters, evo.maps(_view)[0])
     for c, op, _v in filters:
         if c not in arrow_schema.names:
             raise ValueError(f"unknown column {c!r} in delete predicate")
@@ -1197,6 +1257,35 @@ def set_constraint(out_dir: str, name: str, expr: str) -> dict:
     payload = mf.read_schema_payload(out_dir)
     if payload is None:
         raise ValueError(f"{out_dir} is not an encoded dataset")
+    # rename/drop evolution invariant: constraint exprs only ever reference
+    # columns whose logical name == physical name — enforcement runs on the
+    # physically-translated append frame, where a renamed logical name
+    # would not resolve.  (rename/drop symmetrically refuse on columns a
+    # constraint references.)
+    from rugo_spark import evolution as evo
+
+    _view = evo.column_view(payload)
+    logical_schema = None
+    if _view:
+        _l2p, _ = evo.maps(_view)
+        renamed = sorted(ln for ln, pn in _l2p.items() if ln != pn)
+        offenders = [ln for ln in renamed if evo._identifier_in(expr, ln)]
+        if offenders:
+            raise ValueError(
+                f"constraint {name!r} references renamed column(s) "
+                f"{offenders}; constraints may only reference columns under "
+                "their original (physical) names — rewrite the dataset "
+                "(compact/zorder flattens the rename) to constrain these"
+            )
+        by_phys = {
+            f["name"]: f for f in payload["spark_schema"]["fields"]
+        }
+        logical_schema = {
+            "type": "struct",
+            "fields": [
+                dict(by_phys[pn], name=ln) for ln, pn in sorted(_l2p.items())
+            ],
+        }
     # fail fast on typos: the expression must parse and reference only
     # dataset columns (resolution happens against an empty frame)
     from pyspark.sql import SparkSession as _SS
@@ -1206,7 +1295,7 @@ def set_constraint(out_dir: str, name: str, expr: str) -> dict:
         from pyspark.sql.types import StructType
 
         probe = spark.createDataFrame(
-            [], StructType.fromJson(payload["spark_schema"])
+            [], StructType.fromJson(logical_schema or payload["spark_schema"])
         )
         try:
             probe.filter(F.expr(expr)).schema
@@ -1280,8 +1369,17 @@ def _matched_key_mask_entries(
     arrow_schema, _ = mf.read_schema(out_dir)
     payload_schema = mf.read_schema_payload(out_dir) or {}
     ds_json = payload_schema.get("spark_schema") or {}
+    # rename evolution: ``key_col`` names the column in the CALLER's frame
+    # (logical); the dataset side scans under the physical name
+    from rugo_spark import evolution as evo
+
+    _view = evo.column_view(payload_schema)
+    ds_key = key_col
+    if _view:
+        _l2p, _ = evo.maps(_view)
+        ds_key = _l2p.get(key_col, key_col)
     key_field = next(
-        (f for f in ds_json.get("fields", []) if f["name"] == key_col), None
+        (f for f in ds_json.get("fields", []) if f["name"] == ds_key), None
     )
     if key_field is None or not isinstance(key_field.get("type"), str):
         raise ValueError(
@@ -1294,7 +1392,7 @@ def _matched_key_mask_entries(
     ).first()
     if bounds["lo"] is None:
         return []
-    filters = [(key_col, ">=", bounds["lo"]), (key_col, "<=", bounds["hi"])]
+    filters = [(ds_key, ">=", bounds["lo"]), (ds_key, "<=", bounds["hi"])]
     cands = [
         r
         for r in mf.visible_partitions(
@@ -1320,8 +1418,8 @@ def _matched_key_mask_entries(
     lo, hi = bounds["lo"], bounds["hi"]
     size_col = payload_schema.get("size_col")
     tok_col = size_col if size_col in arrow_schema.names else None
-    decode_cols = sorted({key_col} | ({tok_col} if tok_col else set()))
-    k_type = arrow_schema.field(key_col).type
+    decode_cols = sorted({ds_key} | ({tok_col} if tok_col else set()))
+    k_type = arrow_schema.field(ds_key).type
 
     src = spark.createDataFrame(
         pd.DataFrame(
@@ -1353,7 +1451,7 @@ def _matched_key_mask_entries(
                     list(read_block_file(path, schema, decode_cols, None))
                 )
                 n_rows = tbl.num_rows
-                k = tbl.column(key_col).combine_chunks()
+                k = tbl.column(ds_key).combine_chunks()
                 keep = pc.fill_null(
                     pc.and_(
                         pc.greater_equal(k, pa.scalar(lo, type=k_type)),
@@ -1465,6 +1563,17 @@ def delete_keys(
     from rugo_spark import deletes as dl
 
     arrow_schema, _ = mf.read_schema(out_dir)
+    from rugo_spark import evolution as evo
+
+    _view = evo.column_view(mf.read_schema_payload(out_dir))
+    if _view:
+        _l2p, _ = evo.maps(_view)
+        if key_col not in _l2p:
+            raise ValueError(
+                f"unknown delete key {key_col!r} for {out_dir}; columns are "
+                f"{sorted(_l2p)}"
+            )
+        key_col = _l2p[key_col]
     if key_col not in arrow_schema.names:
         raise ValueError(f"unknown delete key {key_col!r} for {out_dir}")
     src = keys_df.select(F.col(keys_df.columns[0]).alias(key_col)).distinct()
@@ -1539,18 +1648,35 @@ def update_where(
     if not assignments:
         raise ValueError("update_where requires at least one column assignment")
     arrow_schema, _ = mf.read_schema(out_dir)
+    payload_schema = mf.read_schema_payload(out_dir) or {}
+    # rename/drop evolution: the UPDATE runs in LOGICAL terms end-to-end
+    # (decode_table + SQL assignments), translating to physical only for
+    # the mask kernel, which scans raw blocks
+    from rugo_spark import evolution as evo
+
+    _view = evo.column_view(payload_schema)
+    if _view:
+        _l2p, _ = evo.maps(_view)
+        valid = set(_l2p)
+        logical_order = [
+            evo.logical_name(e) for e in _view if not e.get("dropped")
+        ]
+        filters_phys = evo.translate_filters(filters, _l2p)
+    else:
+        valid = set(arrow_schema.names)
+        logical_order = list(arrow_schema.names)
+        filters_phys = filters
     for c, op, _v in filters:
-        if c not in arrow_schema.names:
+        if c not in valid:
             raise ValueError(f"unknown column {c!r} in update predicate")
         if op not in ("=", "<", "<=", ">", ">="):
             raise ValueError(f"unsupported update predicate op {op!r}")
-    bad = [c for c in assignments if c not in arrow_schema.names]
+    bad = [c for c in assignments if c not in valid]
     if bad:
         raise ValueError(
             f"unknown assignment columns {bad}; UPDATE cannot add columns "
             "(use append_table(..., allow_new_columns=True) to evolve)"
         )
-    payload_schema = mf.read_schema_payload(out_dir) or {}
     size_col = payload_schema.get("size_col")
     lock = mf._acquire_consolidate_lock(out_dir)
     try:
@@ -1559,7 +1685,7 @@ def update_where(
         src = decode_table(spark, out_dir, filters=filters)
         for c, expr in assignments.items():
             src = src.withColumn(c, F.expr(expr).cast(dict(src.dtypes)[c]))
-        src = src.select(*[f.name for f in arrow_schema])  # dataset order
+        src = src.select(*logical_order)  # dataset order, logical names
         # the source derives FROM the dataset, so the resume fingerprint
         # must pin the lifecycle state it was decoded from: if another
         # commit (a delete, another update) lands between a crash and the
@@ -1590,7 +1716,8 @@ def update_where(
         )
         prior_files = dl.visible_delete_files(out_dir)
         entries, _pids = _predicate_mask_entries(
-            spark, out_dir, filters, size_col, prior_files, exclude_base=own_base
+            spark, out_dir, filters_phys, size_col, prior_files,
+            exclude_base=own_base,
         )
         summary = {"n_updated": 0, "delete_file": None, "snapshot": None}
         if not entries:
@@ -1654,7 +1781,13 @@ def merge_table(
 
     spark = df.sparkSession
     arrow_schema, _ = mf.read_schema(out_dir)
-    if key_col not in arrow_schema.names:
+    # rename evolution: key_col is a LOGICAL name; _matched_key_mask_entries
+    # resolves the physical side itself, so validate against the view here
+    from rugo_spark import evolution as evo
+
+    _view = evo.column_view(mf.read_schema_payload(out_dir))
+    valid_keys = set(evo.maps(_view)[0]) if _view else set(arrow_schema.names)
+    if key_col not in valid_keys:
         raise ValueError(f"unknown merge key {key_col!r} for {out_dir}")
     if size_col is None:
         # inherit the dataset's token-mass column: the appended band must
@@ -1796,11 +1929,17 @@ def encode_table(
         )
         planned = planned.join(F.broadcast(done_df), "__rugo_pid", "left_anti")
 
+    _extra = {"size_col": size_col} if size_col is not None else {}
+    # resume must not drop durable payload state added after the first run
+    _prior_payload = mf.read_schema_payload(out_dir) or {}
+    for _k in ("constraints", "column_view", "zorder"):
+        if _k in _prior_payload and _k not in _extra:
+            _extra[_k] = _prior_payload[_k]
     mf.write_schema(
         out_dir,
         _arrow_schema_of(df),
         df.schema.json(),
-        extra={"size_col": size_col} if size_col is not None else None,
+        extra=_extra or None,
     )
     sort_key = key_col
     blocks_dir = os.path.join(out_dir, mf.BLOCKS_DIR)
@@ -2364,6 +2503,21 @@ def metadata_agg(
     )
     arrow_schema, _ = mf.read_schema(out_dir)
     by_name = {f.name: f for f in arrow_schema}
+    # rename/drop evolution: requests speak logical names; stats live under
+    # physical keys.  Translate in, alias the result columns back out.
+    from rugo_spark import evolution as evo
+
+    _view = evo.column_view(mf.read_schema_payload(out_dir))
+    _p2l: dict = {}
+    if _view:
+        _l2p, _p2l = evo.maps(_view)
+        columns = evo.translate_columns(columns, _l2p, "columns")
+        if columns is None:
+            live = set(evo.live_physical(_view))
+            columns = [
+                n for n in arrow_schema.names
+                if n in live and _meta_aggregatable(by_name[n].type)
+            ]
     if columns is None:
         cols = [n for n in arrow_schema.names if _meta_aggregatable(by_name[n].type)]
     else:
@@ -2500,9 +2654,9 @@ def metadata_agg(
                 # temporal-as-string fallback keeps the value visible even if
                 # this pyarrow can't parse the sidecar's rendering back
                 arr, ft = pa.array([None if v is None else str(v)], pa.string()), pa.string()
-            fields.append(pa.field(f"{k}_{c}", ft))
+            fields.append(pa.field(f"{k}_{_p2l.get(c, c)}", ft))
             arrays.append(arr)
-        fields.append(pa.field(f"nulls_{c}", pa.int64()))
+        fields.append(pa.field(f"nulls_{_p2l.get(c, c)}", pa.int64()))
         arrays.append(pa.array([int(m.get("null_count") or 0)], pa.int64()))
     tbl = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
     try:
@@ -2645,7 +2799,16 @@ def compact_dataset(
         }
         for gid, grp in enumerate(groups)
     ]
-    mf.write_schema(dst_dir, arrow_schema, json.dumps(spark_schema))
+    # durable payload state rides along (the logical column view, size
+    # column, constraints) — NOT input_fingerprint, which belongs to the
+    # source's resume protocol, not the compacted copy
+    src_payload = mf.read_schema_payload(src_dir) or {}
+    extras = {
+        k: v for k, v in src_payload.items()
+        if k in ("size_col", "constraints", "column_view", "zorder")
+    }
+    mf.write_schema(dst_dir, arrow_schema, json.dumps(spark_schema),
+                    extra=extras or None)
     blocks_dir = os.path.join(dst_dir, mf.BLOCKS_DIR)
 
     import pandas as pd
@@ -3103,6 +3266,27 @@ def decode_table(
     from pyspark.sql.types import StructType
 
     full = StructType.fromJson(spark_schema_json)
+    # column rename/drop evolution: callers speak LOGICAL names; the whole
+    # plan below (stats pruning, blooms, stripe dirs, block decode) runs in
+    # the PHYSICAL namespace and the output aliases back at the end
+    from rugo_spark import evolution as evo
+
+    _view = evo.column_view(mf.read_schema_payload(out_dir))
+    _p2l: dict | None = None
+    if _view:
+        _l2p, _p2l = evo.maps(_view)
+        columns = evo.translate_columns(columns, _l2p, "columns")
+        filters = evo.translate_filters(filters, _l2p)
+        if columns is None and any(e.get("dropped") for e in _view):
+            columns = evo.live_physical(_view)  # hide dropped columns
+
+    def _to_logical(df: DataFrame) -> DataFrame:
+        if not _p2l or all(_p2l.get(c, c) == c for c in df.columns):
+            return df
+        import pyspark.sql.functions as F
+
+        return df.select([F.col(c).alias(_p2l.get(c, c)) for c in df.columns])
+
     filters = _normalize_temporal_filters(full, filters)
     # filters referencing non-projected columns: decode them too, filter
     # exactly, then drop them (otherwise the exact re-apply would hit an
@@ -3188,7 +3372,7 @@ def decode_table(
         if _visible_names() == names:
             break
     if man is None:
-        return spark.createDataFrame([], out_schema)
+        return _to_logical(spark.createDataFrame([], out_schema))
     masks_raw: dict = dl.load_raw(out_dir, names) if names else {}
 
     decode_cols = (list(columns) + extra_filter_cols) if columns else None
@@ -3249,7 +3433,7 @@ def decode_table(
             )
     if extra_filter_cols:
         out = out.select(*columns)
-    return out
+    return _to_logical(out)
 
 
 def _subtract_ranges(a: list, b: list) -> list[list[int]]:
@@ -3327,6 +3511,22 @@ def read_changes(
     from pyspark.sql.types import StructType as _ST
 
     full = _ST.fromJson(spark_schema_json)
+    # rename/drop evolution: CDC rows surface under the CURRENT logical
+    # view (Delta CDF reads under the latest schema too); the delete-side
+    # kernel decodes physically and renames per batch
+    from rugo_spark import evolution as evo
+
+    _view = evo.column_view(mf.read_schema_payload(out_dir))
+    _p2l: dict = {}
+    _live_phys: list[str] | None = None
+    if _view:
+        _, _p2l = evo.maps(_view)
+        _live_phys = evo.live_physical(_view)
+        by_name = {f.name: f for f in full.fields}
+        full = _ST([
+            StructField(_p2l[p], by_name[p].dataType, by_name[p].nullable)
+            for p in _live_phys
+        ])
     out_schema = StructType(
         list(full.fields) + [StructField("_change_type", StringType(), False)]
     )
@@ -3411,9 +3611,13 @@ def read_changes(
                 ):
                     pos = _dl.decode_positions(enc, data, int(n_rows))
                     tbl = pa.Table.from_batches(
-                        list(read_block_file(path, schema, None, None))
+                        list(read_block_file(path, schema, _live_phys, None))
                     )
                     taken = tbl.take(pa.array(pos.astype("int64")))
+                    if _p2l:
+                        taken = taken.rename_columns(
+                            [_p2l.get(c, c) for c in taken.schema.names]
+                        )
                     taken = taken.append_column(
                         "_change_type",
                         pa.array(["delete"] * taken.num_rows, type=pa.string()),

@@ -153,10 +153,18 @@ def zorder_dataset(
     df = decode_table(spark, src_dir)
     df = df.withColumn(z_col, zorder_key(df, cols, bounds, bits=bits))
     payload = mf.read_schema_payload(src_dir) or {}
+    size_col = payload.get("size_col")
+    from rugo_spark import evolution as evo
+
+    _view = evo.column_view(payload)
+    if _view and size_col:
+        # the rewrite decodes LOGICAL columns (the view flattens into the
+        # destination's physical schema); size_col is stored physically
+        size_col = evo.maps(_view)[1].get(size_col, size_col)
     man = encode_table_sorted(
         df, dst_dir, key_col=z_col,
         num_partitions=num_partitions,
-        size_col=payload.get("size_col"),
+        size_col=size_col,
     )
     n_blocks = man.count()
     # persist the z-order spec so appends can reproduce the key and
