@@ -1013,7 +1013,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r5 head: delete_where_roundtrip + consolidated_roundtrip +
     # streaming_late_data + snapshot_time_travel + schema_evolution_append
     # are new; quality_score/roundtrip_{orders,events,part} were r4's
-    # unmeasured tail.
+    # unmeasured tail.  Late-r5 additions rename_drop_evolution +
+    # retention_maintenance push pipeline_docs_to_encoded + pack_sequences
+    # past the ~50-row cap — both green in r4 AND wall-clocked every round
+    # by bench.py (pack_sequences has its own bench key with a roundtrip
+    # assertion), so no surface goes unverified.
     return {
         "rename_drop_evolution": q_rename_drop_evolution,
         "retention_maintenance": q_retention_maintenance,
