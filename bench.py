@@ -408,6 +408,23 @@ def main() -> None:
             ),
         )
         mf.rollback_to_snapshot(out_hi, pre_snap)
+        # delete-file consolidation (rewrite-position-deletes analog):
+        # three DML commits → three mask files → ONE; driver-side fold over
+        # kilobyte masks, must stay ~constant as the table grows
+        from rugo_spark import deletes as _dl
+
+        for q in (0.03, 0.06, 0.09):
+            t = int(tok_df.approxQuantile("n_tok", [q], 0.01)[0])
+            delete_where(spark, out_hi, [("n_tok", "<", max(t, 1))])
+        _timed(
+            "consolidate_deletes_commit",
+            lambda: state.__setitem__(
+                "n_consolidated",
+                _dl.consolidate_delete_files(out_hi)["files_before"],
+            ),
+        )
+        assert len(_dl.visible_delete_files(out_hi)) == 1
+        mf.rollback_to_snapshot(out_hi, pre_snap)
     extra["delete_commit_rows"] = int(state["n_del"])
     extra["merge_replaced_rows"] = int(state["n_replaced"])
     extra["update_rows"] = int(state["n_updated"])
