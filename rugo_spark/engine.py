@@ -2498,6 +2498,8 @@ def metadata_agg(
     fast path is skipped (catalog summaries describe the CURRENT set) and
     planning restricts to the snapshot's pid ranges.
     """
+    if snapshot_id is not None:
+        snapshot_id = mf.resolve_snapshot(out_dir, snapshot_id)  # tags ok
     keep_ranges = (
         mf.snapshot_ranges(out_dir, snapshot_id) if snapshot_id is not None else None
     )
@@ -3249,6 +3251,8 @@ def decode_table(
     analog).  Within a dataset dir partitions are append-only, so a
     snapshot is a pid-range set and planning simply restricts to it — both
     plan paths, including whole-segment pruning of disjoint segments."""
+    if snapshot_id is not None:
+        snapshot_id = mf.resolve_snapshot(out_dir, snapshot_id)  # tags ok
     keep_ranges = (
         mf.snapshot_ranges(out_dir, snapshot_id) if snapshot_id is not None else None
     )
@@ -3487,6 +3491,9 @@ def read_changes(
     log = mf.snapshot_log(out_dir, strict=True)
     if not log:
         raise ValueError(f"{out_dir} has no snapshot log")
+    from_snapshot = mf.resolve_snapshot(out_dir, from_snapshot)  # tags ok
+    if to_snapshot is not None:
+        to_snapshot = mf.resolve_snapshot(out_dir, to_snapshot)
     by_id = {int(e["id"]): e for e in log}
     if to_snapshot is None:
         to_snapshot = int(log[-1]["id"])

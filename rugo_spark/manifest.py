@@ -854,6 +854,72 @@ def read_manifest(out_dir: str) -> dict:
 
 SNAPSHOTS_FILE = "_snapshots.json"
 ROLLBACK_MARKER = "_rollback.json"
+TAGS_FILE = "_tags.json"
+
+
+def tags(out_dir: str) -> dict[str, int]:
+    """Named snapshot refs (the Iceberg tag analog): {name: snapshot_id}."""
+    path = os.path.join(out_dir, TAGS_FILE)
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path) as f:
+            return {str(k): int(v) for k, v in json.load(f)["tags"].items()}
+    except (json.JSONDecodeError, OSError, KeyError, TypeError, ValueError) as e:
+        raise ValueError(
+            f"corrupt tag file {path}: {e}; fix or delete it (tags are "
+            "pure refs — data is unaffected)"
+        )
+
+
+def _write_tags(out_dir: str, t: dict[str, int]) -> None:
+    path = os.path.join(out_dir, TAGS_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"tags": t}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def set_tag(out_dir: str, name: str, snapshot_id: int | None = None) -> dict:
+    """Name a snapshot (default: the newest).  Tagged snapshots survive
+    ``expire_snapshots`` until the tag is dropped — the retention-proof
+    ref for releases / audits (Iceberg ``createTag``)."""
+    if not name or "/" in name or name.strip() != name:
+        raise ValueError(f"bad tag name {name!r}")
+    log = snapshot_log(out_dir, strict=True)
+    if not log:
+        raise ValueError(f"{out_dir} has no snapshots to tag")
+    ids = {int(e["id"]) for e in log}
+    sid = int(snapshot_id) if snapshot_id is not None else int(log[-1]["id"])
+    if sid not in ids:
+        raise ValueError(
+            f"unknown snapshot_id {sid} for {out_dir}; available: {sorted(ids)}"
+        )
+    t = tags(out_dir)
+    t[name] = sid
+    _write_tags(out_dir, t)
+    return t
+
+
+def drop_tag(out_dir: str, name: str) -> dict:
+    t = tags(out_dir)
+    if name not in t:
+        raise ValueError(f"no tag {name!r} on {out_dir}; have {sorted(t)}")
+    del t[name]
+    _write_tags(out_dir, t)
+    return t
+
+
+def resolve_snapshot(out_dir: str, ref: int | str) -> int:
+    """A snapshot ref — an id, or a tag name — to its snapshot id."""
+    if isinstance(ref, str):
+        t = tags(out_dir)
+        if ref not in t:
+            raise ValueError(f"no tag {ref!r} on {out_dir}; have {sorted(t)}")
+        return t[ref]
+    return int(ref)
 
 
 class RangeSet:
@@ -1070,14 +1136,20 @@ def expire_snapshots(
     lock = _acquire_consolidate_lock(out_dir)
     try:
         log = snapshot_log(out_dir, strict=True)
+        tagged = set(tags(out_dir).values())  # tagged snapshots never expire
         if older_than_s is None:
-            kept = log[-keep_last:]
+            kept = [
+                e for i, e in enumerate(log)
+                if i >= len(log) - keep_last or int(e["id"]) in tagged
+            ]
         else:
             cutoff = _time.time() - float(older_than_s)
             tail_ids = {int(e["id"]) for e in log[-keep_last:]}
             kept = [
                 e for e in log
-                if int(e["id"]) in tail_ids or float(e.get("ts") or 0) >= cutoff
+                if int(e["id"]) in tail_ids
+                or int(e["id"]) in tagged
+                or float(e.get("ts") or 0) >= cutoff
             ]
         if len(kept) != len(log):
             _write_snapshot_log(out_dir, kept)
@@ -1120,6 +1192,7 @@ def rollback_to_snapshot(out_dir: str, snapshot_id: int) -> dict:
     ``{"kept_ranges", "sidecars_deleted", "blocks_deleted",
     "append_markers_deleted", "segments_rewritten"}``."""
     marker_path = os.path.join(out_dir, ROLLBACK_MARKER)
+    snapshot_id = resolve_snapshot(out_dir, snapshot_id)  # tags resolve
     mask = rollback_mask(out_dir)
     keep = snapshot_ranges(out_dir, snapshot_id)
     if mask is not None and mask != keep:

@@ -214,3 +214,41 @@ def test_expire_refuses_midrollback_and_bad_args(spark, token_df, encoded):
             mf.expire_snapshots(encoded, keep_last=1)
     finally:
         os.remove(marker)
+
+
+def test_tags_resolve_and_protect_from_expiry(spark, token_df, encoded):
+    delete_where(spark, encoded, [("doc_id", "<", "doc-000000000100")])
+    mid = int(mf.snapshot_log(encoded)[-1]["id"])
+    mf.set_tag(encoded, "after-takedown")          # defaults to newest
+    delete_where(spark, encoded, [("doc_id", ">=", "doc-000000001100")])
+    # read by tag = read by id
+    assert decode_table(spark, encoded, snapshot_id="after-takedown").count() \
+        == decode_table(spark, encoded, snapshot_id=mid).count() == N_DOCS - 100
+    # expiry keeps the tagged entry (plus the newest), drops the rest
+    res = mf.expire_snapshots(encoded, keep_last=1)
+    kept = [int(e["id"]) for e in mf.snapshot_log(encoded)]
+    assert mid in kept and len(kept) == 2
+    assert decode_table(spark, encoded, snapshot_id="after-takedown").count() \
+        == N_DOCS - 100
+    # metadata stats by tag
+    assert metadata_agg(
+        spark, encoded, snapshot_id="after-takedown"
+    ).first()["n_rows"] == N_DOCS - 100
+    # rollback by tag
+    mf.rollback_to_snapshot(encoded, "after-takedown")
+    assert decode_table(spark, encoded).count() == N_DOCS - 100
+    # drop the tag -> next expiry removes the entry; reads by tag raise
+    mf.drop_tag(encoded, "after-takedown")
+    with pytest.raises(ValueError, match="no tag"):
+        decode_table(spark, encoded, snapshot_id="after-takedown").count()
+    with pytest.raises(ValueError, match="no tag"):
+        mf.drop_tag(encoded, "after-takedown")
+
+
+def test_tag_validation(spark, token_df, encoded):
+    with pytest.raises(ValueError, match="unknown snapshot_id"):
+        mf.set_tag(encoded, "ghost", snapshot_id=999)
+    with pytest.raises(ValueError, match="bad tag name"):
+        mf.set_tag(encoded, "a/b")
+    mf.set_tag(encoded, "v1")
+    assert mf.tags(encoded) == {"v1": int(mf.snapshot_log(encoded)[-1]["id"])}
