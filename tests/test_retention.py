@@ -252,3 +252,20 @@ def test_tag_validation(spark, token_df, encoded):
         mf.set_tag(encoded, "a/b")
     mf.set_tag(encoded, "v1")
     assert mf.tags(encoded) == {"v1": int(mf.snapshot_log(encoded)[-1]["id"])}
+
+
+def test_cdc_window_across_consolidation_is_empty(spark, token_df, encoded):
+    """Consolidation rewrites the delete-file SET, not the deleted row set —
+    an incremental read across it must surface zero changes."""
+    from rugo_spark.engine import read_changes
+
+    delete_where(spark, encoded, [("doc_id", "<", "doc-000000000100")])
+    delete_where(spark, encoded, [("doc_id", ">=", "doc-000000001150")])
+    pre = int(mf.snapshot_log(encoded)[-1]["id"])
+    dl.consolidate_delete_files(encoded)
+    post = int(mf.snapshot_log(encoded)[-1]["id"])
+    assert post > pre
+    assert read_changes(spark, encoded, pre, post).count() == 0
+    # and a window STARTING before the deletes still reports them exactly
+    ch = read_changes(spark, encoded, pre - 2, post)
+    assert ch.filter("_change_type = 'delete'").count() == 150
