@@ -83,6 +83,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--expire-older-than-s", metavar="SECONDS", type=float,
                    help="with --expire-snapshots: also keep every entry "
                         "younger than now minus SECONDS")
+    p.add_argument("--set-tag", metavar="NAME[@SNAPSHOT_ID]",
+                   help="maintenance on --output: name a snapshot (default "
+                        "the newest). Tagged snapshots survive "
+                        "--expire-snapshots; readers pass the tag anywhere "
+                        "a snapshot id goes.")
+    p.add_argument("--drop-tag", metavar="NAME",
+                   help="maintenance on --output: remove a snapshot tag")
+    p.add_argument("--rename-column", metavar="OLD:NEW", action="append",
+                   help="maintenance on --output: metadata-only column "
+                        "rename (repeatable). Blocks/stats are untouched; "
+                        "readers and writers speak the new name.")
+    p.add_argument("--drop-column", metavar="NAME", action="append",
+                   help="maintenance on --output: metadata-only column drop "
+                        "(repeatable). The data stays on disk until a "
+                        "compaction rewrite; readers hide it immediately.")
     p.add_argument("--merge-key", metavar="COL",
                    help="MERGE INTO / upsert --input into --output on this "
                         "key: existing rows whose key appears in the input "
@@ -147,10 +162,36 @@ def main(argv: list[str] | None = None) -> int:
         finally:
             spark.stop()
         return 0
-    if args.consolidate_deletes or args.expire_snapshots is not None:
+    maint = (args.consolidate_deletes or args.expire_snapshots is not None
+             or args.set_tag or args.drop_tag or args.rename_column
+             or args.drop_column)
+    if maint:
         if args.input:
             p.error("maintenance flags operate on --output alone; drop --input")
         out: dict = {}
+        for spec in args.rename_column or []:
+            old, sep, new = spec.partition(":")
+            if not sep or not old or not new:
+                p.error(f"--rename-column {spec!r}: want 'old:new'")
+            from rugo_spark import evolution as evo
+
+            evo.rename_column(args.output, old, new)
+            out.setdefault("renamed", []).append([old, new])
+        for name in args.drop_column or []:
+            from rugo_spark import evolution as evo
+
+            evo.drop_column(args.output, name)
+            out.setdefault("dropped", []).append(name)
+        if args.set_tag:
+            from rugo_spark import manifest as mf
+
+            name, at, sid = args.set_tag.partition("@")
+            mf.set_tag(args.output, name, int(sid) if at else None)
+            out["tags"] = mf.tags(args.output)
+        if args.drop_tag:
+            from rugo_spark import manifest as mf
+
+            out["tags"] = mf.drop_tag(args.output, args.drop_tag)
         if args.consolidate_deletes:
             from rugo_spark.deletes import consolidate_delete_files
 
