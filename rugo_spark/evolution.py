@@ -125,6 +125,21 @@ def _guard_references(payload: dict, logical: str, action: str) -> None:
         )
 
 
+def _guard_no_inflight_append(out_dir: str) -> None:
+    """Refuse to evolve while an append session is in flight: an EVOLVING
+    append's widen step read-modify-writes the same schema payload outside
+    this module's lock, so a rename landing in that window could be
+    silently lost.  Appends are short and evolution is rare — gating on
+    the reservation marker is the honest fix."""
+    stale = [m for m in mf.append_reservations(out_dir) if not m.get("complete")]
+    if stale:
+        raise ValueError(
+            f"{out_dir} has {len(stale)} in-flight (or crashed) append "
+            "session(s); wait for them — or reclaim_append a crashed one — "
+            "before renaming/dropping columns"
+        )
+
+
 def _all_names(payload: dict, view: list[dict]) -> set[str]:
     """Every name that must stay unique: physical names (alive AND dropped
     — positions are permanent) plus current logical names."""
@@ -141,6 +156,7 @@ def rename_column(out_dir: str, old: str, new: str) -> dict:
         raise ValueError("rename: old and new name are identical")
     lock = mf._acquire_consolidate_lock(out_dir)
     try:
+        _guard_no_inflight_append(out_dir)
         payload = mf.read_schema_payload(out_dir)
         if payload is None:
             raise ValueError(f"{out_dir} is not an encoded dataset")
@@ -188,6 +204,7 @@ def drop_column(out_dir: str, name: str) -> dict:
     spec references."""
     lock = mf._acquire_consolidate_lock(out_dir)
     try:
+        _guard_no_inflight_append(out_dir)
         payload = mf.read_schema_payload(out_dir)
         if payload is None:
             raise ValueError(f"{out_dir} is not an encoded dataset")

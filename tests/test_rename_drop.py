@@ -221,3 +221,25 @@ def test_resume_preserves_payload_state(spark, tmp_path):
     payload = mf.read_schema_payload(out)
     assert payload.get("constraints") == {"v_nonneg": "v >= 0"}
     assert decode_table(spark, out).columns == ["k", "v", "text"]
+
+
+def test_evolution_refuses_inflight_append(spark, ds):
+    """An EVOLVING append widens the schema payload outside evolution's
+    lock; a rename landing in that window would be silently lost — so
+    evolution refuses while any append reservation is incomplete."""
+    import json as _json
+    import os
+
+    adir = os.path.join(ds, mf.APPENDS_DIR)
+    os.makedirs(adir, exist_ok=True)
+    marker = os.path.join(adir, "append-deadbeef00000000.json")
+    with open(marker, "w") as f:
+        _json.dump({"base": 1_000_000, "fingerprint": "deadbeef"}, f)
+    try:
+        with pytest.raises(ValueError, match="in-flight"):
+            evo.rename_column(ds, "v", "value")
+        with pytest.raises(ValueError, match="in-flight"):
+            evo.drop_column(ds, "s")
+    finally:
+        os.remove(marker)
+    evo.rename_column(ds, "v", "value")  # clear again → allowed
