@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -484,8 +485,195 @@ class RugoDataSource(DataSource):
         return RugoStreamWriter(self.options, schema, overwrite)
 
 
+@dataclass
+class RugoCDCPartition(InputPartition):
+    kind: str          # 'insert' | 'delete'
+    block_path: str
+    # insert: the END state's raw mask entries for this block ((enc, data,
+    # n_rows), …) — a row appended then deleted inside the window was never
+    # visible at either endpoint, so it is not a change.
+    # delete: ONE compressed position set — exactly the newly-masked rows.
+    mask: tuple = ()
+
+
+class RugoCDCStreamReader(DataSourceStreamReader):
+    """``readStream.format('rugo_cdc')``: tail a dataset's snapshot log as
+    a change stream (the Delta Change Data Feed / Iceberg incremental-scan
+    analog, as a first-class Structured Streaming source).
+
+    Offsets ARE snapshot ids — durable, monotone, and exactly the unit the
+    commit protocol already makes atomic, so each micro-batch is the NET
+    row change between two committed snapshots (``engine.cdc_window``):
+    inserts decode only the pid ranges added in the window (under the end
+    state's masks), deletes decode only the touched pre-existing blocks
+    and take exactly the newly-masked positions.  A window crossing a
+    rollback fails the query loudly — CDC over a rewritten log is
+    undefined, and a silent skip would look like data loss downstream.
+
+    ``startingSnapshot`` option: ``latest`` (default — only NEW changes),
+    ``earliest`` (everything after the first snapshot), an id, or a tag."""
+
+    def __init__(self, options, schema: StructType) -> None:
+        from rugo_spark import evolution as evo
+        from rugo_spark import manifest as mf
+
+        self.root = _dataset_dir(options)
+        arrow_schema, _ = mf.read_schema(self.root)
+        self._schema_bytes = arrow_schema.serialize().to_pybytes()
+        view = evo.column_view(mf.read_schema_payload(self.root))
+        self._p2l = evo.maps(view)[1] if view else {}
+        self._live = evo.live_physical(view) if view else None
+        log = mf.snapshot_log(self.root, strict=True)
+        if not log:
+            raise ValueError(
+                f"{self.root} has no snapshot log — encode/append once "
+                "before tailing it as a change stream"
+            )
+        start = str(options.get("startingsnapshot", "latest"))
+        if start.lower() == "latest":
+            self._initial = int(log[-1]["id"])
+        elif start.lower() == "earliest":
+            self._initial = int(log[0]["id"])
+        else:
+            ref = int(start) if start.lstrip("-").isdigit() else start
+            self._initial = mf.resolve_snapshot(self.root, ref)
+
+    @staticmethod
+    def _entry_fp(entry: dict | None) -> str:
+        import hashlib
+        import json as _json
+
+        if entry is None:
+            return ""
+        return hashlib.sha1(
+            _json.dumps(entry, sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]
+
+    def _offset(self, sid: int) -> dict:
+        from rugo_spark import manifest as mf
+
+        log = mf.snapshot_log(self.root, strict=True)
+        entry = next((e for e in log if int(e["id"]) == sid), None)
+        return {"snapshot": sid, "fp": self._entry_fp(entry)}
+
+    def initialOffset(self) -> dict:
+        return self._offset(self._initial)
+
+    def latestOffset(self) -> dict:
+        from rugo_spark import manifest as mf
+
+        log = mf.snapshot_log(self.root, strict=True)
+        tip = int(log[-1]["id"]) if log else self._initial
+        return self._offset(max(tip, self._initial))
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        from rugo_spark import deletes as dl
+        from rugo_spark import manifest as mf
+        from rugo_spark.engine import cdc_window
+
+        a, b = int(start["snapshot"]), int(end["snapshot"])
+        # Offset identity check FIRST: rollback reuses snapshot ids, so the
+        # checkpointed start id could now name a DIFFERENT state — emitting
+        # a diff against it would be silently-wrong deltas downstream.
+        want_fp = start.get("fp")
+        if want_fp:
+            log = mf.snapshot_log(self.root, strict=True)
+            cur = next((e for e in log if int(e["id"]) == a), None)
+            if self._entry_fp(cur) != want_fp:
+                raise ValueError(
+                    f"checkpointed snapshot {a} of {self.root} no longer "
+                    "matches the log (a rollback rewrote history under this "
+                    "stream); restart the query from a fresh checkpoint"
+                )
+        if a >= b:
+            return []
+        win = cdc_window(self.root, a, b)
+        parts: list[InputPartition] = []
+        ins_pids = [
+            p for lo, hi in win["new_ranges"] for p in range(int(lo), int(hi))
+        ]
+        if ins_pids:
+            to_masks = dl.load_raw(
+                self.root,
+                sorted(win["to_entry"].get("delete_files") or []),
+            )
+            for pid, row in mf.load_rows(self.root, ins_pids).items():
+                parts.append(RugoCDCPartition(
+                    "insert", row["block_path"],
+                    tuple(to_masks.get(int(pid)) or ()),
+                ))
+        if win["delete_diffs"]:
+            rows = mf.load_rows(self.root, sorted(win["delete_diffs"]))
+            for pid, d in win["delete_diffs"].items():
+                n_rows = int(rows[pid]["n_rows"])
+                enc, data = dl.encode_positions(d, n_rows)
+                parts.append(RugoCDCPartition(
+                    "delete", rows[pid]["block_path"],
+                    ((enc, data, n_rows),),
+                ))
+        return parts
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; the log itself is immutable
+
+    def read(self, partition: RugoCDCPartition) -> Iterator:
+        import pyarrow as pa
+
+        from rugo_spark import deletes as dl
+        from rugo_spark.engine import read_block_file
+
+        schema = pa.ipc.read_schema(pa.py_buffer(self._schema_bytes))
+        # no stripe skipping: delete positions are block-absolute
+        batches = read_block_file(partition.block_path, schema, self._live, None)
+        if partition.kind == "insert":
+            if partition.mask:
+                batches = dl.apply_mask(
+                    batches, dl.union_positions(list(partition.mask))
+                )
+            label = "insert"
+        else:
+            enc, data, n_rows = partition.mask[0]
+            pos = dl.decode_positions(enc, data, int(n_rows))
+            tbl = pa.Table.from_batches(list(batches))
+            batches = tbl.take(pa.array(pos.astype("int64"))).to_batches()
+            label = "delete"
+        for batch in batches:
+            if self._p2l:
+                batch = batch.rename_columns(
+                    [self._p2l.get(c, c) for c in batch.schema.names]
+                )
+            if batch.num_rows:
+                yield pa.RecordBatch.from_arrays(
+                    list(batch.columns)
+                    + [pa.array([label] * batch.num_rows, type=pa.string())],
+                    names=list(batch.schema.names) + ["_change_type"],
+                )
+
+
+class RugoCDCDataSource(DataSource):
+    """``format('rugo_cdc')`` — the change-stream view of an encoded
+    dataset: the dataset's logical columns plus ``_change_type``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rugo_cdc"
+
+    def schema(self):
+        from pyspark.sql.types import StringType, StructField
+
+        base = RugoDataSource.schema(self)
+        return StructType(
+            list(base.fields)
+            + [StructField("_change_type", StringType(), False)]
+        )
+
+    def streamReader(self, schema: StructType) -> RugoCDCStreamReader:  # noqa: N802
+        return RugoCDCStreamReader(self.options, schema)
+
+
 def register(spark) -> None:
-    """Idempotent convenience: make ``format('rugo')`` available."""
+    """Idempotent convenience: make ``format('rugo')`` (batch + stream
+    write) and ``format('rugo_cdc')`` (change-stream read) available."""
     try:
         # runtime SQL conf; without it Spark refuses a reader implementing
         # pushFilters (sessions built by rugo_spark.session set it already)
@@ -493,3 +681,4 @@ def register(spark) -> None:
     except Exception:
         pass  # locked-down conf: reads still work if the session enabled it
     spark.dataSource.register(RugoDataSource)
+    spark.dataSource.register(RugoCDCDataSource)

@@ -371,11 +371,28 @@ def _input_fingerprint(df: DataFrame) -> str:
     import hashlib
 
     sig = _files_signature(df)
+    content = None
+    if not sig:
+        # identity-less input (in-memory LocalRelation, decode-derived
+        # frame): the canonicalized plan string ELIDES row data, so two
+        # same-shape inputs would collide and the second append/encode
+        # would silently no-op as a "resume" of the first (real bug found
+        # by the CDC-stream rollback test).  Fold in an order-independent
+        # content hash — costs one extra pass over the input, which
+        # identity-less inputs are small enough to afford.
+        import pyspark.sql.functions as F
+
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.crc32(F.to_json(F.struct(*df.columns)))).alias("h"),
+        ).first()
+        content = [int(row["n"] or 0), int(row["h"] or 0)]
     conf = df.sparkSession.conf
     max_bytes = _conf_get(conf, "spark.sql.files.maxPartitionBytes", "")
     blob = json.dumps(
         {
             "files": sig,
+            "content": content,
             "maxPartitionBytes": max_bytes,
             "defaultParallelism": df.sparkSession.sparkContext.defaultParallelism,
             "plan": _plan_signature(df),
@@ -3459,6 +3476,76 @@ def _subtract_ranges(a: list, b: list) -> list[list[int]]:
     return out
 
 
+def cdc_window(
+    out_dir: str, from_snapshot: int, to_snapshot: int
+) -> dict:
+    """Validated CDC window between two snapshot ids — the shared planner
+    behind :func:`read_changes` (batch) and the ``rugo_cdc`` streaming
+    source.  Returns ``{"from_entry", "to_entry", "from_ranges",
+    "to_ranges", "new_ranges", "delete_diffs"}`` where ``delete_diffs``
+    maps pre-existing pids to the np.uint32 positions newly masked inside
+    the window.  Raises when the window crosses a rollback (pid ranges or
+    mask positions shrank — the log was rewritten, the diff is
+    undefined)."""
+    import numpy as np
+
+    from rugo_spark import deletes as dl
+
+    log = mf.snapshot_log(out_dir, strict=True)
+    if not log:
+        raise ValueError(f"{out_dir} has no snapshot log")
+    by_id = {int(e["id"]): e for e in log}
+    for s in (from_snapshot, to_snapshot):
+        if int(s) not in by_id:
+            raise ValueError(
+                f"unknown snapshot_id {s} for {out_dir}; available: {sorted(by_id)}"
+            )
+    if int(from_snapshot) > int(to_snapshot):
+        raise ValueError(
+            f"from_snapshot {from_snapshot} is newer than to_snapshot {to_snapshot}"
+        )
+    e_from, e_to = by_id[int(from_snapshot)], by_id[int(to_snapshot)]
+    fr, tr = e_from.get("ranges") or [], e_to.get("ranges") or []
+    if _subtract_ranges(fr, tr):
+        raise ValueError(
+            f"snapshot {from_snapshot}→{to_snapshot} of {out_dir} loses pid "
+            "ranges — the window crosses a rollback; CDC across a rewritten "
+            "log is undefined"
+        )
+    raw_from = dl.load_raw(out_dir, sorted(e_from.get("delete_files") or []))
+    raw_to = dl.load_raw(out_dir, sorted(e_to.get("delete_files") or []))
+    fr_set = mf.RangeSet(fr)
+    diffs: dict[int, "np.ndarray"] = {}
+    for pid in sorted(set(raw_to) | set(raw_from)):
+        to_pos = (
+            dl.union_positions(raw_to[pid])
+            if pid in raw_to
+            else np.empty(0, dtype=np.uint32)
+        )
+        from_pos = (
+            dl.union_positions(raw_from[pid])
+            if pid in raw_from
+            else np.empty(0, dtype=np.uint32)
+        )
+        if len(np.setdiff1d(from_pos, to_pos)):
+            raise ValueError(
+                f"snapshot {from_snapshot}→{to_snapshot} of {out_dir} "
+                f"un-deletes positions on pid {pid} — the window crosses a "
+                "rollback; CDC across a rewritten log is undefined"
+            )
+        if pid not in fr_set:
+            continue  # masks on in-window pids: never visible at either end
+        d = np.setdiff1d(to_pos, from_pos).astype(np.uint32)
+        if len(d):
+            diffs[pid] = d
+    return {
+        "from_entry": e_from, "to_entry": e_to,
+        "from_ranges": fr, "to_ranges": tr,
+        "new_ranges": _subtract_ranges(tr, fr),
+        "delete_diffs": diffs,
+    }
+
+
 def read_changes(
     spark: SparkSession,
     out_dir: str,
@@ -3494,26 +3581,9 @@ def read_changes(
     from_snapshot = mf.resolve_snapshot(out_dir, from_snapshot)  # tags ok
     if to_snapshot is not None:
         to_snapshot = mf.resolve_snapshot(out_dir, to_snapshot)
-    by_id = {int(e["id"]): e for e in log}
     if to_snapshot is None:
         to_snapshot = int(log[-1]["id"])
-    for s in (from_snapshot, to_snapshot):
-        if int(s) not in by_id:
-            raise ValueError(
-                f"unknown snapshot_id {s} for {out_dir}; available: {sorted(by_id)}"
-            )
-    if int(from_snapshot) > int(to_snapshot):
-        raise ValueError(
-            f"from_snapshot {from_snapshot} is newer than to_snapshot {to_snapshot}"
-        )
-    e_from, e_to = by_id[int(from_snapshot)], by_id[int(to_snapshot)]
-    fr, tr = e_from.get("ranges") or [], e_to.get("ranges") or []
-    if _subtract_ranges(fr, tr):
-        raise ValueError(
-            f"snapshot {from_snapshot}→{to_snapshot} of {out_dir} loses pid "
-            "ranges — the window crosses a rollback; CDC across a rewritten "
-            "log is undefined"
-        )
+    win = cdc_window(out_dir, int(from_snapshot), int(to_snapshot))
     arrow_schema, spark_schema_json = mf.read_schema(out_dir)
     from pyspark.sql.types import StructType as _ST
 
@@ -3543,7 +3613,7 @@ def read_changes(
     if int(from_snapshot) == int(to_snapshot):
         return spark.createDataFrame([], out_schema)
 
-    new_ranges = _subtract_ranges(tr, fr)
+    new_ranges = win["new_ranges"]
     if new_ranges:
         parts.append(
             decode_table(
@@ -3553,34 +3623,7 @@ def read_changes(
         )
 
     # newly-masked positions on PRE-EXISTING blocks
-    import numpy as np
-
-    raw_from = dl.load_raw(out_dir, sorted(e_from.get("delete_files") or []))
-    raw_to = dl.load_raw(out_dir, sorted(e_to.get("delete_files") or []))
-    fr_set = mf.RangeSet(fr)
-    diff: dict[int, np.ndarray] = {}
-    for pid in sorted(set(raw_to) | set(raw_from)):
-        to_pos = (
-            dl.union_positions(raw_to[pid])
-            if pid in raw_to
-            else np.empty(0, dtype=np.uint32)
-        )
-        from_pos = (
-            dl.union_positions(raw_from[pid])
-            if pid in raw_from
-            else np.empty(0, dtype=np.uint32)
-        )
-        if len(np.setdiff1d(from_pos, to_pos)):
-            raise ValueError(
-                f"snapshot {from_snapshot}→{to_snapshot} of {out_dir} "
-                f"un-deletes positions on pid {pid} — the window crosses a "
-                "rollback; CDC across a rewritten log is undefined"
-            )
-        if pid not in fr_set:
-            continue  # masks on in-window pids: never visible at either end
-        d = np.setdiff1d(to_pos, from_pos).astype(np.uint32)
-        if len(d):
-            diff[pid] = d
+    diff = win["delete_diffs"]
     if diff:
         rows_by_pid = mf.load_rows(out_dir, sorted(diff))
         schema_bytes = arrow_schema.serialize().to_pybytes()

@@ -304,3 +304,31 @@ def test_temporal_stats_prune_blocks():
     # tz-aware probe vs naive stats: conservative scan, never a wrong skip
     aware = dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc)
     assert _block_may_match(codecs, "ts", "=", aware)
+
+
+# --------------------------------------------------------------- review find
+# (via the CDC-stream rollback test): the canonicalized plan string elides
+# LocalRelation data, so two same-shape in-memory appends shared a
+# fingerprint and the second silently no-oped as a "resume" of the first.
+
+
+def test_identityless_appends_with_different_content_both_land(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from rugo_spark.engine import append_table, decode_table, encode_table
+
+    def df(start):
+        return spark.createDataFrame(pd.DataFrame({
+            "k": np.arange(start, start + 100, dtype="int64"),
+            "v": np.arange(start, start + 100, dtype="int64") % 7,
+        }))
+
+    out = str(tmp_path / "ds")
+    encode_table(df(0), out, key_col="k", num_partitions=2)
+    append_table(df(100), out)
+    append_table(df(200), out)  # same shape, different rows: MUST land
+    assert decode_table(spark, out).count() == 300
+    # identical content re-append IS still the idempotent resume
+    append_table(df(200), out)
+    assert decode_table(spark, out).count() == 300
