@@ -89,6 +89,38 @@ def q_cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_changes(spark, out, 1)
 
 
+def q_cdc_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC source (`format('rugo_cdc')` — the Delta CDF analog
+    as a Structured Streaming source; offsets are snapshot ids + an entry
+    fingerprint): build the SAME history as `cdc_read_changes`, drain the
+    change stream from 'earliest' through an availableNow query into a
+    parquet sink, and return the landed rows — the stream must emit
+    exactly the batch incremental read's net changes."""
+    import shutil
+
+    from rugo_spark.datasource import register
+    from rugo_spark.engine import append_table, delete_where, encode_table
+
+    register(spark)
+    df = _t(spark, sf_dir, "orders")
+    out = _fresh("cdcs_orders", sf_dir)
+    encode_table(df.filter(F.col("o_orderkey") % 2 == 0), out,
+                 key_col="o_orderkey", num_partitions=4)
+    append_table(df.filter(F.col("o_orderkey") % 2 == 1), out)
+    delete_where(spark, out, [("o_totalprice", "<", 100000.0)])
+    sink = _fresh("cdcs_sink", sf_dir)
+    ckpt = _fresh("cdcs_ckpt", sf_dir)
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (spark.readStream.format("rugo_cdc")
+         .option("startingSnapshot", "earliest").load(out)
+         .writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.read.parquet(sink)
+
+
 def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering (the Delta OPTIMIZE ZORDER analog): encode
     lineitem, rewrite it Morton-clustered on (l_orderkey, l_partkey) —
@@ -1013,12 +1045,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r5 head: delete_where_roundtrip + consolidated_roundtrip +
     # streaming_late_data + snapshot_time_travel + schema_evolution_append
     # are new; quality_score/roundtrip_{orders,events,part} were r4's
-    # unmeasured tail.  Late-r5 additions rename_drop_evolution +
-    # retention_maintenance push pipeline_docs_to_encoded + pack_sequences
-    # past the ~50-row cap — both green in r4 AND wall-clocked every round
+    # unmeasured tail.  Late-r5 additions cdc_stream_drain + rename_drop_evolution +
+    # retention_maintenance push multimodal_features + pipeline_docs_to_encoded
+    # + pack_sequences past the ~50-row cap — both green in r4 AND wall-clocked every round
     # by bench.py (pack_sequences has its own bench key with a roundtrip
     # assertion), so no surface goes unverified.
     return {
+        "cdc_stream_drain": q_cdc_stream_drain,
         "rename_drop_evolution": q_rename_drop_evolution,
         "retention_maintenance": q_retention_maintenance,
         "cdc_read_changes": q_cdc_read_changes,
@@ -1286,6 +1319,14 @@ def oracle_sql() -> dict[str, str]:
         # net CDC: inserts = appended rows alive at the endpoint; deletes =
         # pre-existing rows newly masked inside the window
         "cdc_read_changes": (
+            "SELECT *, 'insert' AS _change_type FROM orders "
+            "WHERE o_orderkey % 2 = 1 AND o_totalprice >= 100000 "
+            "UNION ALL "
+            "SELECT *, 'delete' AS _change_type FROM orders "
+            "WHERE o_orderkey % 2 = 0 AND o_totalprice < 100000"
+        ),
+        # the STREAM drain of the same history must land the same net rows
+        "cdc_stream_drain": (
             "SELECT *, 'insert' AS _change_type FROM orders "
             "WHERE o_orderkey % 2 = 1 AND o_totalprice >= 100000 "
             "UNION ALL "
