@@ -255,6 +255,48 @@ def _stripe_keep(dir_entry: dict, filters: list[tuple] | None) -> bool:
     return all(_block_may_match(codecs, c, op, v) for c, op, v in filters)
 
 
+def _read_flat_stream(f, n_cols: int, schema: pa.Schema, columns: list[str] | None):
+    """`_decode_flat_block` over a FILE OBJECT positioned just PAST the
+    8-byte flat header: unwanted column payloads are ``seek``ed over
+    instead of read — a column-pruned scan of a block costs the bytes of
+    the requested columns, not the file (the 100-TB shape: ranged reads,
+    not full-object GETs).  Same null-fill/ordering contract as the
+    in-memory decoder."""
+    if n_cols > len(schema.names):
+        raise ValueError(
+            f"block stores {n_cols} columns but the dataset schema has only "
+            f"{len(schema.names)} — the _schema.json does not describe this "
+            "block (schema evolution only ADDS columns, never drops)"
+        )
+    arrays, names = [], []
+    want = set(columns) if columns is not None else None
+    first_payload = None  # kept only if needed for the row-count edge
+    for i in range(n_cols):
+        (ln,) = _U64.unpack(f.read(8))
+        name = schema.names[i]
+        if want is None or name in want:
+            arrays.append(decode_array(f.read(ln), schema.field(name).type))
+            names.append(name)
+        elif i == 0:
+            # projection may ask ONLY for post-evolution columns: column 0
+            # is the row-count fallback, so keep its bytes instead of a
+            # second read later (still skips every other unwanted column)
+            first_payload = f.read(ln)
+        else:
+            f.seek(ln, 1)
+    missing = [n for n in schema.names[n_cols:] if want is None or n in want]
+    if missing:
+        if arrays:
+            n_rows = len(arrays[0])
+        else:
+            assert first_payload is not None
+            n_rows = len(decode_array(first_payload, schema.field(schema.names[0]).type))
+        for n in missing:
+            arrays.append(pa.nulls(n_rows, type=schema.field(n).type))
+            names.append(n)
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
 def read_block_file(
     path: str,
     schema: pa.Schema,
@@ -268,10 +310,35 @@ def read_block_file(
     and directory-striped ('RGS2' = RGS1 + a per-stripe min/max directory).
     ``filters`` skip whole stripes via the RGS2 directory — a point lookup
     inside a multi-stripe block decodes only the matching stripes (the
-    caller still re-applies filters exactly on the decoded rows)."""
+    caller still re-applies filters exactly on the decoded rows).
+
+    Column projection and stripe skipping SEEK over unwanted bytes instead
+    of reading them: a one-column predicate scan reads ~that column's
+    share of the file, and a pruned point lookup reads ~one stripe."""
+    if columns is None and filters is None:
+        with open(path, "rb") as f:
+            buf = memoryview(f.read())
+        yield from decode_block_payload(buf, schema, columns, filters)
+        return
     with open(path, "rb") as f:
-        buf = memoryview(f.read())
-    yield from decode_block_payload(buf, schema, columns, filters)
+        head = f.read(_FHDR.size)
+        magic, n = _FHDR.unpack(head)
+        if magic in (STRIPED_MAGIC, STRIPED_MAGIC2):
+            stripe_dir: list[dict] = []
+            if magic == STRIPED_MAGIC2:
+                (dlen,) = _U64.unpack(f.read(8))
+                stripe_dir = json.loads(f.read(dlen))
+            for i in range(n):
+                (ln,) = _U64.unpack(f.read(8))
+                if stripe_dir and not _stripe_keep(stripe_dir[i], filters):
+                    f.seek(ln, 1)
+                    continue
+                sub_magic, sub_cols = _FHDR.unpack(f.read(_FHDR.size))
+                assert sub_magic == FILE_MAGIC, "bad stripe magic"
+                yield _read_flat_stream(f, sub_cols, schema, columns)
+        else:
+            assert magic == FILE_MAGIC, "bad block magic"
+            yield _read_flat_stream(f, n, schema, columns)
 
 
 def decode_block_payload(
