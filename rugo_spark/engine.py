@@ -82,6 +82,47 @@ def write_block_file(path: str, table: pa.Table, plans: dict | None = None) -> t
     return _atomic_write(path, payload), metas
 
 
+# raw Arrow bytes per intra-block stripe for the map-only/append/V2 writers
+# (the grouped path stripes naturally at map-combine granularity).  Big
+# splits become RGS2 blocks with a per-stripe min/max directory, so point
+# lookups and ranged reads skip STRIPE BYTES inside one block instead of
+# decoding a whole 64-128 MB split.
+_STRIPE_TARGET_BYTES = 8 << 20
+
+
+def _write_striped_block(
+    path: str, tbl: pa.Table, plans: dict | None
+) -> tuple[int, dict]:
+    """write_block_file, but large tables chunk into ~8 MB-raw stripes
+    under an RGS2 directory (same wire format the grouped reduce writes).
+    Deterministic: stripe boundaries derive only from the table's own
+    shape, so crash-resume re-encodes bit-identically."""
+    n = tbl.num_rows
+    per_row = max(1, tbl.nbytes // max(n, 1))
+    rows_per = max(4096, _STRIPE_TARGET_BYTES // per_row)
+    if n <= rows_per + rows_per // 2:  # one stripe: flat block, no directory
+        return write_block_file(path, tbl, plans)
+    stripes, metas_list, dir_entries = [], [], []
+    for s in range(0, n, rows_per):
+        sub = tbl.slice(s, min(rows_per, n - s))
+        payload, metas = encode_block_bytes(sub, plans)
+        stripes.append(payload)
+        metas_list.append(metas)
+        dir_entries.append({
+            c: [m["min"], m["max"]]
+            for c, m in metas.items()
+            if m.get("min") is not None and m.get("max") is not None
+        })
+    dir_blob = json.dumps(dir_entries, default=str).encode()
+    parts = [STRIPED_MAGIC2, struct.pack("<I", len(stripes)),
+             struct.pack("<Q", len(dir_blob)), dir_blob]
+    for blob in stripes:
+        parts.append(struct.pack("<Q", len(blob)))
+        parts.append(blob)
+    crc = _atomic_write(path, b"".join(parts))
+    return crc, merge_column_metas(metas_list)
+
+
 def encode_block_row(
     tbl: pa.Table,
     path: str,
@@ -99,7 +140,7 @@ def encode_block_row(
     caller already ordered the rows by ``sort_key``."""
     if sort_key is not None and not presorted:
         tbl = tbl.sort_by(sort_key)
-    crc, metas = write_block_file(path, tbl, plans)
+    crc, metas = _write_striped_block(path, tbl, plans)
     n_tokens = 0
     if size_col is not None:
         import pyarrow.compute as pc

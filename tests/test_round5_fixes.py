@@ -332,3 +332,49 @@ def test_identityless_appends_with_different_content_both_land(spark, tmp_path):
     # identical content re-append IS still the idempotent resume
     append_table(df(200), out)
     assert decode_table(spark, out).count() == 300
+
+
+# --------------------------------------------------------------- r5 late:
+# map-only/append/V2 blocks were single flat stripes — a point lookup in a
+# 128 MB split decoded the whole block.  Large splits now write RGS2 with a
+# per-stripe min/max directory (deterministically chunked), so intra-block
+# stripe skipping works on every writer path.
+
+
+def test_maponly_blocks_stripe_and_skip(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from rugo_spark import engine
+
+    # 2M rows x 16 raw bytes = 32 MB in one split -> ~4 stripes at the 8 MB
+    # target (the constant lives executor-side; size the data, not a patch)
+    N_ROWS = 2_000_000
+    out = str(tmp_path / "ds")
+    df = spark.createDataFrame(pd.DataFrame({
+        "k": np.arange(N_ROWS, dtype="int64"),
+        "v": np.arange(N_ROWS, dtype="int64") * 2,
+    })).coalesce(1)
+    engine.encode_table_maponly(df, out, sort_key="k")
+    import os
+
+    blocks = os.listdir(os.path.join(out, "blocks"))
+    assert len(blocks) == 1
+    with open(os.path.join(out, "blocks", blocks[0]), "rb") as f:
+        assert f.read(4) == engine.STRIPED_MAGIC2
+    # bit-exact roundtrip through the striped layout
+    got = engine.decode_table(spark, out).toPandas().sort_values("k")
+    assert got["k"].to_numpy().tolist() == list(range(N_ROWS))
+    assert (got["v"].to_numpy() == np.arange(N_ROWS) * 2).all()
+    # a point filter decodes exactly one matching row via stripe skipping
+    hit = engine.decode_table(spark, out, filters=[("k", "=", 12345)]).collect()
+    assert [r["v"] for r in hit] == [24690]
+    # determinism: re-encoding the same table heals bit-identically
+    path = os.path.join(out, "blocks", blocks[0])
+    import hashlib
+
+    before = hashlib.md5(open(path, "rb").read()).hexdigest()
+    os.remove(path)
+    os.remove(os.path.join(out, "manifest", "part-000000.json"))
+    engine.encode_table_maponly(df, out, sort_key="k")
+    assert hashlib.md5(open(path, "rb").read()).hexdigest() == before
