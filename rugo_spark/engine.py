@@ -1148,11 +1148,18 @@ def _predicate_positions(batches, filters, offset_base: int = 0):
         m = None
         for c, op, v in filters:
             col = b.column(b.schema.get_field_index(c))
-            try:
-                scal = pa.scalar(v, type=col.type)
-            except (pa.ArrowInvalid, pa.ArrowTypeError):
-                scal = pa.scalar(v)
-            cur = pc.fill_null(_OPS[op](col, scal), False)
+            if op == "in":
+                try:
+                    vset = pa.array(list(v), type=col.type)
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    vset = pa.array(list(v))
+                cur = pc.fill_null(pc.is_in(col, value_set=vset), False)
+            else:
+                try:
+                    scal = pa.scalar(v, type=col.type)
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    scal = pa.scalar(v)
+                cur = pc.fill_null(_OPS[op](col, scal), False)
             m = cur if m is None else pc.and_(m, cur)
         idx = np.nonzero(m.to_numpy(zero_copy_only=False))[0]
         if len(idx):
@@ -1315,7 +1322,7 @@ def delete_where(
     for c, op, _v in filters:
         if c not in arrow_schema.names:
             raise ValueError(f"unknown column {c!r} in delete predicate")
-        if op not in ("=", "<", "<=", ">", ">="):
+        if op not in ("=", "<", "<=", ">", ">=", "in"):
             raise ValueError(f"unsupported delete predicate op {op!r}")
     payload_schema = mf.read_schema_payload(out_dir) or {}
     size_col = payload_schema.get("size_col")
@@ -1794,7 +1801,7 @@ def update_where(
     for c, op, _v in filters:
         if c not in valid:
             raise ValueError(f"unknown column {c!r} in update predicate")
-        if op not in ("=", "<", "<=", ">", ">="):
+        if op not in ("=", "<", "<=", ">", ">=", "in"):
             raise ValueError(f"unsupported update predicate op {op!r}")
     bad = [c for c in assignments if c not in valid]
     if bad:
@@ -3101,25 +3108,32 @@ def _normalize_temporal_filters(schema, filters: list | None) -> list | None:
 
     types = {f.name: f.dataType for f in schema.fields}
     tz = None
+
+    def _norm_one(v):
+        nonlocal tz
+        if not isinstance(v, _dt.datetime):
+            return v
+        if v.tzinfo is not None:
+            return v.astimezone(_dt.timezone.utc)
+        if tz is None:
+            tzname = _session_tz_name()
+            if tzname is not None:
+                try:
+                    from zoneinfo import ZoneInfo
+
+                    tz = ZoneInfo(tzname)
+                except (KeyError, ValueError, OSError):
+                    tz = False
+            else:
+                tz = False
+        if tz:
+            return v.replace(tzinfo=tz).astimezone(_dt.timezone.utc)
+        return v
+
     out = []
     for c, op, v in filters:
-        if isinstance(types.get(c), TimestampType) and isinstance(v, _dt.datetime):
-            if v.tzinfo is None:
-                if tz is None:
-                    tzname = _session_tz_name()
-                    if tzname is not None:
-                        try:
-                            from zoneinfo import ZoneInfo
-
-                            tz = ZoneInfo(tzname)
-                        except (KeyError, ValueError, OSError):
-                            tz = False
-                    else:
-                        tz = False
-                if tz:
-                    v = v.replace(tzinfo=tz).astimezone(_dt.timezone.utc)
-            else:
-                v = v.astimezone(_dt.timezone.utc)
+        if isinstance(types.get(c), TimestampType):
+            v = [_norm_one(x) for x in v] if op == "in" else _norm_one(v)
         out.append((c, op, v))
     return out
 
@@ -3128,6 +3142,11 @@ def _block_may_match(codecs: dict, col: str, op: str, value) -> bool:
     """Conservative block-skip test from manifest min/max stats (the rugo
     min/max external-pruning pattern, metadata.cpp:430-463).  True = must
     scan (unknown stats or possible overlap)."""
+    if op == "in":
+        vals = list(value)
+        if not vals:
+            return False  # IN () matches nothing — skip every block
+        return any(_block_may_match(codecs, col, "=", v) for v in vals)
     meta = codecs.get(col)
     if not meta or meta.get("min") is None or meta.get("max") is None:
         return True
@@ -3194,10 +3213,11 @@ def _sidecar_keep(row: dict, filters: list[tuple] | None) -> bool:
     for c, op, v in filters:
         if not _block_may_match(codecs, c, op, v):
             return False
-        if op == "=" and row.get("bloom") and row.get("bloom_col") == c:
+        if op in ("=", "in") and row.get("bloom") and row.get("bloom_col") == c:
             from rugo_spark import bloom as _bloom
 
-            if not _bloom.might_contain(row["bloom"], v):
+            vals = list(v) if op == "in" else [v]
+            if not any(_bloom.might_contain(row["bloom"], x) for x in vals):
                 return False
     return True
 
@@ -3558,7 +3578,9 @@ def decode_table(
         for c, op, v in filters:
             col = F.col(c)
             out = out.filter(
-                {"=": col == v, "<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v}[op]
+                col.isin(*list(v)) if op == "in" else
+                {"=": col == v, "<": col < v, "<=": col <= v, ">": col > v,
+                 ">=": col >= v}[op]
             )
     if extra_filter_cols:
         out = out.select(*columns)

@@ -378,3 +378,39 @@ def test_maponly_blocks_stripe_and_skip(spark, tmp_path):
     os.remove(os.path.join(out, "manifest", "part-000000.json"))
     engine.encode_table_maponly(df, out, sort_key="k")
     assert hashlib.md5(open(path, "rb").read()).hexdigest() == before
+
+
+# --------------------------------------------------------------- r5 late:
+# IN-list predicates through every layer: stats pruning (OR of equality
+# tests), bloom (OR of probes), stripe skipping, the exact re-apply, and
+# the DML mask kernel.
+
+
+def test_in_predicate_decode_and_delete(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from rugo_spark import manifest as mf
+    from rugo_spark.engine import (_sidecar_keep, decode_table, delete_where,
+                                   encode_table)
+
+    out = str(tmp_path / "ds")
+    df = spark.createDataFrame(pd.DataFrame({
+        "k": np.arange(10_000, dtype="int64"),
+        "v": np.arange(10_000, dtype="int64") % 13,
+    }))
+    encode_table(df, out, key_col="k", num_partitions=8)
+    keys = [17, 4242, 9999]
+    got = decode_table(spark, out, filters=[("k", "in", keys)]).collect()
+    assert sorted(r["k"] for r in got) == keys
+    # pruning: an IN-list whose members all live in one block keeps ~1 block
+    rows = mf.visible_partitions(out)
+    kept = [r for r in rows if _sidecar_keep(r, [("k", "in", [17, 18])])]
+    assert len(kept) < len(rows)
+    # empty IN matches nothing (and skips every block)
+    assert decode_table(spark, out, filters=[("k", "in", [])]).count() == 0
+    # DML: IN-list delete masks exactly those rows, idempotently
+    res = delete_where(spark, out, [("k", "in", keys)])
+    assert res["n_deleted"] == 3
+    assert decode_table(spark, out).count() == 10_000 - 3
+    assert delete_where(spark, out, [("k", "in", keys)])["n_deleted"] == 0
