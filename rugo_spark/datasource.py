@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     EqualTo,
     Filter,
+    In,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
@@ -50,6 +51,7 @@ _PUSHABLE = {
     GreaterThanOrEqual: ">=",
     LessThan: "<",
     LessThanOrEqual: "<=",
+    In: "in",
 }
 
 
@@ -117,11 +119,15 @@ class RugoReader(DataSourceReader):
         self.filters = []  # fresh per planning pass (reader may be reused)
         for f in filters:
             op = _PUSHABLE.get(type(f))
-            if (
-                op is not None
-                and len(f.attribute) == 1
-                and isinstance(f.value, (int, float, str, bool))
-            ):
+            ok_value = (
+                isinstance(f.value, (int, float, str, bool))
+                or (
+                    op == "in"
+                    and isinstance(f.value, tuple)
+                    and all(isinstance(x, (int, float, str, bool)) for x in f.value)
+                )
+            )
+            if op is not None and len(f.attribute) == 1 and ok_value:
                 self.filters.append(
                     (self._l2p.get(f.attribute[0], f.attribute[0]), op, f.value)
                 )
