@@ -119,7 +119,7 @@ class RugoReader(DataSourceReader):
         self.filters = []  # fresh per planning pass (reader may be reused)
         for f in filters:
             op = _PUSHABLE.get(type(f))
-            ok_value = (
+            ok_value = op is not None and (
                 isinstance(f.value, (int, float, str, bool))
                 or (
                     op == "in"
@@ -127,7 +127,7 @@ class RugoReader(DataSourceReader):
                     and all(isinstance(x, (int, float, str, bool)) for x in f.value)
                 )
             )
-            if op is not None and len(f.attribute) == 1 and ok_value:
+            if ok_value and len(f.attribute) == 1:
                 self.filters.append(
                     (self._l2p.get(f.attribute[0], f.attribute[0]), op, f.value)
                 )
