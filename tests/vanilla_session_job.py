@@ -101,6 +101,40 @@ def main(workdir: str) -> None:
         ).count()
         assert one == 1, f"point lookup returned {one} rows"
 
+        # 7. DML + retention + evolution + CDC stream (round-5 surfaces) on
+        # the bare session — the same environment-drift class as r3
+        from rugo_spark import deletes as dl
+        from rugo_spark import evolution as evo
+        from rugo_spark import manifest as mf
+        from rugo_spark.engine import delete_where, read_changes
+
+        delete_where(spark, out1, [("doc_id", "in", ["doc-11", "doc-13"])])
+        delete_where(spark, out1, [("doc_id", "=", "doc-17")])
+        assert decode_table(spark, out1).count() == n_src - 3, "delete_where"
+        c = dl.consolidate_delete_files(out1)
+        assert c["files_after"] == 1, f"consolidate {c}"
+        mf.set_tag(out1, "v1")
+        mf.expire_snapshots(out1, keep_last=1)
+        assert decode_table(spark, out1, snapshot_id="v1").count() == n_src - 3
+        evo.rename_column(out1, "n_tok", "tok_n")
+        agg = metadata_agg(spark, out1, columns=["tok_n"]).collect()[0]
+        assert agg["n_rows"] == n_src - 3, "metadata_agg after rename"
+        ch = read_changes(spark, out2, 1)
+        assert ch.count() == n_extra, f"cdc {ch.count()} != {n_extra}"
+        from rugo_spark.datasource import register
+
+        register(spark)
+        sink = os.path.join(workdir, "cdc_sink")
+        ck = os.path.join(workdir, "cdc_ckpt")
+        q = (spark.readStream.format("rugo_cdc")
+             .option("startingSnapshot", "earliest").load(out2)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = spark.read.parquet(sink).count()
+        assert got == n_extra, f"cdc stream {got} != {n_extra}"
+
         print("VANILLA-OK")
     finally:
         spark.stop()
