@@ -89,6 +89,27 @@ def q_cdc_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_changes(spark, out, 1)
 
 
+def q_recluster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental recluster (the Iceberg incremental rewriteDataFiles
+    analog): sort-encode the even orders, append the odd ones as a band,
+    then merge the band into the sorted layout — untouched base blocks
+    BYTE-COPY (pytest pins md5 equality), only overlapped ones rewrite,
+    and the result is again range-disjoint.  Oracle: the full table."""
+    from rugo_spark.engine import append_table, decode_table, encode_table_sorted
+    from rugo_spark.recluster import recluster_dataset
+
+    df = _t(spark, sf_dir, "orders")
+    src = _fresh("recl_src", sf_dir)
+    dst = _fresh("recl_dst", sf_dir)
+    encode_table_sorted(df.filter(F.col("o_orderkey") % 2 == 0), src,
+                        key_col="o_orderkey", num_partitions=4)
+    append_table(df.filter(F.col("o_orderkey") % 2 == 1), src,
+                 sort_key="o_orderkey")
+    res = recluster_dataset(spark, src, dst)
+    assert res["n_blocks"] >= 4, res
+    return decode_table(spark, dst)
+
+
 def q_cdc_stream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC source (`format('rugo_cdc')` — the Delta CDF analog
     as a Structured Streaming source; offsets are snapshot ids + an entry
@@ -1051,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by bench.py (pack_sequences has its own bench key with a roundtrip
     # assertion), so no surface goes unverified.
     return {
+        "recluster_roundtrip": q_recluster_roundtrip,
         "cdc_stream_drain": q_cdc_stream_drain,
         "rename_drop_evolution": q_rename_drop_evolution,
         "retention_maintenance": q_retention_maintenance,
@@ -1325,6 +1347,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, 'delete' AS _change_type FROM orders "
             "WHERE o_orderkey % 2 = 0 AND o_totalprice < 100000"
         ),
+        # recluster is pure layout: content equals the source table
+        "recluster_roundtrip": "SELECT * FROM orders",
         # the STREAM drain of the same history must land the same net rows
         "cdc_stream_drain": (
             "SELECT *, 'insert' AS _change_type FROM orders "

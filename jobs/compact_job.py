@@ -35,6 +35,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sort-key", default=None)
     p.add_argument("--mode", default="auto", choices=["auto", "concat", "rewrite"],
                    help="concat: members become stripes at disk-copy speed; rewrite: decode+re-encode")
+    p.add_argument("--recluster", action="store_true",
+                   help="incremental recluster instead of compaction: merge "
+                        "append bands into the sorted base — untouched base "
+                        "blocks byte-copy, only overlapped/masked ones "
+                        "rewrite (Iceberg incremental rewriteDataFiles "
+                        "analog). --sort-key defaults to the recorded plan.")
     p.add_argument("--verify", action="store_true",
                    help="assert conserved totals via metadata_agg (no data read)")
     p.add_argument("--master", default=None, help="override master (local testing)")
@@ -48,20 +54,29 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(master=args.master, app_name="rugo_spark_compact")
     try:
         try:
-            man = compact_dataset(
-                spark, args.input, args.output,
-                target_bytes=args.target_bytes, sort_key=args.sort_key, mode=args.mode,
-            )
+            if args.recluster:
+                from rugo_spark.recluster import recluster_dataset
+
+                summary = recluster_dataset(
+                    spark, args.input, args.output, sort_key=args.sort_key
+                )
+            else:
+                man = compact_dataset(
+                    spark, args.input, args.output,
+                    target_bytes=args.target_bytes, sort_key=args.sort_key,
+                    mode=args.mode,
+                )
         except (FileNotFoundError, ValueError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
-        stats = man.agg(
-            F.count("*").alias("blocks"),
-            F.sum("n_rows").alias("rows"),
-            F.sum("n_tokens").alias("tokens"),
-            F.sum("output_bytes").alias("output_bytes"),
-        ).first()
-        summary = {k: int(stats[k] or 0) for k in stats.asDict()}
+        if not args.recluster:
+            stats = man.agg(
+                F.count("*").alias("blocks"),
+                F.sum("n_rows").alias("rows"),
+                F.sum("n_tokens").alias("tokens"),
+                F.sum("output_bytes").alias("output_bytes"),
+            ).first()
+            summary = {k: int(stats[k] or 0) for k in stats.asDict()}
         if args.verify:
             a = metadata_agg(spark, args.input, columns=[]).first()
             b = metadata_agg(spark, args.output, columns=[]).first()
