@@ -272,9 +272,10 @@ def recluster_dataset(
             .collect()
         )
         rewritten_rows = sum(int(r["n_rows"]) for r in folded) or 0
+        from rugo_spark.engine import _pid_of_block_path
+
         gids_with_rows = {
-            int(os.path.basename(p)[5:11])
-            for p in (r["block_path"] for r in folded)
+            _pid_of_block_path(r["block_path"]) for r in folded
         }
 
     # ---- stage 2: untouched base blocks — byte-copy (or purge-rewrite
