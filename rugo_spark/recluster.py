@@ -24,8 +24,12 @@ accumulate.  The existing remedies rewrite EVERYTHING
    is again a sorted dataset with disjoint ranges, ready for the next
    append → recluster cycle.
 
-Deterministic end-to-end (groups derive only from committed stats; block
-encode is the deterministic shared kernel); like compaction, the
+Run it quiesced (like compaction/z-order, it snapshots the visible
+partition set at entry — rows from an append that COMMITS mid-run would
+be missing from the destination; the single-writer append gate does not
+cover read-side maintenance).  Deterministic end-to-end (groups derive
+only from committed stats; block encode is the deterministic shared
+kernel); like compaction, the
 destination is cleared at entry (stale sidecars from a previous larger
 run would silently duplicate rows) and per-task sidecar-exists skips keep
 speculative task attempts idempotent within a run.
