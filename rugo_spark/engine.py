@@ -1148,7 +1148,11 @@ def _predicate_positions(batches, filters, offset_base: int = 0):
         m = None
         for c, op, v in filters:
             col = b.column(b.schema.get_field_index(c))
-            if op == "in":
+            if op == "isnull":
+                cur = pc.is_null(col)
+            elif op == "notnull":
+                cur = pc.is_valid(col)
+            elif op == "in":
                 try:
                     vset = pa.array(list(v), type=col.type)
                 except (pa.ArrowInvalid, pa.ArrowTypeError):
@@ -1322,7 +1326,7 @@ def delete_where(
     for c, op, _v in filters:
         if c not in arrow_schema.names:
             raise ValueError(f"unknown column {c!r} in delete predicate")
-        if op not in ("=", "<", "<=", ">", ">=", "in"):
+        if op not in ("=", "<", "<=", ">", ">=", "in", "isnull", "notnull"):
             raise ValueError(f"unsupported delete predicate op {op!r}")
     payload_schema = mf.read_schema_payload(out_dir) or {}
     size_col = payload_schema.get("size_col")
@@ -1801,7 +1805,7 @@ def update_where(
     for c, op, _v in filters:
         if c not in valid:
             raise ValueError(f"unknown column {c!r} in update predicate")
-        if op not in ("=", "<", "<=", ">", ">=", "in"):
+        if op not in ("=", "<", "<=", ">", ">=", "in", "isnull", "notnull"):
             raise ValueError(f"unsupported update predicate op {op!r}")
     bad = [c for c in assignments if c not in valid]
     if bad:
@@ -3147,6 +3151,12 @@ def _block_may_match(codecs: dict, col: str, op: str, value) -> bool:
         if not vals:
             return False  # IN () matches nothing — skip every block
         return any(_block_may_match(codecs, col, "=", v) for v in vals)
+    if op == "isnull":
+        m = codecs.get(col) or {}
+        nc = m.get("null_count")
+        return nc is None or int(nc) > 0  # zero recorded nulls → skip
+    if op == "notnull":
+        return True  # null_count == n_rows is not visible here — scan
     meta = codecs.get(col)
     if not meta or meta.get("min") is None or meta.get("max") is None:
         return True
@@ -3577,11 +3587,16 @@ def decode_table(
 
         for c, op, v in filters:
             col = F.col(c)
-            out = out.filter(
-                col.isin(*list(v)) if op == "in" else
-                {"=": col == v, "<": col < v, "<=": col <= v, ">": col > v,
-                 ">=": col >= v}[op]
-            )
+            if op == "isnull":
+                out = out.filter(col.isNull())
+            elif op == "notnull":
+                out = out.filter(col.isNotNull())
+            else:
+                out = out.filter(
+                    col.isin(*list(v)) if op == "in" else
+                    {"=": col == v, "<": col < v, "<=": col <= v, ">": col > v,
+                     ">=": col >= v}[op]
+                )
     if extra_filter_cols:
         out = out.select(*columns)
     return _to_logical(out)

@@ -414,3 +414,37 @@ def test_in_predicate_decode_and_delete(spark, tmp_path):
     assert res["n_deleted"] == 3
     assert decode_table(spark, out).count() == 10_000 - 3
     assert delete_where(spark, out, [("k", "in", keys)])["n_deleted"] == 0
+
+
+def test_isnull_notnull_predicates(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from rugo_spark import manifest as mf
+    from rugo_spark.engine import (_sidecar_keep, decode_table, delete_where,
+                                   encode_table_sorted)
+
+    out = str(tmp_path / "ds")
+    # quality is NULL only for k < 100: the RANGE-sorted layout localizes
+    # the nulls to one block, so null_count stats prune the rest
+    df = spark.createDataFrame(pd.DataFrame({
+        "k": np.arange(4000, dtype="int64"),
+    })).withColumn(
+        "quality",
+        F.when(F.col("k") >= 100, F.col("k").cast("double") / 2),
+    )
+    encode_table_sorted(df, out, key_col="k", num_partitions=8)
+    got = decode_table(spark, out, filters=[("quality", "isnull", None)])
+    assert sorted(r["k"] for r in got.collect()) == list(range(100))
+    assert decode_table(
+        spark, out, filters=[("quality", "notnull", None)]
+    ).count() == 3900
+    # pruning: blocks with zero recorded nulls skip for isnull
+    rows = mf.visible_partitions(out)
+    kept = [r for r in rows if _sidecar_keep(r, [("quality", "isnull", None)])]
+    assert len(kept) < len(rows)
+    # DML: delete the null-quality rows (the data-quality purge shape)
+    res = delete_where(spark, out, [("quality", "isnull", None)])
+    assert res["n_deleted"] == 100
+    assert decode_table(spark, out).count() == 3900
