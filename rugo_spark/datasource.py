@@ -35,10 +35,12 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     EqualTo,
     Filter,
-    In,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     WriterCommitMessage,
@@ -52,6 +54,8 @@ _PUSHABLE = {
     LessThan: "<",
     LessThanOrEqual: "<=",
     In: "in",
+    IsNull: "isnull",
+    IsNotNull: "notnull",
 }
 
 
@@ -119,17 +123,22 @@ class RugoReader(DataSourceReader):
         self.filters = []  # fresh per planning pass (reader may be reused)
         for f in filters:
             op = _PUSHABLE.get(type(f))
-            ok_value = op is not None and (
-                isinstance(f.value, (int, float, str, bool))
-                or (
-                    op == "in"
-                    and isinstance(f.value, tuple)
-                    and all(isinstance(x, (int, float, str, bool)) for x in f.value)
+            if op in ("isnull", "notnull"):
+                ok_value, value = True, None  # attribute-only filters
+            else:
+                value = getattr(f, "value", None)
+                ok_value = op is not None and (
+                    isinstance(value, (int, float, str, bool))
+                    or (
+                        op == "in"
+                        and isinstance(value, tuple)
+                        and all(isinstance(x, (int, float, str, bool))
+                                for x in value)
+                    )
                 )
-            )
             if ok_value and len(f.attribute) == 1:
                 self.filters.append(
-                    (self._l2p.get(f.attribute[0], f.attribute[0]), op, f.value)
+                    (self._l2p.get(f.attribute[0], f.attribute[0]), op, value)
                 )
             yield f
 
