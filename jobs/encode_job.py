@@ -107,22 +107,31 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None, help="override master (local testing)")
     args = p.parse_args(argv)
 
+    def _parse_one(raw: str):
+        try:
+            return int(raw)
+        except ValueError:
+            try:
+                return float(raw)
+            except ValueError:
+                return raw.strip("'\"")
+
     def _parse_preds(preds, flag):
         filters = []
         for pred in preds:
             parts = pred.split(None, 2)
-            if len(parts) != 3 or parts[1] not in ("=", "<", "<=", ">", ">="):
-                p.error(f"{flag} {pred!r}: want 'col OP value'")
+            if len(parts) == 2 and parts[1] in ("isnull", "notnull"):
+                filters.append((parts[0], parts[1], None))
+                continue
+            if len(parts) != 3 or parts[1] not in ("=", "<", "<=", ">", ">=", "in"):
+                p.error(f"{flag} {pred!r}: want 'col OP value' (OP in "
+                        "= < <= > >= in), 'col in v1,v2,…', or "
+                        "'col isnull'/'col notnull'")
             col, op, raw = parts
-            value: object
-            try:
-                value = int(raw)
-            except ValueError:
-                try:
-                    value = float(raw)
-                except ValueError:
-                    value = raw.strip("'\"")
-            filters.append((col, op, value))
+            if op == "in":
+                filters.append((col, op, [_parse_one(x) for x in raw.split(",")]))
+            else:
+                filters.append((col, op, _parse_one(raw)))
         return filters
 
     if args.update_where or args.update_set:
