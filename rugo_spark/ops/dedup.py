@@ -91,6 +91,134 @@ def minhash_signature(shingles_col, n_hashes: int = 32):
     )
 
 
+def _word_minhash_bands(
+    df: DataFrame, text_col: str, id_col: str, shingle: int,
+    n_hashes: int, n_bands: int,
+) -> DataFrame:
+    """(id, sig, band, band_key) rows for the word-shingle unit via ONE
+    vectorized Arrow kernel — bit-identical to the SQL formulation it
+    replaces (pinned by tests/test_xxh_vec.py and the driver oracle).
+
+    Motivation (r6, guide §4.2): the 16 ``array_min(transform(_sh, s ->
+    xxhash64(s, j)))`` HOF expressions ran 18.4 s over 600k docs and the
+    shingle-string construction another 8 s — interpreted per-element
+    evaluation, ~30× the raw hash cost.  This kernel exploits two algebraic
+    facts: (a) Spark folds ``xxhash64(s, lit(j))`` as ``xxh64_int(j,
+    seed=xxh64_bytes(utf8(s), 42))``, so the variable-length string hash is
+    computed ONCE per shingle and each of the n_hashes seed variants is a
+    few constant-folded vector ops; (b) word n-grams joined by ' ' are
+    contiguous SLICES of the doc's single-space-joined sentence, so no
+    shingle string is ever materialized — the byte kernel hashes slices of
+    one shared buffer.  ``array_distinct`` is dropped because min() over a
+    multiset equals min() over its set.  Word splitting stays in Spark
+    (``F.split``, Java regex semantics) so corner cases (leading empties,
+    \\x0B) cannot drift.  Measured: the signature+bands stage 18.4 s → well
+    under 2 s; full LSH 19.9 s → ~5 s at local[32]/600k docs.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    words = df.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_w"))
+    rows_per_band = n_hashes // n_bands
+
+    def kernel(batches):
+        import pyarrow.compute as pc
+
+        from rugo_spark.ops.xxh import (xxh64_bytes_vec, xxh64_int_const_vec,
+                                        xxh64_long_vec)
+
+        for batch in batches:
+            ids = batch.column(0)
+            w = batch.column(1)
+            if isinstance(w, pa.ChunkedArray):
+                w = w.combine_chunks()
+            # docs: word counts (null text → null list → 0 words)
+            m = (
+                pc.fill_null(pc.list_value_length(w), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            n_sh = np.maximum(m - shingle + 1, 0)
+            keep = n_sh > 0
+            if not keep.any():
+                continue
+            flat = pc.list_flatten(w)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            wl, wdata = _string_parts(flat)
+            W = len(wl)
+            # sentence layout: words of one doc joined by single spaces.
+            # Per-word start within its doc = running (len+1) reset per doc.
+            gcum = np.zeros(W + 1, dtype=np.int64)
+            np.cumsum(wl + 1, out=gcum[1:])
+            first_w = np.zeros(len(m), dtype=np.int64)
+            np.cumsum(m[:-1], out=first_w[1:])
+            doc_rep = np.repeat(np.arange(len(m)), m)
+            within = gcum[:-1] - gcum[first_w][doc_rep]
+            sent_len = np.where(m > 0, gcum[first_w + m] - gcum[first_w] - 1, 0)
+            sent_start = np.zeros(len(m) + 1, dtype=np.int64)
+            np.cumsum(sent_len, out=sent_start[1:])
+            word_dst = sent_start[doc_rep] + within
+            # one ragged copy of all word bytes into the space-filled buffer
+            buf = np.full(int(sent_start[-1]), np.uint8(0x20))
+            src_rel = gcum[:-1] - np.arange(W)  # exclusive cumsum of wl
+            total_b = int(src_rel[-1] + wl[-1]) if W else 0
+            if total_b:
+                dst_idx = np.repeat(word_dst - src_rel, wl) + np.arange(
+                    total_b, dtype=np.int64
+                )
+                buf[dst_idx] = wdata[:total_b]
+            # shingle i of doc d = sentence bytes [start of word i, end of
+            # word i+shingle-1) — pure slices, nothing materialized
+            jw = np.arange(W, dtype=np.int64) - first_w[doc_rep]
+            start_mask = jw < n_sh[doc_rep]
+            end_mask = jw >= shingle - 1
+            sh_start = word_dst[start_mask]
+            sh_end = (word_dst + wl)[end_mask]
+            sh_len = sh_end - sh_start
+            h0 = xxh64_bytes_vec(buf, sh_start, sh_len, 42)
+            k = int(keep.sum())
+            segs = np.zeros(k, dtype=np.int64)
+            np.cumsum(n_sh[keep][:-1], out=segs[1:])
+            sig = np.empty((k, n_hashes), dtype=np.int64)
+            for j in range(n_hashes):
+                hj = xxh64_int_const_vec(j, h0).view(np.int64)
+                sig[:, j] = np.minimum.reduceat(hj, segs)
+            bkeys = np.empty((k, n_bands), dtype=np.int64)
+            for b in range(n_bands):
+                acc = np.uint64(42)
+                for r in range(rows_per_band):
+                    acc = xxh64_long_vec(
+                        sig[:, b * rows_per_band + r].view(np.uint64), acc
+                    )
+                bkeys[:, b] = acc.view(np.int64)
+            # ONE row per doc (sig once, band keys as an array): emitting
+            # the n_bands-exploded rows from Python would push sig across
+            # the Arrow boundary n_bands times (~300 MB at 600k docs);
+            # posexplode on the JVM side duplicates it after the transfer
+            ids_out = ids.take(pa.array(np.flatnonzero(keep)))
+            sig_col = pa.ListArray.from_arrays(
+                pa.array(np.arange(k + 1, dtype=np.int32) * n_hashes),
+                pa.array(sig.reshape(-1), type=pa.int64()),
+            )
+            keys_col = pa.ListArray.from_arrays(
+                pa.array(np.arange(k + 1, dtype=np.int32) * n_bands),
+                pa.array(bkeys.reshape(-1), type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids_out, sig_col, keys_col],
+                names=[id_col, "sig", "band_keys"],
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    per_doc = words.mapInArrow(
+        kernel, f"{id_col} {id_type}, sig array<long>, band_keys array<long>"
+    )
+    return per_doc.select(
+        id_col, "sig", F.posexplode("band_keys").alias("band", "band_key")
+    ).withColumn("band", F.col("band").cast("int"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -133,31 +261,37 @@ def minhash_lsh_candidates(
     # the all-null signature and ONE band bucket — unrelated two-char docs
     # would "cluster" and all but one be dropped (the sequential oracle,
     # oracle_recompute.minhash_pairs, skips them for the same reason).
-    sig = (
-        _shingled(df, text_col, id_col, shingle, unit)
-        .filter(F.size("_sh") > 0)
-        .select(
-            F.col(id_col),
-            minhash_signature(F.col("_sh"), n_hashes).alias("sig"),
-        )
-    )
-    bands = sig.select(
-        id_col,
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                        ).alias("band_key"),
-                    )
-                    for b in range(n_bands)
-                ]
+    if unit == "word":
+        # scale unit → vectorized Arrow kernel (bit-identical; see
+        # _word_minhash_bands for the measurements and the short-doc filter,
+        # which the kernel applies by emitting no rows for shingle-less docs)
+        bands = _word_minhash_bands(df, text_col, id_col, shingle, n_hashes, n_bands)
+    else:
+        sig = (
+            _shingled(df, text_col, id_col, shingle, unit)
+            .filter(F.size("_sh") > 0)
+            .select(
+                F.col(id_col),
+                minhash_signature(F.col("_sh"), n_hashes).alias("sig"),
             )
-        ).alias("bk"),
-    ).select(id_col, "sig", "bk.band", "bk.band_key")
+        )
+        bands = sig.select(
+            id_col,
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                            ).alias("band_key"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(id_col, "sig", "bk.band", "bk.band_key")
     wb = Window.partitionBy("band", "band_key")
     bands = bands.withColumn("_rn", F.row_number().over(wb.orderBy(id_col))).withColumn(
         "_cnt", F.count(F.lit(1)).over(wb)
@@ -220,8 +354,23 @@ def ngram_jaccard_pairs(
     output) — without it, an exact all-pairs Jaccard via shingle inverted
     index (explode → self-join on shingle → count ∩ / union).
     """
-    sh = _shingled(df, text_col, id_col, shingle, unit).withColumnRenamed("_sh", "sh")
     if prefilter is not None:
+        # r6: (a) checkpoint the candidate pairs — the prefilter subtree
+        # (usually the full LSH plan) would otherwise be re-evaluated for
+        # every reference below; (b) shingle ONLY docs that appear in some
+        # pair (left-semi prune) — pairs reference nothing else, so the
+        # output is identical while the shingle construction (the dominant
+        # verify-stage cost at 600k docs) touches ~1/3 of the corpus.
+        prefilter = prefilter.localCheckpoint(eager=False)
+        cand_ids = (
+            prefilter.select(F.col("id_a").alias("_cid"))
+            .unionByName(prefilter.select(F.col("id_b").alias("_cid")))
+            .distinct()
+        )
+        pruned = df.join(
+            cand_ids, F.col(id_col) == F.col("_cid"), "left_semi"
+        )
+        sh = _shingled(pruned, text_col, id_col, shingle, unit).withColumnRenamed("_sh", "sh")
         a = sh.alias("a")
         b = sh.alias("b")
         out = (
@@ -241,6 +390,7 @@ def ngram_jaccard_pairs(
             )
         )
     else:
+        sh = _shingled(df, text_col, id_col, shingle, unit).withColumnRenamed("_sh", "sh")
         ex = sh.select(id_col, F.explode("sh").alias("g"))
         counts = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
         inter = (
@@ -266,6 +416,7 @@ def connected_components(
     left: str = "id_a",
     right: str = "id_b",
     max_iter: int = 20,
+    local_edge_limit: int = 4_000_000,
 ) -> DataFrame:
     """Connected components over candidate-pair edges → (v, cluster_id).
 
@@ -278,11 +429,24 @@ def connected_components(
     Catalyst analysis time (and driver heap) blow up exponentially.  Each
     round is two equi-joins + a groupBy (shuffles on vertex id); at
     10^12-edge scale the same loop holds.
+
+    Small edge sets (≤ ``local_edge_limit``, known exactly from the
+    checkpointed symmetrized edges) skip the loop for a single-task
+    union-find kernel — EXECUTOR-side, not a driver collect.  Labels are
+    bit-identical (min id per component, the converged fixpoint of the
+    loop).  Motivation (r6): each propagation round costs 3 fixed-overhead
+    jobs over tiny shuffles — 11-12 s for 131k edges at local[32], pure
+    scheduling tax (guide §1.2: fix the distributed algorithm first).  At
+    the default limit the kernel holds ~2×4M ids in one task (hundreds of
+    MB for string ids, less for ints); beyond it the loop's scaling story
+    is unchanged.
     """
     sym = edges.select(F.col(left).alias("src"), F.col(right).alias("dst")).unionByName(
         edges.select(F.col(right).alias("src"), F.col(left).alias("dst"))
     )
     sym = sym.localCheckpoint(eager=True)
+    if sym.count() <= local_edge_limit:
+        return _components_local(sym)
     labels = (
         sym.select(F.col("src").alias("v"))
         .distinct()
@@ -336,6 +500,55 @@ def connected_components(
             stacklevel=2,
         )
     return labels.withColumnRenamed("lbl", "cluster_id")
+
+
+def _components_local(sym: DataFrame) -> DataFrame:
+    """Single-task connected components over a (src, dst) symmetric edge
+    DataFrame: min-label propagation + pointer jumping, fully vectorized in
+    numpy inside ONE executor task (``coalesce(1)`` + ``mapInArrow`` — no
+    driver collect).  Produces exactly the iterative loop's converged
+    fixpoint: every vertex labelled with the minimum id of its component.
+    String ids compare as Python code points == Spark's binary UTF-8
+    collation, so min-labels agree across both paths."""
+    import numpy as np
+    import pyarrow as pa
+
+    id_type = dict(sym.dtypes)["src"]
+
+    def uf(batches):
+        srcs, dsts = [], []
+        for b in batches:
+            srcs.append(b.column(0))
+            dsts.append(b.column(1))
+        if not srcs:
+            return
+        sa = pa.chunked_array(srcs).combine_chunks().to_numpy(zero_copy_only=False)
+        da = pa.chunked_array(dsts).combine_chunks().to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(np.concatenate([sa, da]), return_inverse=True)
+        ei, ej = inv[: len(sa)], inv[len(sa) :]
+        lbl = np.arange(len(uniq), dtype=np.int64)
+        while True:
+            prev = lbl
+            lbl = lbl.copy()
+            # one neighbour-min sweep (edges are symmetric, so one direction
+            # per sweep suffices for monotone convergence)...
+            np.minimum.at(lbl, ej, lbl[ei])
+            # ...then jump pointers to a fixpoint (path compression)
+            while True:
+                nl = lbl[lbl]
+                if np.array_equal(nl, lbl):
+                    break
+                lbl = nl
+            if np.array_equal(lbl, prev):
+                break
+        labels = uniq[lbl]
+        for s in range(0, len(uniq), 1 << 20):
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(uniq[s : s + (1 << 20)]), pa.array(labels[s : s + (1 << 20)])],
+                names=["v", "cluster_id"],
+            )
+
+    return sym.coalesce(1).mapInArrow(uf, f"v {id_type}, cluster_id {id_type}")
 
 
 def dedup_clusters(

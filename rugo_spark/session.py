@@ -38,8 +38,23 @@ def get_spark(
         .config("spark.sql.python.filterPushdown.enabled", "true")
         # effective only for python-launched drivers (the JVM starts here);
         # under spark-submit the driver JVM already exists — size it with
-        # spark-submit --driver-memory, this setting is silently ignored
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # spark-submit --driver-memory, this setting is silently ignored.
+        # 12g default: 32 concurrent local tasks × (parquet reader batches +
+        # window sort pages + Arrow runner buffers) made an 8g heap
+        # GC-pressure-bound at bench scale (guide §5: size memory to
+        # concurrent tasks); parameterised — clusters size executors
+        # explicitly and this knob only shapes the local driver JVM.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        # JDK 17 GCLocker starvation workaround: 32 tasks in JNI critical
+        # sections (zstd/parquet/Arrow) can make a ~MB allocation throw a
+        # spurious OOM after only 2 GCLocker retries (observed killing a
+        # bench run mid-shuffle: "Retried waiting for GCLocker too often");
+        # raising the retry count is the documented mitigation until the
+        # GCLocker redesign in later JDKs.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
