@@ -61,14 +61,60 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, shingle: int, unit: str
     """(id, _sh) projection: distinct shingles of ``unit`` ('char'|'word').
 
     Both units materialize behind a projection boundary before any hashing
-    (see the CSE note in minhash_lsh_candidates)."""
+    (see the CSE note in minhash_lsh_candidates).  The word unit builds the
+    raw n-gram array in an Arrow kernel (r6: the ``transform`` +
+    ``array_join`` HOF construction was ~12 s per pass over 600k docs; the
+    kernel is one ragged byte copy) and applies ``array_distinct`` JVM-side
+    — same positional first-occurrence order, so the resulting array is
+    bit-identical to the former ``word_shingles`` expression whenever the
+    doc has any shingle (shingle-less docs yield [] rather than the SQL
+    form's occasional NULL; every consumer treats both as "no shingles").
+    """
     if unit == "char":
         return df.select(F.col(id_col), char_shingles(text_col, shingle).alias("_sh"))
     if unit == "word":
-        return df.select(
-            F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_w")
-        ).select(F.col(id_col), word_shingles("_w", shingle).alias("_sh"))
+        raw = _word_shingles_arrow(df, text_col, id_col, shingle)
+        return raw.select(F.col(id_col), F.array_distinct("_sh").alias("_sh"))
     raise ValueError(f"shingle unit must be 'char' or 'word', got {unit!r}")
+
+
+def _word_shingles_arrow(
+    df: DataFrame, text_col: str, id_col: str, shingle: int
+) -> DataFrame:
+    """(id, _sh) with _sh = the doc's word n-grams IN ORDER (duplicates
+    kept), built by the shared sentence-slice kernel: shingle strings are
+    materialized once with a single ragged byte gather instead of per-gram
+    ``array_join(slice(...))`` interpretation."""
+    import numpy as np
+    import pyarrow as pa
+
+    words = df.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_w"))
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            m, n_sh, buf, sh_start, sh_len = _shingle_slices(batch.column(1), shingle)
+            total = int(sh_len.sum())
+            dst_rel = np.zeros(len(sh_len) + 1, dtype=np.int64)
+            np.cumsum(sh_len, out=dst_rel[1:])
+            data = np.empty(total, dtype=np.uint8)
+            if total:
+                src_idx = np.repeat(sh_start - dst_rel[:-1], sh_len) + np.arange(
+                    total, dtype=np.int64
+                )
+                data = buf[src_idx]
+            values = pa.StringArray.from_buffers(
+                len(sh_len),
+                pa.py_buffer(dst_rel.astype(np.int32).tobytes()),
+                pa.py_buffer(data.tobytes()),
+            )
+            doc_offs = np.zeros(len(m) + 1, dtype=np.int32)
+            np.cumsum(n_sh, out=doc_offs[1:])
+            sh_col = pa.ListArray.from_arrays(pa.array(doc_offs), values)
+            yield pa.RecordBatch.from_arrays([ids, sh_col], names=[id_col, "_sh"])
+
+    id_type = dict(df.dtypes)[id_col]
+    return words.mapInArrow(kernel, f"{id_col} {id_type}, _sh array<string>")
 
 
 def minhash_signature(shingles_col, n_hashes: int = 32):
@@ -89,6 +135,60 @@ def minhash_signature(shingles_col, n_hashes: int = 32):
     return F.array(
         *[F.array_min(F.transform(shingles_col, _hash_with_seed(j))) for j in range(n_hashes)]
     )
+
+
+def _shingle_slices(w, shingle: int):
+    """Shared layout kernel for the word-unit Arrow paths: from a list<string>
+    words column, build the per-doc single-space-joined sentence buffer and
+    the (start, len) slice of every word n-gram in it.  Returns
+    ``(m, n_sh, buf, sh_start, sh_len)`` — word counts and shingle counts
+    per doc (null list → 0), the uint8 sentence buffer, and flat
+    doc-ordered shingle slices.  No shingle string is materialized: an
+    n-gram joined by ' ' IS a contiguous slice of the sentence."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(w, pa.ChunkedArray):
+        w = w.combine_chunks()
+    m = (
+        pc.fill_null(pc.list_value_length(w), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_sh = np.maximum(m - shingle + 1, 0)
+    flat = pc.list_flatten(w)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    wl, wdata = _string_parts(flat)
+    W = len(wl)
+    # sentence layout: per-word start within its doc = running (len+1)
+    # reset at each doc boundary
+    gcum = np.zeros(W + 1, dtype=np.int64)
+    np.cumsum(wl + 1, out=gcum[1:])
+    first_w = np.zeros(len(m), dtype=np.int64)
+    np.cumsum(m[:-1], out=first_w[1:])
+    doc_rep = np.repeat(np.arange(len(m)), m)
+    within = gcum[:-1] - gcum[first_w][doc_rep]
+    sent_len = np.where(m > 0, gcum[first_w + m] - gcum[first_w] - 1, 0)
+    sent_start = np.zeros(len(m) + 1, dtype=np.int64)
+    np.cumsum(sent_len, out=sent_start[1:])
+    word_dst = sent_start[doc_rep] + within
+    # one ragged copy of all word bytes into the space-filled buffer
+    buf = np.full(int(sent_start[-1]), np.uint8(0x20))
+    src_rel = gcum[:-1] - np.arange(W)  # exclusive cumsum of wl
+    total_b = int(src_rel[-1] + wl[-1]) if W else 0
+    if total_b:
+        dst_idx = np.repeat(word_dst - src_rel, wl) + np.arange(
+            total_b, dtype=np.int64
+        )
+        buf[dst_idx] = wdata[:total_b]
+    # shingle i of doc d = sentence bytes [start of word i, end of
+    # word i+shingle-1)
+    jw = np.arange(W, dtype=np.int64) - first_w[doc_rep]
+    sh_start = word_dst[jw < n_sh[doc_rep]]
+    sh_end = (word_dst + wl)[jw >= shingle - 1]
+    return m, n_sh, buf, sh_start, sh_end - sh_start
 
 
 def _word_minhash_bands(
@@ -122,60 +222,15 @@ def _word_minhash_bands(
     rows_per_band = n_hashes // n_bands
 
     def kernel(batches):
-        import pyarrow.compute as pc
-
         from rugo_spark.ops.xxh import (xxh64_bytes_vec, xxh64_int_const_vec,
                                         xxh64_long_vec)
 
         for batch in batches:
             ids = batch.column(0)
-            w = batch.column(1)
-            if isinstance(w, pa.ChunkedArray):
-                w = w.combine_chunks()
-            # docs: word counts (null text → null list → 0 words)
-            m = (
-                pc.fill_null(pc.list_value_length(w), 0)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            n_sh = np.maximum(m - shingle + 1, 0)
+            m, n_sh, buf, sh_start, sh_len = _shingle_slices(batch.column(1), shingle)
             keep = n_sh > 0
             if not keep.any():
                 continue
-            flat = pc.list_flatten(w)
-            if isinstance(flat, pa.ChunkedArray):
-                flat = flat.combine_chunks()
-            wl, wdata = _string_parts(flat)
-            W = len(wl)
-            # sentence layout: words of one doc joined by single spaces.
-            # Per-word start within its doc = running (len+1) reset per doc.
-            gcum = np.zeros(W + 1, dtype=np.int64)
-            np.cumsum(wl + 1, out=gcum[1:])
-            first_w = np.zeros(len(m), dtype=np.int64)
-            np.cumsum(m[:-1], out=first_w[1:])
-            doc_rep = np.repeat(np.arange(len(m)), m)
-            within = gcum[:-1] - gcum[first_w][doc_rep]
-            sent_len = np.where(m > 0, gcum[first_w + m] - gcum[first_w] - 1, 0)
-            sent_start = np.zeros(len(m) + 1, dtype=np.int64)
-            np.cumsum(sent_len, out=sent_start[1:])
-            word_dst = sent_start[doc_rep] + within
-            # one ragged copy of all word bytes into the space-filled buffer
-            buf = np.full(int(sent_start[-1]), np.uint8(0x20))
-            src_rel = gcum[:-1] - np.arange(W)  # exclusive cumsum of wl
-            total_b = int(src_rel[-1] + wl[-1]) if W else 0
-            if total_b:
-                dst_idx = np.repeat(word_dst - src_rel, wl) + np.arange(
-                    total_b, dtype=np.int64
-                )
-                buf[dst_idx] = wdata[:total_b]
-            # shingle i of doc d = sentence bytes [start of word i, end of
-            # word i+shingle-1) — pure slices, nothing materialized
-            jw = np.arange(W, dtype=np.int64) - first_w[doc_rep]
-            start_mask = jw < n_sh[doc_rep]
-            end_mask = jw >= shingle - 1
-            sh_start = word_dst[start_mask]
-            sh_end = (word_dst + wl)[end_mask]
-            sh_len = sh_end - sh_start
             h0 = xxh64_bytes_vec(buf, sh_start, sh_len, 42)
             k = int(keep.sum())
             segs = np.zeros(k, dtype=np.int64)
@@ -292,51 +347,99 @@ def minhash_lsh_candidates(
                 )
             ).alias("bk"),
         ).select(id_col, "sig", "bk.band", "bk.band_key")
-    wb = Window.partitionBy("band", "band_key")
-    bands = bands.withColumn("_rn", F.row_number().over(wb.orderBy(id_col))).withColumn(
-        "_cnt", F.count(F.lit(1)).over(wb)
-    )
-    # The capped star must cap the JOIN'S INTERNAL WORK, not just its
-    # output: a single self-join keyed on (band, band_key) with the star
-    # condition as a post-match filter still ENUMERATES k² key-equal rows
-    # for a k-member bucket before filtering (measured r5: a 100k-doc
-    # mega-cluster ran LSH 10× slower than no-skew despite O(k) output
-    # pairs).  Split instead: small buckets pairwise-join among themselves
-    # (≤ cap² rows per bucket), big buckets join their ONE representative
-    # row (_rn == 1) against members — the key-equal match enumerates
-    # exactly k-1 rows.  Both shuffles stay on (band, band_key).
-    key_eq = (F.col("a.band") == F.col("b.band")) & (
-        F.col("a.band_key") == F.col("b.band_key")
-    )
-    # _rn is ordered by id, so both branches emit id_a < id_b canonically
-    bands = bands.localCheckpoint(eager=False)
-    small = bands.filter(F.col("_cnt") <= bucket_cap)
-    big = bands.filter(F.col("_cnt") > bucket_cap)
-
-    def _project(joined):
-        return joined.select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.size(
-                F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda v: v)
-            ).alias("equal_hashes"),
-        )
-
-    pairs = (
-        _project(
-            small.alias("a").join(small.alias("b"), key_eq & (F.col("a._rn") < F.col("b._rn")))
-        )
-        .unionByName(
-            _project(
-                big.filter(F.col("_rn") == 1)
-                .alias("a")
-                .join(big.filter(F.col("_rn") > 1).alias("b"), key_eq)
-            )
-        )
-        .distinct()
-        .withColumn("est_jaccard", F.col("equal_hashes") / F.lit(float(n_hashes)))
+    # Pair emission (r6 restructure, guide §2.4 — remove shuffles outright):
+    # the former shape was window(_rn,_cnt) → localCheckpoint → two
+    # self-joins (small buckets pairwise, big buckets star) → union →
+    # distinct.  After a lazy checkpoint Catalyst forgets the window's
+    # (band, band_key) partitioning, so each join side re-shuffled the full
+    # 2.4M-row band table — five exchanges of ~400 MB end to end.  The same
+    # pair set now comes from ONE exchange: repartition on (band, band_key),
+    # sort within partitions, and a vectorized Arrow kernel that segments
+    # buckets and emits small-bucket pairs / big-bucket stars directly
+    # (equal_hashes counted on the signature matrix in numpy).  The skew
+    # guarantee is unchanged: a k-member mega-bucket lands in one partition
+    # as k ROWS (not k² join candidates) and emits k-1 star pairs.
+    pairs = _bucket_pairs_kernel(bands, id_col, n_hashes, bucket_cap)
+    pairs = pairs.distinct().withColumn(
+        "est_jaccard", F.col("equal_hashes") / F.lit(float(n_hashes))
     )
     return pairs.select("id_a", "id_b", "est_jaccard")
+
+
+def _bucket_pairs_kernel(
+    bands: DataFrame, id_col: str, n_hashes: int, bucket_cap: int
+) -> DataFrame:
+    """(id_a, id_b, equal_hashes) from (id, sig, band, band_key) rows in one
+    exchange + one Arrow kernel.  Rows of a bucket are co-partitioned by the
+    hash repartition and adjacent after the in-partition sort; the kernel
+    run-length-segments (band, band_key), emits all C(k,2) ordered pairs for
+    buckets ≤ ``bucket_cap`` and a min-id star for larger ones — identical
+    output to the former join formulation (id-sorted ⇒ id_a < id_b), with
+    the bucket's internal work O(k) for stars and O(cap²) otherwise."""
+    import numpy as np
+    import pyarrow as pa
+
+    id_type = dict(bands.dtypes)[id_col]
+    # explicit partition count: a column-only repartition is fair game for
+    # AQE's byte-targeted coalescer, which squeezed this 2.4M-row exchange
+    # to ~5 × 64 MB partitions and serialized the sort + Python kernel
+    # (measured 2-5× slower end to end).  The count follows the session's
+    # shuffle-partition knob — the scale-adaptive setting clusters tune —
+    # never a local constant.
+    spark = bands.sparkSession
+    n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_parts = max(n_shuf, spark.sparkContext.defaultParallelism)
+    shaped = bands.repartition(n_parts, "band", "band_key").sortWithinPartitions(
+        "band", "band_key", id_col
+    )
+
+    def pairs_fn(batches):
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
+        n = tbl.num_rows
+        if n == 0:
+            return
+        band = tbl.column("band").to_numpy()
+        key = tbl.column("band_key").to_numpy()
+        ids = tbl.column(id_col).combine_chunks()
+        sig_m = np.asarray(
+            tbl.column("sig").combine_chunks().flatten()
+        ).reshape(n, n_hashes)
+        change = np.flatnonzero((np.diff(band) != 0) | (np.diff(key) != 0)) + 1
+        starts = np.concatenate(([0], change, [n]))
+        sizes = np.diff(starts)
+        tri_cache: dict = {}
+        a_parts, b_parts = [], []
+        for bi in np.flatnonzero(sizes >= 2):
+            s, k = int(starts[bi]), int(sizes[bi])
+            if k <= bucket_cap:
+                tri = tri_cache.get(k)
+                if tri is None:
+                    tri = tri_cache[k] = np.triu_indices(k, 1)
+                a_parts.append(s + tri[0])
+                b_parts.append(s + tri[1])
+            else:
+                a_parts.append(np.full(k - 1, s, dtype=np.int64))
+                b_parts.append(s + 1 + np.arange(k - 1, dtype=np.int64))
+        if not a_parts:
+            return
+        a_idx = np.concatenate(a_parts)
+        b_idx = np.concatenate(b_parts)
+        eq = (sig_m[a_idx] == sig_m[b_idx]).sum(axis=1).astype(np.int32)
+        yield pa.RecordBatch.from_arrays(
+            [
+                ids.take(pa.array(a_idx)),
+                ids.take(pa.array(b_idx)),
+                pa.array(eq),
+            ],
+            names=["id_a", "id_b", "equal_hashes"],
+        )
+
+    return shaped.mapInArrow(
+        pairs_fn, f"id_a {id_type}, id_b {id_type}, equal_hashes int"
+    )
 
 
 def ngram_jaccard_pairs(
