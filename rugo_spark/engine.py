@@ -479,16 +479,24 @@ def _plan_signature(df: DataFrame) -> str:
     return hashlib.sha1((text + "\x00" + df.schema.json()).encode()).hexdigest()
 
 
-def _input_fingerprint(df: DataFrame) -> str:
+def _input_fingerprint(df: DataFrame, content: bool = True) -> str:
     """Deterministic id of the input layout a map-only encode keys its
     partition ids on: file list + split-size conf + split count.  Resuming
     into the same out_dir after any of these changed would silently mix
-    stale and new blocks — the fingerprint guards that."""
+    stale and new blocks — the fingerprint guards that.
+
+    ``content=False`` skips the identity-less content-hash pass for callers
+    whose input is a pure function of state they bind into their own
+    fingerprint (update_where: the source is decode(out_dir) under the
+    writer lock, and its fp hashes the FULL tip snapshot entry + visible
+    delete files + this plan signature — any commit in between changes the
+    tip entry).  r6: the content pass executed the whole decode + to_json
+    of every matched row, ~1.5 s of a 4.5 s update commit."""
     import hashlib
 
     sig = _files_signature(df)
-    content = None
-    if not sig:
+    content_h = None
+    if not sig and content:
         # identity-less input (in-memory LocalRelation, decode-derived
         # frame): the canonicalized plan string ELIDES row data, so two
         # same-shape inputs would collide and the second append/encode
@@ -502,13 +510,13 @@ def _input_fingerprint(df: DataFrame) -> str:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.crc32(F.to_json(F.struct(*df.columns)))).alias("h"),
         ).first()
-        content = [int(row["n"] or 0), int(row["h"] or 0)]
+        content_h = [int(row["n"] or 0), int(row["h"] or 0)]
     conf = df.sparkSession.conf
     max_bytes = _conf_get(conf, "spark.sql.files.maxPartitionBytes", "")
     blob = json.dumps(
         {
             "files": sig,
-            "content": content,
+            "content": content_h,
             "maxPartitionBytes": max_bytes,
             "defaultParallelism": df.sparkSession.sparkContext.defaultParallelism,
             "plan": _plan_signature(df),
@@ -1841,13 +1849,22 @@ def update_where(
         import hashlib
 
         log = mf.snapshot_log(out_dir, strict=False)
+        # content=False: the source is decode(out_dir) under this writer
+        # lock, i.e. a pure function of (tip state, deletes, filters,
+        # assignments) — all hashed here.  Binding the FULL tip entry
+        # (ranges/rows/tokens/bytes/ts), not just its id, keeps a
+        # rollback-then-recommit from reading as the same state (strictly
+        # stronger than the previous id binding) while skipping the content
+        # pass that re-executed the whole source decode.
         fp = hashlib.sha1(
             json.dumps(
                 {
-                    "src": _input_fingerprint(src),
+                    "src": _input_fingerprint(src, content=False),
                     "deletes": dl.visible_delete_files(out_dir),
-                    "tip": int(log[-1]["id"]) if log else 0,
-                }
+                    "tip": log[-1] if log else 0,
+                },
+                sort_keys=True,
+                default=str,
             ).encode()
         ).hexdigest()
         own_base = next(
@@ -3252,6 +3269,9 @@ _DISTRIBUTED_PLAN_THRESHOLD = 20000
 _SEGMENT_RGS_PER_SPEC = 8  # ~16k manifest rows per planning task
 
 
+_SIDECARS_PER_SPEC = 256
+
+
 def _name_pid(name: str) -> int:
     try:
         return int(name[len("part-"):-len(".json")])
@@ -3285,6 +3305,7 @@ def _manifest_scan_specs(
     keep = mf.RangeSet(keep_ranges) if keep_ranges is not None else None
     specs: list[dict] = []
     loose_pids: list[int] = []
+    loose_names: list[str] = []
     for name in mf.loose_sidecar_names(out_dir):
         pid = _name_pid(name)
         if any(lo <= pid < hi for lo, hi in bands):
@@ -3292,20 +3313,28 @@ def _manifest_scan_specs(
         if keep is not None and pid not in keep:
             continue
         loose_pids.append(pid)
-        spec = {"kind": "sidecar", "path": os.path.join(mdir, name)}
-        # crash-window overlap: this pid may ALSO live in a segment (its
-        # row is skipped there because loose wins) — if the loose file is
-        # torn or deleted mid-plan, the executor recovers from the segment
-        fallback = [
-            os.path.join(sdir, e["file"])
-            for e in catalog
-            if int(e["min_pid"]) <= pid <= int(e["max_pid"])
-        ]
-        if fallback:
-            spec["pid"] = pid
-            spec["fallback_segs"] = fallback
+        loose_names.append(name)
+    # CHUNKED loose specs (r6): one spec per ~256 sidecars instead of one
+    # per file.  Per-file specs made the driver build + json.dumps 100k
+    # dicts and ship a 100k-row DataFrame through a round-robin exchange —
+    # 1.3 s driver + ~1 s exchange at 100k sidecars, pure overhead.  The
+    # executor expands a chunk by opening its names; the crash-window
+    # fallback (loose file torn/deleted mid-plan while its pid also lives
+    # in a segment) resolves executor-side from the chunk's catalog ranges.
+    cat_ranges = [
+        [os.path.join(sdir, e["file"]), int(e["min_pid"]), int(e["max_pid"])]
+        for e in catalog
+    ]
+    for i in range(0, len(loose_names), _SIDECARS_PER_SPEC):
+        spec = {
+            "kind": "sidecars",
+            "dir": mdir,
+            "names": loose_names[i : i + _SIDECARS_PER_SPEC],
+        }
+        if cat_ranges:
+            spec["catalog"] = cat_ranges
         specs.append(spec)
-    n_loose = len(specs)
+    n_loose = len(loose_names)
     for entry in catalog:
         # whole-segment prune: a segment disjoint from the keep set never
         # schedules a spec (a 10⁶-block dataset time-travelling to an early
@@ -3335,15 +3364,9 @@ def _spec_src_df(spark: SparkSession, specs: list[dict], n_loose: int):
     import pandas as pd
 
     pdf = pd.DataFrame({"spec": [json.dumps(s) for s in specs]})
-    # loose specs are one sidecar each (~256/task); segment specs carry ~16k
-    # rows each and get a task apiece
-    n_tasks = max(
-        1,
-        min(
-            n_loose // 256 + (len(specs) - n_loose) + 1,
-            spark.sparkContext.defaultParallelism * 4,
-        ),
-    )
+    # every spec is a real unit of work now (a ~256-sidecar chunk or a
+    # segment row-group slice) — one task per spec up to 4 waves/core
+    n_tasks = max(1, min(len(specs), spark.sparkContext.defaultParallelism * 4))
     return spark.createDataFrame(pdf).repartition(n_tasks)
 
 

@@ -609,6 +609,34 @@ def iter_spec_rows(spec: dict):
     spec (a row-group slice of a segment parquet; ``skip`` = pids overridden
     by loose sidecars, ``bands`` = incomplete append bands — both invisible
     here so the pid is planned exactly once, from its freshest source)."""
+    if spec["kind"] == "sidecars":
+        # r6 chunk form: one spec per ~256 loose sidecars (driver ships
+        # names, not per-file dicts).  Same exactly-once semantics as the
+        # single-file kind; the torn/vanished-file fallback resolves from
+        # the chunk's segment catalog ranges.
+        cat = spec.get("catalog") or []
+        for name in spec["names"]:
+            try:
+                with open(os.path.join(spec["dir"], name)) as f:
+                    yield json.load(f)
+                continue
+            except (json.JSONDecodeError, OSError):
+                try:
+                    pid = int(name[len("part-"):-len(".json")])
+                except ValueError:
+                    continue
+                import pyarrow.parquet as pq
+
+                for seg_path, lo, hi in cat:
+                    if int(lo) <= pid <= int(hi):
+                        tbl = pq.read_table(
+                            seg_path, filters=[("partition_id", "=", pid)]
+                        )
+                        rows = _rows_from_segment_table(tbl)
+                        if rows:
+                            yield rows[0]
+                            break
+        return
     if spec["kind"] == "sidecar":
         try:
             with open(spec["path"]) as f:

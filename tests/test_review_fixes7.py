@@ -146,9 +146,12 @@ def test_manifest_scan_specs_attach_fallbacks_for_overlap(spark, tmp_path):
     # crash-window overlap: pid 1 loose again AND in the segment
     mf.write_sidecar(out, rows[1])
     specs, n_loose = _manifest_scan_specs(out)
-    sidecars = [s for s in specs if s["kind"] == "sidecar"]
-    assert len(sidecars) == 1 and sidecars[0]["pid"] == 1
-    assert sidecars[0]["fallback_segs"]
+    # r6 chunk form: loose sidecars ship as name chunks; the crash-window
+    # fallback resolves per-name from the chunk's segment catalog ranges
+    sidecars = [s for s in specs if s["kind"] == "sidecars"]
+    assert len(sidecars) == 1 and n_loose == 1
+    assert sidecars[0]["names"] == [os.path.basename(mf.sidecar_path(out, 1))]
+    assert sidecars[0]["catalog"]
     # delete the loose file (simulating consolidation step-5 racing the
     # plan): the distributed plan must still see all 3 pids exactly once
     os.remove(mf.sidecar_path(out, 1))

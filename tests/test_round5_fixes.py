@@ -121,7 +121,10 @@ def test_connected_components_max_iter_zero_warns(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a int, id_b int")
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
-        out = connected_components(edges, max_iter=0)
+        # local_edge_limit=0 forces the iterative loop (r6: small edge sets
+        # route to the single-task union-find, which always converges — the
+        # warning under test belongs to the loop path)
+        out = connected_components(edges, max_iter=0, local_edge_limit=0)
         out.collect()  # materialize — no NameError
     assert any("did not converge" in str(w.message) for w in rec)
 
