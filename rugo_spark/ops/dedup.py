@@ -619,23 +619,56 @@ def _components_local(sym: DataFrame) -> DataFrame:
     id_type = dict(sym.dtypes)["src"]
 
     def uf(batches):
+        import pyarrow.compute as pc
+
         srcs, dsts = [], []
         for b in batches:
             srcs.append(b.column(0))
             dsts.append(b.column(1))
         if not srcs:
             return
-        sa = pa.chunked_array(srcs).combine_chunks().to_numpy(zero_copy_only=False)
-        da = pa.chunked_array(dsts).combine_chunks().to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(np.concatenate([sa, da]), return_inverse=True)
-        ei, ej = inv[: len(sa)], inv[len(sa) :]
-        lbl = np.arange(len(uniq), dtype=np.int64)
+        src_a = pa.chunked_array(srcs).combine_chunks()
+        dst_a = pa.chunked_array(dsts).combine_chunks()
+        n_half = len(src_a)
+        comb = pa.concat_arrays([src_a, dst_a])
+        # vertex ids ordered like Spark's binary string collation.  String
+        # ids go through Arrow's C++ hash + sort (dictionary_encode +
+        # sort_indices of the dictionary): np.unique on object arrays was
+        # measured 15 s at 6M edge endpoints, the Arrow path ~1 s — and
+        # Arrow's bytewise string order equals UTF-8 code-point order, the
+        # same min the iterative loop computes.
+        if pa.types.is_string(comb.type) or pa.types.is_large_string(comb.type):
+            enc = comb.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            sort_idx = pc.sort_indices(enc.dictionary).to_numpy().astype(np.int64)
+            rank = np.empty(len(sort_idx), dtype=np.int64)
+            rank[sort_idx] = np.arange(len(sort_idx), dtype=np.int64)
+            vids = rank[codes]
+            sorted_vals = enc.dictionary.take(pa.array(sort_idx))
+        else:
+            arr = comb.to_numpy(zero_copy_only=False)
+            uniq, vids = np.unique(arr, return_inverse=True)
+            sorted_vals = pa.array(uniq)
+        n = len(sorted_vals)
+        ei, ej = vids[:n_half], vids[n_half:]
+        # group edges by target ONCE; each sweep is then a gather +
+        # segmented reduceat instead of np.minimum.at (ufunc.at measured
+        # ~10× slower per sweep at millions of edges)
+        order = np.argsort(ej, kind="stable")
+        ei_s, ej_s = ei[order], ej[order]
+        seg_starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(ej_s)) + 1)
+        ) if len(ej_s) else np.empty(0, dtype=np.int64)
+        targets = ej_s[seg_starts] if len(ej_s) else ej_s
+        lbl = np.arange(n, dtype=np.int64)
         while True:
             prev = lbl
             lbl = lbl.copy()
             # one neighbour-min sweep (edges are symmetric, so one direction
             # per sweep suffices for monotone convergence)...
-            np.minimum.at(lbl, ej, lbl[ei])
+            if len(ei_s):
+                seg_min = np.minimum.reduceat(lbl[ei_s], seg_starts)
+                lbl[targets] = np.minimum(lbl[targets], seg_min)
             # ...then jump pointers to a fixpoint (path compression)
             while True:
                 nl = lbl[lbl]
@@ -644,10 +677,10 @@ def _components_local(sym: DataFrame) -> DataFrame:
                 lbl = nl
             if np.array_equal(lbl, prev):
                 break
-        labels = uniq[lbl]
-        for s in range(0, len(uniq), 1 << 20):
+        labels = sorted_vals.take(pa.array(lbl))
+        for s in range(0, n, 1 << 20):
             yield pa.RecordBatch.from_arrays(
-                [pa.array(uniq[s : s + (1 << 20)]), pa.array(labels[s : s + (1 << 20)])],
+                [sorted_vals.slice(s, 1 << 20), labels.slice(s, 1 << 20)],
                 names=["v", "cluster_id"],
             )
 
