@@ -122,6 +122,37 @@ def dedup_stages():
     spark.stop()
 
 
+def two_stage():
+    """Isolated LSH→verify two-stage timing + verified-pair invariants (A/B
+    harness for the verify-stage shingle checkpoint)."""
+    import pyspark.sql.functions as F
+
+    from rugo_spark.ops import dedup as dd
+
+    spark = _session()
+    docs = spark.read.parquet(os.path.join(SCRATCH, "docs_v2_600000_f64.parquet"))
+
+    def _run():
+        pairs = dd.ngram_jaccard_pairs(
+            docs,
+            prefilter=dd.minhash_lsh_candidates(
+                docs, n_hashes=16, n_bands=4, shingle=3, unit="word"
+            ).select("id_a", "id_b"),
+            threshold=0.5, shingle=3, unit="word")
+        row = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.crc32(F.concat_ws("|", "id_a", "id_b"))).alias("h"),
+            F.sum(F.crc32(F.format_number("jaccard", 9))).alias("hj"),
+        ).first()
+        print(json.dumps({"verified_pairs": int(row["n"]),
+                          "pair_crc_sum": int(row["h"]),
+                          "jaccard_crc_sum": int(row["hj"])}), flush=True)
+
+    spark.sparkContext.setJobDescription("two-stage probe")
+    _timed("two_stage_full", _run, n=3)
+    spark.stop()
+
+
 def consolidate():
     import cProfile
     import pstats
