@@ -153,6 +153,48 @@ def two_stage():
     spark.stop()
 
 
+def dedup_scale():
+    """10× scale validation: the corpora bench.py would generate at sf1
+    (6M docs bulk + skew) through the r6 LSH/pairs/components kernels.
+    Proves the optimized path holds beyond the sf0.1 measurement scale
+    (single-task components gate, exchange sizing, kernel memory)."""
+    import pyspark.sql.functions as F
+
+    from rugo_spark.docgen import spark_doc_df
+    from rugo_spark.ops import dedup as dd
+
+    spark = _session()
+    n = 6_000_000
+    for tag, mega in (("bulk", None), ("skew", 6)):
+        src = os.path.join(SCRATCH, f"docs_scale_{n}_{tag}.parquet")
+        if not os.path.exists(src):
+            t0 = time.perf_counter()
+            spark_doc_df(spark, n, n_partitions=CPUS * 2, mega_every=mega).repartition(
+                256
+            ).write.mode("overwrite").parquet(src)
+            print(json.dumps({"probe": f"gen_{tag}", "s": round(time.perf_counter() - t0, 1)}),
+                  flush=True)
+        docs = spark.read.parquet(src)
+        spark.sparkContext.setJobDescription(f"dedup scale 6M {tag}: lsh")
+        state = {}
+
+        def _lsh():
+            state["pairs"] = dd.minhash_lsh_candidates(
+                docs, n_hashes=16, n_bands=4, shingle=3, unit="word").count()
+
+        _timed(f"lsh_6m_{tag}", _lsh, n=2)
+
+        def _clusters():
+            state["dropped"] = dd.dedup_clusters(
+                docs, n_hashes=16, n_bands=4, shingle=3, unit="word"
+            ).filter(~F.col("is_kept")).count()
+
+        spark.sparkContext.setJobDescription(f"dedup scale 6M {tag}: clusters")
+        _timed(f"clusters_6m_{tag}", _clusters, n=2)
+        print(json.dumps({"probe": f"counts_6m_{tag}", **state}), flush=True)
+    spark.stop()
+
+
 def consolidate():
     import cProfile
     import pstats
